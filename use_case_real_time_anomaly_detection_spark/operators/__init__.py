@@ -1,0 +1,19 @@
+from .rules import (  # noqa: F401
+    AudioDecodeRule,
+    DriftRule,
+    GapRule,
+    IqrRule,
+    NotNullRule,
+    ProfileSpec,
+    RangeRule,
+    RateOfChangeRule,
+    RefIntegrityRule,
+    Rule,
+    TranscriptRule,
+    UniqueRule,
+    ValueSetRule,
+    ZScoreRule,
+)
+from .compiler import CompiledPlan, compile_rules  # noqa: F401
+from .engine import RunResult, ValidationEngine  # noqa: F401
+from .limit_by import limit_by  # noqa: F401

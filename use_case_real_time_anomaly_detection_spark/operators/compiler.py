@@ -1,0 +1,499 @@
+"""Rule → DataFrame-plan compiler.
+
+This is the layer the reference does not have (its five detectors are five
+independent SQL queries re-run every minute; its docs call out the cost of
+that — reference: content/copies-pipes.md:13). Here ALL rules over a table
+compile into ONE plan that Catalyst can optimize as a whole:
+
+scan (column-pruned: only referenced columns are read)
+ ├─ one left join to the manifest (covers referential + transcript rules)
+ ├─ one Arrow pandas-UDF pass (covers audio decode, only if requested)
+ ├─ one Window pass over (partition, seq) (covers rate-of-change, gap,
+ │   rolling z-score — all window columns share the same WindowSpec, so
+ │   Spark evaluates them in a single Window exec → a single shuffle)
+ ├─ one broadcast join of per-partition IQR fences (tiny agg side,
+ │   ≙ reference JOIN stats ON id — tinybird/pipes/iqr.pipe:49-50 — which
+ │   we broadcast because stats has ≤1 row per partition)
+ └─ fused violation projection: each row-local/window rule contributes a
+     WHEN(cond, struct(...)) element; array_compact + explode emits the
+     violation rows in the same stage (no extra scan per rule).
+
+Table-level rules (unique, drift) aggregate instead of scanning per-row
+and are unioned into the same violations output.
+
+Scale notes (100 TB / 10^12 rows):
+- the only wide shuffle is the Window pass, keyed by the table's physical
+  partition key → co-partitioned with the Iceberg layout, so AQE sees
+  near-no-op exchanges; skewed partitions are split by AQE skew handling,
+  and the IQR fence join is a broadcast (never a shuffle).
+- the violation projection multiplies nothing: array_compact drops
+  non-violations before the explode, so the exploded row count equals the
+  violation count (≪ input).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .rules import (
+    AudioDecodeRule,
+    DriftRule,
+    GapRule,
+    IqrRule,
+    NotNullRule,
+    ProfileSpec,
+    RangeRule,
+    RateOfChangeRule,
+    RefIntegrityRule,
+    Rule,
+    TranscriptRule,
+    UniqueRule,
+    ValueSetRule,
+    ZScoreRule,
+)
+
+# Violation log contract — transposed from the reference's copy_log
+# (tinybird/datasources/copy_log.datasource:3-8): id→clip_id,
+# anomaly_type→detector, note→note; partition_key added as the verdict axis.
+VIOLATION_COLUMNS = ["partition_key", "clip_id", "detector", "observed", "note"]
+
+
+def _fmt(col: Column, digits: int = 2) -> Column:
+    """Float → string for note fields: ROUND(x, 2) then cast.
+
+    ≙ the reference's toString(ROUND(x, 2)) note idiom
+    (tinybird/pipes/copy_rate_of_change.pipe:52-56).
+    """
+    return F.round(col.cast("double"), digits).cast("string")
+
+
+@dataclass
+class CompiledPlan:
+    """Lazy outputs of compiling a rule set against a table."""
+
+    violations: DataFrame  # VIOLATION_COLUMNS
+    rows_checked: DataFrame  # (partition_key, rows_checked)
+    detectors: list  # detector names evaluated (for verdict assembly)
+
+
+def compile_rules(
+    df: DataFrame,
+    rules: list,
+    *,
+    key_col: str = "clip_id",
+    partition_col: str = "partition_key",
+    seq_col: str | None = None,
+    frontier: int | None = None,
+    refs: dict[str, DataFrame] | None = None,
+    audio_check_columns: DataFrame | None = None,
+) -> CompiledPlan:
+    """Compile ``rules`` over ``df`` into a single fused plan.
+
+    ``df`` must already expose ``partition_col`` (the verdict axis) and,
+    for sequence rules, ``seq_col`` (monotone within a partition — for the
+    clip table this is the sequence embedded in clip_id, SURVEY.md §7.3).
+    ``frontier`` freezes "now" for staleness checks — the determinism
+    contract replacing the reference's wall-clock NOW()
+    (SURVEY.md §4.3; ≙ copy pipes snapshotting a 61 s window per run).
+    ``refs`` maps logical ref-table names (RefIntegrityRule.ref_table,
+    TranscriptRule.ref_table) to DataFrames.
+    """
+    refs = refs or {}
+    base = df
+
+    # ---- one manifest join serves referential + transcript rules --------
+    ref_rules = [r for r in rules if isinstance(r, (RefIntegrityRule, TranscriptRule))]
+    manifest_cols: dict[str, str] = {}
+    if ref_rules:
+        names = {r.ref_table for r in ref_rules}
+        if len(names) > 1:
+            raise ValueError(f"multiple ref tables in one run not supported: {names}")
+        ref_name = names.pop()
+        if ref_name not in refs:
+            raise ValueError(f"rule references unknown table {ref_name!r}")
+        manifest = refs[ref_name]
+        wanted = [key_col] + [
+            r.ref_column for r in ref_rules if isinstance(r, TranscriptRule)
+        ]
+        sel = manifest.select(
+            F.col(key_col).alias("__ref_key"),
+            *[
+                F.col(c).alias(f"__ref_{c}")
+                for c in wanted
+                if c != key_col
+            ],
+        )
+        # Equi-join on the key. At 10^12 scale this is the one big join;
+        # with both sides Iceberg-bucketed by clip_id it becomes a
+        # storage-partitioned join (no shuffle). Locally a plain SMJ/AQE
+        # choice is fine, so no broadcast hint here on purpose.
+        base = base.join(sel, base[key_col] == sel["__ref_key"], "left")
+        manifest_cols = {
+            r.ref_column: f"__ref_{r.ref_column}"
+            for r in ref_rules
+            if isinstance(r, TranscriptRule)
+        }
+
+    # ---- one Arrow pandas-UDF pass for audio rules -----------------------
+    audio_rules = [r for r in rules if isinstance(r, AudioDecodeRule)]
+    if audio_rules:
+        from ..functions.audio import with_audio_checks
+
+        (rule,) = audio_rules  # one audio rule per run
+        base = with_audio_checks(base, rule, key_col=key_col)
+
+    # ---- shared window columns ------------------------------------------
+    window_rules = [
+        r for r in rules if isinstance(r, (RateOfChangeRule, GapRule, ZScoreRule))
+    ]
+    if window_rules:
+        if seq_col is None:
+            raise ValueError("sequence rules need seq_col")
+        w = Window.partitionBy(partition_col).orderBy(seq_col)
+        cols: list[Column] = []
+        for r in window_rules:
+            if isinstance(r, RateOfChangeRule):
+                # ≙ lagInFrame(value/timestamp, 1) OVER (PARTITION BY id
+                #   ORDER BY timestamp) — tinybird/pipes/rate_of_change.pipe:31-34
+                cols.append(F.lag(r.column, 1).over(w).alias(f"__prev_{r.column}"))
+                cols.append(F.lag(seq_col, 1).over(w).alias("__prev_seq_roc"))
+            elif isinstance(r, GapRule):
+                cols.append(F.lag(seq_col, 1).over(w).alias("__prev_seq_gap"))
+            elif isinstance(r, ZScoreRule):
+                # Sliding count window per north star (SURVEY.md §2.5 W1
+                # generalization): trailing `window` rows, excluding self.
+                wf = w.rowsBetween(-r.window, -1)
+                cols.append(F.avg(r.column).over(wf).alias(f"__zavg_{r.column}"))
+                cols.append(
+                    F.stddev_pop(r.column).over(wf).alias(f"__zstd_{r.column}")
+                )
+                cols.append(F.count(r.column).over(wf).alias(f"__zcnt_{r.column}"))
+        base = base.select("*", *cols)
+
+    # ---- per-partition IQR fences: two-level agg + broadcast join --------
+    iqr_rules = [r for r in rules if isinstance(r, IqrRule)]
+    for r in iqr_rules:
+        if r.exact:
+            # quantileExact ≙ tinybird/pipes/iqr.pipe:31-33 (test scale)
+            q1 = F.expr(f"percentile({r.column}, 0.25D)")
+            q3 = F.expr(f"percentile({r.column}, 0.75D)")
+        else:
+            # approx at 10^12 scale (north star; SURVEY.md §4.2.5)
+            q1 = F.percentile_approx(r.column, 0.25, r.accuracy)
+            q3 = F.percentile_approx(r.column, 0.75, r.accuracy)
+        stats = base.groupBy(partition_col).agg(
+            q1.alias(f"__q1_{r.column}"), q3.alias(f"__q3_{r.column}")
+        )
+        # ≤1 row per partition → always broadcast (≙ the reference's
+        # stats-CTE join, iqr.pipe:49-50, which ClickHouse keeps in memory).
+        base = base.join(F.broadcast(stats), partition_col, "left")
+
+    # ---- fused violation projection --------------------------------------
+    entries: list[Column] = []
+    detectors: list[str] = []
+
+    def _entry(detector: str, cond: Column, observed: Column, note: Column) -> None:
+        detectors.append(detector)
+        entries.append(
+            F.when(
+                cond,
+                F.struct(
+                    F.lit(detector).alias("detector"),
+                    observed.cast("string").alias("observed"),
+                    note.cast("string").alias("note"),
+                ),
+            )
+        )
+
+    for r in rules:
+        if isinstance(r, RangeRule):
+            conds = []
+            note_bits = []
+            if r.min_value is not None:
+                conds.append(F.col(r.column) < F.lit(r.min_value))
+                note_bits.append(f"min:{r.min_value:g}")
+            if r.max_value is not None:
+                conds.append(F.col(r.column) > F.lit(r.max_value))
+                note_bits.append(f"max:{r.max_value:g}")
+            cond = reduce(lambda a, b: a | b, conds)
+            # note ≙ concat('min:', toString(min), ' max:', toString(max))
+            #   — copy_out_of_range.pipe:44
+            _entry(r.detector, cond, F.col(r.column), F.lit(" ".join(note_bits)))
+
+        elif isinstance(r, NotNullRule):
+            cond = F.col(r.column).isNull()
+            if r.treat_empty_as_null:
+                cond = cond | (F.col(r.column).cast("string") == F.lit(""))
+            _entry(r.detector, cond, F.lit("null"), F.lit(f"column:{r.column} must not be null"))
+
+        elif isinstance(r, ValueSetRule):
+            cond = ~F.col(r.column).isin(*r.allowed) | F.col(r.column).isNull()
+            _entry(
+                r.detector,
+                cond,
+                F.col(r.column),
+                F.lit(f"column:{r.column} allowed:" + ",".join(map(str, r.allowed))),
+            )
+
+        elif isinstance(r, RateOfChangeRule):
+            prev_v = F.col(f"__prev_{r.column}")
+            dseq = (F.col(seq_col) - F.col("__prev_seq_roc")).cast("double")
+            vdiff = F.col(r.column).cast("double") - prev_v.cast("double")
+            # guard dseq>0: duplicate seqs would divide by zero (ANSI) —
+            # ≙ the reference's same-timestamp 0/0→NaN quirk (SURVEY F12),
+            # which it silently drops; we drop explicitly.
+            slope = F.when(dseq > 0, vdiff / dseq)
+            cond = F.abs(slope) > F.lit(r.max_slope)
+            note = F.concat(
+                F.lit("slope:"), _fmt(slope),
+                F.lit(f"| max_slope:{r.max_slope:g}"),
+                F.lit("| value_diff: "), _fmt(vdiff),
+            )  # ≙ copy_rate_of_change.pipe:56
+            _entry(r.detector, cond, _fmt(slope), note)
+
+        elif isinstance(r, GapRule):
+            gap = F.col(seq_col) - F.col("__prev_seq_gap")
+            cond = gap > F.lit(r.max_gap)
+            note = F.concat(
+                F.lit("gap: previous seq "),
+                F.col("__prev_seq_gap").cast("string"),
+                F.lit(" -> "),
+                F.col(seq_col).cast("string"),
+                F.lit(f" exceeds max_gap:{r.max_gap}"),
+            )
+            _entry(r.detector + "-gap", cond, gap.cast("string"), note)
+
+        elif isinstance(r, ZScoreRule):
+            avg_c = F.col(f"__zavg_{r.column}")
+            std_c = F.col(f"__zstd_{r.column}")
+            cnt_c = F.col(f"__zcnt_{r.column}")
+            z = F.when(
+                (cnt_c >= r.min_periods) & (std_c > 0),
+                (F.col(r.column) - avg_c) / std_c,
+            )
+            cond = F.abs(z) > F.lit(r.threshold)
+            # label ≙ multiIf(z<-t,'low', z>t,'high', 'ok') — z_score.pipe:48
+            label = F.when(z < -r.threshold, "low").when(z > r.threshold, "high").otherwise("ok")
+            # note ≙ concat('z-score: ', substring(toString(zscore),1,6),
+            #   ' | ', test, ' | average: ', ..., ' | std_dev: ', ...)
+            #   — copy_z_score.pipe:53
+            note = F.concat(
+                F.lit("z-score: "), F.substring(z.cast("string"), 1, 6),
+                F.lit(" | "), label,
+                F.lit(" | average: "), _fmt(avg_c),
+                F.lit(" | std_dev: "), _fmt(std_c),
+            )
+            _entry(r.detector, cond, _fmt(z, 4), note)
+
+        elif isinstance(r, IqrRule):
+            q1c, q3c = F.col(f"__q1_{r.column}"), F.col(f"__q3_{r.column}")
+            iqr = (q3c - q1c) * F.lit(r.multiplier)  # ≙ iqr.pipe:34
+            lo, hi = q1c - iqr, q3c + iqr
+            cond = (F.col(r.column) > hi) | (F.col(r.column) < lo)  # ≙ iqr.pipe:52-53
+            note = F.concat(
+                F.lit("lower_bound:"), _fmt(lo),
+                F.lit("| upper_bound:"), _fmt(hi),
+            )  # ≙ copy_iqr.pipe:80
+            _entry(r.detector, cond, F.col(r.column), note)
+
+        elif isinstance(r, TranscriptRule):
+            expected = F.col(manifest_cols[r.ref_column])
+            cond = expected.isNotNull() & (
+                F.col(r.column).isNull() | (F.col(r.column) != expected)
+            )
+            _entry(
+                r.detector,
+                cond,
+                F.col(r.column),
+                F.concat(F.lit("expected transcript: "), expected),
+            )
+
+        elif isinstance(r, RefIntegrityRule):
+            # manifest joined above; missing key ⇒ orphan row
+            cond = F.col("__ref_key").isNull()
+            _entry(
+                r.detector,
+                cond,
+                F.col(r.column),
+                F.lit(f"{r.column} not present in {r.ref_table}"),
+            )
+
+        elif isinstance(r, AudioDecodeRule):
+            cond = ~F.col("__audio_ok")
+            snr_s = F.coalesce(_fmt(F.col("__audio_snr_db")), F.lit("nan"))
+            note = F.concat(
+                F.lit("snr_db:"), snr_s,
+                F.lit(f"| min_snr_db:{r.min_snr_db:g}"),
+                F.lit("| decode_error:"), F.coalesce(F.col("__audio_err"), F.lit("")),
+            )
+            _entry(r.detector, cond, snr_s, note)
+
+        elif isinstance(r, (UniqueRule, DriftRule)):
+            continue  # aggregate-level; handled below
+        elif isinstance(r, ProfileSpec):
+            continue
+        else:
+            raise TypeError(f"unknown rule type: {type(r).__name__}")
+
+    fused_parts: list[DataFrame] = []
+    if entries:
+        fused = base.select(
+            F.col(partition_col).alias("partition_key"),
+            F.col(key_col).alias("clip_id"),
+            # array_compact drops non-violations pre-explode → exploded
+            # cardinality == number of violations, not rows × rules.
+            F.explode(F.array_compact(F.array(*entries))).alias("v"),
+        ).select(
+            "partition_key",
+            "clip_id",
+            F.col("v.detector").alias("detector"),
+            F.col("v.observed").alias("observed"),
+            F.col("v.note").alias("note"),
+        )
+        fused_parts.append(fused)
+
+    # ---- staleness (timeout proper): latest seq per partition vs frontier
+    gap_rules = [r for r in rules if isinstance(r, GapRule)]
+    if gap_rules and frontier is not None:
+        (r,) = gap_rules[:1]
+        # ≙ timeout.pipe:15-37 — latest report per key, flagged if older
+        # than the allowed staleness vs the (frozen) frontier. max_by keeps
+        # the full latest row like the reference's LIMIT 1 BY id (W3→A6).
+        latest = base.groupBy(partition_col).agg(
+            F.max(seq_col).alias("__last_seq"),
+            F.max_by(F.col(key_col), F.col(seq_col)).alias("__last_key"),
+        )
+        stale = latest.filter(
+            F.col("__last_seq") < F.lit(frontier - r.max_staleness)
+        ).select(
+            F.col(partition_col).alias("partition_key"),
+            F.col("__last_key").alias("clip_id"),
+            F.lit(r.detector).alias("detector"),
+            F.col("__last_seq").cast("string").alias("observed"),
+            # ≙ 'timestamp is time of last report' — copy_timeout.pipe:39
+            F.lit("seq is last reported seq").alias("note"),
+        )
+        fused_parts.append(stale)
+        if r.detector not in detectors:
+            detectors.append(r.detector)
+
+    # ---- unique ----------------------------------------------------------
+    for r in rules:
+        if isinstance(r, UniqueRule):
+            dup = (
+                df.groupBy(partition_col, *r.columns)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .select(
+                    F.col(partition_col).alias("partition_key"),
+                    F.col(r.columns[0]).cast("string").alias("clip_id"),
+                    F.lit(r.detector).alias("detector"),
+                    F.col("__n").cast("string").alias("observed"),
+                    F.lit(
+                        "duplicate key (" + ",".join(r.columns) + ")"
+                    ).alias("note"),
+                )
+            )
+            fused_parts.append(dup)
+            if r.detector not in detectors:
+                detectors.append(r.detector)
+
+    # ---- drift (KS + PSI over binned histograms) -------------------------
+    drift_rules = [r for r in rules if isinstance(r, DriftRule)]
+    for r in drift_rules:
+        fused_parts.append(
+            _drift_violations(df, r, partition_col=partition_col)
+        )
+        if r.detector not in detectors:
+            detectors.append(r.detector)
+
+    violations = reduce(DataFrame.unionByName, fused_parts) if fused_parts else None
+    rows_checked = df.groupBy(F.col(partition_col).alias("partition_key")).agg(
+        F.count(F.lit(1)).alias("rows_checked")
+    )
+    # de-dup detector list, preserving order
+    seen: set[str] = set()
+    det = [d for d in detectors if not (d in seen or seen.add(d))]
+    return CompiledPlan(violations=violations, rows_checked=rows_checked, detectors=det)
+
+
+def _drift_violations(df: DataFrame, r: DriftRule, *, partition_col: str) -> DataFrame:
+    """Per-partition KS + PSI vs a robust consensus baseline, via binned
+    histograms (two-level partial+final aggregation — SURVEY.md §4.2.6).
+
+    Baseline choice matters: the naive global mixture is contaminated by
+    the very partitions being tested (one shifted partition moves the
+    mixture, flagging every healthy partition). Instead the baseline is
+    the per-bin MEDIAN of the partitions' bin fractions, renormalized —
+    a consensus distribution robust to a minority (< 50 %) of drifted
+    partitions, in the spirit of median-absolute-deviation outlier tests.
+
+    Entirely JVM-side: groupBy(partition, bin).count() is a map-side
+    partial agg; PSI/KS arithmetic runs over the tiny (partitions × bins)
+    frame. One driver action fetches global min/max to fix bin edges
+    (cheap column-pruned full-scan agg, once per run).
+    """
+    spark = df.sparkSession
+    mm = df.agg(
+        F.min(r.column).alias("lo"), F.max(r.column).alias("hi")
+    ).collect()[0]
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    if hi <= lo:
+        hi = lo + 1.0
+    width = (hi - lo) / r.bins
+
+    binned = df.select(
+        F.col(partition_col).alias("pk"),
+        F.least(
+            F.lit(r.bins - 1),
+            F.floor((F.col(r.column).cast("double") - F.lit(lo)) / F.lit(width)),
+        ).alias("bin"),
+    )
+    part_counts = binned.groupBy("pk", "bin").agg(F.count(F.lit(1)).alias("pn"))
+
+    # dense (pk × bin) grid so zero buckets participate (Laplace-smoothed)
+    pks = part_counts.select("pk").distinct()
+    bins_df = spark.range(r.bins).select(F.col("id").alias("bin"))
+    grid = pks.crossJoin(F.broadcast(bins_df))
+    h = grid.join(part_counts, ["pk", "bin"], "left").fillna(0, subset=["pn"])
+    wpk = Window.partitionBy("pk")
+    h = h.withColumn("pt", F.sum("pn").over(wpk))
+    # Laplace smoothing (+0.5/bucket) keeps ln() finite on empty buckets.
+    h = h.withColumn(
+        "p", (F.col("pn") + 0.5) / (F.col("pt") + 0.5 * r.bins)
+    )
+
+    # consensus baseline: per-bin median of partition fractions, renormalized
+    med = h.groupBy("bin").agg(F.expr("percentile(p, 0.5D)").alias("qraw"))
+    med = med.crossJoin(
+        F.broadcast(med.agg(F.sum("qraw").alias("qsum")))
+    ).select("bin", (F.col("qraw") / F.col("qsum")).alias("q"))
+
+    h = h.join(F.broadcast(med), "bin")
+    h = h.withColumn("psi_term", (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")))
+    wcum = Window.partitionBy("pk").orderBy("bin")
+    h = h.withColumn("pcum", F.sum("p").over(wcum)).withColumn(
+        "qcum", F.sum("q").over(wcum)
+    )
+    scores = h.groupBy("pk").agg(
+        F.sum("psi_term").alias("psi"),
+        F.max(F.abs(F.col("pcum") - F.col("qcum"))).alias("ks"),
+    )
+    return scores.filter(
+        (F.col("psi") > r.psi_threshold) | (F.col("ks") > r.ks_threshold)
+    ).select(
+        F.col("pk").alias("partition_key"),
+        F.lit(None).cast("string").alias("clip_id"),
+        F.lit(r.detector).alias("detector"),
+        F.concat(F.lit("psi:"), _fmt(F.col("psi"), 4), F.lit("|ks:"), _fmt(F.col("ks"), 4)).alias(
+            "observed"
+        ),
+        F.lit(
+            f"column:{r.column} psi_threshold:{r.psi_threshold:g} "
+            f"ks_threshold:{r.ks_threshold:g}"
+        ).alias("note"),
+    )

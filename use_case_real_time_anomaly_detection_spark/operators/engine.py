@@ -1,0 +1,150 @@
+"""ValidationEngine — run a rule set, emit violations + per-partition verdicts.
+
+Mirrors the reference's scheduled-copy lifecycle (SURVEY.md §3.2):
+detector outputs → union into one log shape (≙ the five copy pipes all
+targeting copy_log_duplicates — tinybird/pipes/copy_out_of_range.pipe:49-51)
+→ composite-key dedup (≙ dedup_log's LIMIT 1 BY timestamp,id,anomaly_type —
+tinybird/pipes/dedup_log.pipe:4-6) → idempotent append + lineage rows.
+
+The difference: the reference runs five scans per cycle; we compile all
+rules into one fused plan (operators/compiler.py) so a cycle is a single
+pass over the data.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .compiler import compile_rules
+from .rules import ProfileSpec
+
+# Per-partition pass/fail contract (FIXTURES.md §4).
+VERDICT_COLUMNS = [
+    "partition_key",
+    "detector",
+    "pass",
+    "violation_count",
+    "rows_checked",
+    "run_id",
+    "completed_at_seq",
+]
+
+
+@dataclass
+class RunResult:
+    violations: DataFrame  # deduped, VIOLATION_COLUMNS
+    verdicts: DataFrame  # VERDICT_COLUMNS
+    profile: DataFrame | None  # per (partition, column) stats, if requested
+    run_id: str
+
+
+class ValidationEngine:
+    """Evaluate declarative rules over a partitioned table."""
+
+    def __init__(
+        self,
+        *,
+        key_col: str = "clip_id",
+        partition_col: str = "partition_key",
+        seq_col: str | None = None,
+    ) -> None:
+        self.key_col = key_col
+        self.partition_col = partition_col
+        self.seq_col = seq_col
+
+    def run(
+        self,
+        df: DataFrame,
+        rules: list,
+        *,
+        frontier: int | None = None,
+        refs: dict[str, DataFrame] | None = None,
+        skip_partitions: DataFrame | None = None,
+        run_id: str | None = None,
+    ) -> RunResult:
+        """Compile + evaluate ``rules`` over ``df`` (lazy: returned
+        DataFrames trigger execution on action).
+
+        ``skip_partitions`` — one column ``partition_key`` of already-
+        completed partitions (the resume path: anti-join, ≙ the
+        reference's at-least-once overlap being made idempotent —
+        SURVEY.md §2.8.4). ``frontier`` freezes "now" (SURVEY.md §4.3).
+        """
+        run_id = run_id or uuid.uuid4().hex[:12]
+
+        if skip_partitions is not None:
+            df = df.join(
+                skip_partitions.select(
+                    F.col("partition_key").alias(self.partition_col)
+                ),
+                self.partition_col,
+                "left_anti",
+            )
+
+        plan = compile_rules(
+            df,
+            [r for r in rules if not isinstance(r, ProfileSpec)],
+            key_col=self.key_col,
+            partition_col=self.partition_col,
+            seq_col=self.seq_col,
+            frontier=frontier,
+            refs=refs,
+        )
+
+        # composite-key dedup ≙ dedup_log.pipe:4-6 (FIXTURES.md §3)
+        violations = plan.violations.dropDuplicates(
+            ["partition_key", "clip_id", "detector"]
+        )
+
+        verdicts = self._verdicts(
+            violations, plan.rows_checked, plan.detectors, run_id, frontier
+        )
+
+        profile = None
+        specs = [r for r in rules if isinstance(r, ProfileSpec)]
+        if specs:
+            from ..functions.stats import profile_table
+
+            profile = profile_table(
+                df, specs[0], partition_col=self.partition_col
+            )
+
+        return RunResult(
+            violations=violations, verdicts=verdicts, profile=profile, run_id=run_id
+        )
+
+    def _verdicts(
+        self,
+        violations: DataFrame,
+        rows_checked: DataFrame,
+        detectors: list,
+        run_id: str,
+        frontier: int | None,
+    ) -> DataFrame:
+        spark = violations.sparkSession
+        det = spark.createDataFrame(
+            [(d,) for d in detectors], "detector string"
+        )
+        # partitions × detectors grid (detector side is tiny → broadcast),
+        # so zero-violation (partition, detector) pairs still get pass=true.
+        grid = rows_checked.crossJoin(F.broadcast(det))
+        counts = violations.groupBy("partition_key", "detector").agg(
+            F.count(F.lit(1)).alias("violation_count")
+        )
+        return (
+            grid.join(counts, ["partition_key", "detector"], "left")
+            .fillna(0, subset=["violation_count"])
+            .select(
+                "partition_key",
+                "detector",
+                (F.col("violation_count") == 0).alias("pass"),
+                F.col("violation_count").cast("long"),
+                F.col("rows_checked").cast("long"),
+                F.lit(run_id).alias("run_id"),
+                F.lit(frontier).cast("long").alias("completed_at_seq"),
+            )
+        )

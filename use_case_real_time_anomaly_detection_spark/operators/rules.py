@@ -1,0 +1,274 @@
+"""Declarative constraint-rule IR.
+
+Each rule is a frozen dataclass naming WHAT to check; the compiler
+(operators/compiler.py) decides HOW — which Spark primitive evaluates it
+and how rules fuse into shared scans/shuffles.
+
+Detector names and note formats deliberately mirror the reference's
+``anomaly_type`` values and ``note`` strings
+(reference: tinybird/datasources/copy_log.datasource:7-8,
+content/copies-pipes.md:54-63) so a consumer of the reference's
+violations log can read ours unchanged. Template-parameter validation
+(the reference's ``{{ error(...) }}``, e.g.
+tinybird/pipes/out_of_range.pipe:28) becomes constructor validation here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class Rule:
+    """Marker base class; rules are plain data, evaluated by the compiler."""
+
+    detector: str
+
+
+# --------------------------------------------------------------------------
+# Row-local rules — fusable into a single scan (no shuffle).
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class RangeRule(Rule):
+    """value < min OR value > max → violation.
+
+    ≙ reference out-of-range detector
+    (tinybird/pipes/out_of_range.pipe:21, copy_out_of_range.pipe:32).
+    Either bound may be None (reference makes each optional and errors if
+    both missing — out_of_range.pipe:19-29).
+    """
+
+    column: str
+    min_value: float | None = None
+    max_value: float | None = None
+    detector: str = "out-of-range"
+
+    def __post_init__(self) -> None:
+        if self.min_value is None and self.max_value is None:
+            # ≙ {{ error('You need to define at least one of ...') }}
+            raise ValueError(
+                f"RangeRule({self.column}): need at least one of min_value/max_value"
+            )
+
+
+@dataclass(frozen=True)
+class NotNullRule(Rule):
+    """NULL (or empty-string, if `treat_empty_as_null`) value → violation."""
+
+    column: str
+    treat_empty_as_null: bool = False
+    detector: str = "not-null"
+
+
+@dataclass(frozen=True)
+class ValueSetRule(Rule):
+    """Value outside an allowed set → violation (schema/domain check)."""
+
+    column: str
+    allowed: tuple = ()
+    detector: str = ""  # defaults to value-set-<column>
+
+    def __post_init__(self) -> None:
+        if not self.allowed:
+            raise ValueError(f"ValueSetRule({self.column}): empty allowed set")
+        if not self.detector:
+            object.__setattr__(self, "detector", f"value-set-{self.column}")
+
+
+# --------------------------------------------------------------------------
+# Sequence rules — need one Window.partitionBy(part).orderBy(seq) pass.
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class RateOfChangeRule(Rule):
+    """|Δvalue / Δseq| > max_slope → violation.
+
+    ≙ reference rate-of-change detector: lagInFrame over
+    (PARTITION BY id ORDER BY timestamp), slope = value_diff/time_diff,
+    WHERE ABS(slope) > max_slope
+    (tinybird/pipes/rate_of_change.pipe:31-34,59).
+    First row per partition: Spark lag yields NULL (not ClickHouse's
+    default-fill) so the row simply drops out of the filter — same
+    verdict set, documented in SURVEY.md §2.8.5.
+    """
+
+    column: str
+    max_slope: float = 3.0
+    detector: str = "rate-of-change"
+
+
+@dataclass(frozen=True)
+class GapRule(Rule):
+    """Sequence gaps and stale partitions.
+
+    ≙ reference timeout detector — "latest report older than allowed"
+    (tinybird/pipes/timeout.pipe:15-40) — transposed to the clip_id
+    sequence axis (input shape has no timestamp, SURVEY.md §7.3):
+    a partition whose max(seq) lags the run frontier by more than
+    `max_staleness` is stale; additionally any intra-sequence hole
+    (seq - lag(seq) > max_gap) is a gap violation.
+    """
+
+    max_staleness: int = 0
+    max_gap: int = 1
+    detector: str = "timeout"
+
+
+@dataclass(frozen=True)
+class ZScoreRule(Rule):
+    """|value - rolling_avg| / rolling_stddev_pop > threshold → violation.
+
+    ≙ reference z-score detector (tinybird/pipes/z_score.pipe:14-54):
+    avg + stddevPop over a stats window, z = (v-avg)/std, |z| > t.
+    The reference uses a trailing wall-clock stats window; the graft's
+    north star specifies sliding COUNT windows
+    (Window.rowsBetween(-window, -1)) because ordering is carried by the
+    clip_id sequence. stddev is population (divide by N), matching
+    ClickHouse stddevPop (z_score.pipe:18) — NOT Spark's default sample
+    stddev.
+    """
+
+    column: str
+    threshold: float = 2.0
+    window: int = 50  # trailing rows used for the rolling stats
+    min_periods: int = 10  # below this the stats are too noisy to judge
+    detector: str = "z-score"
+
+
+# --------------------------------------------------------------------------
+# Aggregate rules — per-partition statistics then fence comparison.
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class IqrRule(Rule):
+    """value outside [q1 - k*IQR, q3 + k*IQR] → violation.
+
+    ≙ reference interquartile-range detector
+    (tinybird/pipes/iqr.pipe:26-53): quantileExact(0.25/0.75) per key,
+    IQR = (q3-q1)*multiplier, fences = quartile ∓ IQR. The reference uses
+    exact quantiles on small windows; at 10^12-row scale we use
+    approx_percentile (north star mandates approx-percentile-driven
+    fences) with `accuracy`; tests assert parity with exact quantiles at
+    test scale (SURVEY.md §4.2.5).
+    """
+
+    column: str
+    multiplier: float = 1.5
+    exact: bool = False
+    accuracy: int = 10000
+    detector: str = "interquartile-range"
+
+
+# --------------------------------------------------------------------------
+# Table-level rules.
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class UniqueRule(Rule):
+    """Duplicate key values → one violation per duplicated key.
+
+    Graft addition (north rule: uniqueness checks); the reference's
+    closest analog is the dedup contract LIMIT 1 BY key
+    (tinybird/pipes/dedup_log.pipe:4-6).
+    """
+
+    columns: tuple = ("clip_id",)
+    detector: str = "unique"
+
+
+@dataclass(frozen=True)
+class RefIntegrityRule(Rule):
+    """Keys absent from a reference (manifest) table → violations.
+
+    Graft addition (north rule: referential checks). Compiled to a
+    left-anti join against the manifest.
+    """
+
+    column: str
+    ref_table: str  # logical name resolved by the engine run() call
+    ref_column: str
+    detector: str = "referential"
+
+
+@dataclass(frozen=True)
+class DriftRule(Rule):
+    """Per-partition distribution drift vs the global distribution.
+
+    Graft addition (north rule: KS/PSI drift on dur_ms / sr_hz per
+    partition). Compiled as binned histograms (two-level partial+final
+    aggregation — SURVEY.md §4.2.6): per (partition, bucket) counts vs
+    global bucket counts, then PSI = Σ (p-q)·ln(p/q) and
+    KS = max |CDF_p - CDF_q| computed over the tiny histogram frame.
+    A partition violates if psi > psi_threshold or ks > ks_threshold.
+    """
+
+    column: str
+    bins: int = 20
+    psi_threshold: float = 0.25  # industry-standard "significant shift"
+    ks_threshold: float = 0.2
+    detector: str = "drift"
+
+
+# --------------------------------------------------------------------------
+# Payload rules — Arrow pandas-UDF backed (the only non-JVM path).
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class AudioDecodeRule(Rule):
+    """Decoded PCM must match the per-clip reference signal at SNR ≥ min_snr_db.
+
+    Graft addition mandated by BASELINE.json input_hint: decode `bytes`
+    by `codec` inside a vectorized Arrow pandas UDF (never per-row
+    Python), reconstruct the deterministic reference waveform from
+    (clip_id, seed), and check allclose via SNR ≥ 30 dB. Undecodable
+    payloads (unknown codec, truncated bytes) are also violations.
+    """
+
+    bytes_column: str = "bytes"
+    codec_column: str = "codec"
+    sr_column: str = "sr_hz"
+    dur_column: str = "dur_ms"
+    min_snr_db: float = 30.0
+    # seed of the deterministic per-clip reference signal (the synthetic
+    # stand-in for a real deployment's golden copy; see sources/synth.py)
+    ref_seed: int = 42
+    detector: str = "audio-decode"
+
+
+@dataclass(frozen=True)
+class TranscriptRule(Rule):
+    """Transcript must equal the manifest's expected transcript.
+
+    Graft addition (input_hint: transcript equality per row). Compiled as
+    an equi-join to the manifest plus a fused row-local comparison.
+    """
+
+    column: str = "transcript"
+    ref_table: str = "clip_manifest"
+    ref_column: str = "expected_transcript"
+    detector: str = "transcript"
+
+
+# --------------------------------------------------------------------------
+# Profiling — emits metrics, not violations.
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ProfileSpec:
+    """Column-stat profiling per partition: count, null rate, min/max,
+    approx-distinct (HyperLogLog++ via approx_count_distinct).
+
+    Generalizes the reference's stats CTEs (avg/stddevPop/quantiles —
+    tinybird/pipes/z_score.pipe:14-19, iqr.pipe:26-35) into a reusable
+    per-partition profile (north rule: column stats).
+    """
+
+    columns: tuple = ()
+    hll_rsd: float = 0.05
+    extra_numeric_stats: bool = True  # avg, stddev_pop, quartiles

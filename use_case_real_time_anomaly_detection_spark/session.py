@@ -1,0 +1,61 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Single place where the engine's Spark configuration is decided, so the
+same settings apply in tests, bench runs, and the driver's verify:
+
+- AQE on (runtime re-planning, skew-join splitting, partition coalescing)
+  — the north rule mandates explicit skew handling; AQE is the built-in
+  half of that (the other half is salting, see operators/compiler.py).
+- Arrow enabled for pandas UDF exchange (audio decode path).
+- shuffle.partitions sized for local[32]; on a real cluster this is
+  overridden by --conf (AQE coalescing makes the initial number mostly
+  an upper bound anyway).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# One knob per concern; everything else stays Spark default.
+_DEFAULT_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Arrow batch size bounds pandas-UDF memory per batch: at 10^12-clip
+    # scale each batch holds `bytes` blobs, so keep batches modest.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "constraint-validation-engine",
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, else 32).
+    On a real cluster, pass ``master=None`` and let spark-submit decide —
+    any existing active session is reused untouched.
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+
+    builder = SparkSession.builder.master(master).appName(app_name)
+    for k, v in _DEFAULT_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

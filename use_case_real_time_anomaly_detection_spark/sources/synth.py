@@ -1,0 +1,266 @@
+"""Deterministic clip + manifest synthesizer with prescribed violations.
+
+Transposes the reference's generator-as-oracle strategy
+(SURVEY.md §5.1: sensors 2/3 trend, sensor 5 stops at a known iteration —
+reference: data-generator/anomaly-dataset-live.py:67-105,179-180;
+knobs in data-generator/settings.yaml:1-35) from sensors to audio clips
+(FIXTURES.md §1). Two design rules make it scale- and test-friendly:
+
+1. **Distributed generation**: clips are generated per-partition inside
+   ``mapInPandas`` over ``spark.range(partitions)`` — the same code path
+   would synthesize 10^12 clips on a cluster; nothing materializes on the
+   driver.
+2. **Index-arithmetic injections**: every prescribed violation is decided
+   by pure arithmetic on (partition, seq) — e.g. ``seq % 97 == 13`` ⇒
+   out-of-range — never by RNG draws, so the pytest oracle recomputes the
+   exact violating clip_ids without running Spark.
+
+clip_id = ``c{part:03d}-{seq:09d}``: the partition tag + a dense,
+monotone per-partition sequence. The sequence carries ordering for
+rate-of-change / gap / rolling-z rules because the mandated input shape
+has no timestamp column (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.audio import (
+    mulaw_encode,
+    pcm16_wav_encode,
+    reference_waveform,
+    stable_hash,
+)
+
+CLIPS_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType(), False),
+        StructField("bytes", BinaryType(), True),
+        StructField("sr_hz", IntegerType(), True),
+        StructField("dur_ms", IntegerType(), True),
+        StructField("codec", StringType(), True),
+        StructField("transcript", StringType(), True),
+    ]
+)
+
+MANIFEST_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType(), False),
+        StructField("expected_codec", StringType(), True),
+        StructField("expected_sr_hz", IntegerType(), True),
+        StructField("expected_transcript", StringType(), True),
+    ]
+)
+
+_VOCAB = (
+    "the quick brown fox jumps over lazy dog audio clip sample "
+    "speech signal noise test data stream valid check sound wave"
+).split()
+
+# Injection moduli — pure (partition, seq) arithmetic, shared with the
+# pytest oracle. Rates roughly mirror settings.yaml's percentages.
+MOD_OOR = (97, 13)  # dur_ms excursion outside [200, 2000]
+MOD_STEP = (89, 7)  # transient dur spike (rate-of-change + z-score)
+MOD_GAP = (101, 50)  # seq not emitted → gap at the next emitted seq
+MOD_DUP = (127, 40)  # clip_id emitted twice
+MOD_ORPHAN = (131, 17)  # clip absent from the manifest
+MOD_BADAUDIO = (109, 21)  # payload encoded from a distorted waveform
+MOD_BADSR = (151, 99)  # sr_hz = 44100 (outside allowed {8000, 16000})
+MOD_BADCODEC = (163, 77)  # codec = 'opus', undecodable junk payload
+MOD_BADTRANSCRIPT = (113, 31)  # transcript corrupted vs manifest
+
+
+def _hit(seq: int, mod: tuple[int, int]) -> bool:
+    return seq % mod[0] == mod[1]
+
+
+@dataclass(frozen=True)
+class SynthSpec:
+    seed: int = 42
+    partitions: int = 8
+    clips_per_partition: int = 400
+    sr_hz: int = 16000
+    base_dur_ms: int = 1000
+    valid_dur = (200, 2000)  # ≙ settings.yaml valid_min/valid_max transposed
+    stopped_partition: int = -1  # last partition "stops" ≙ sensor 5
+    stop_fraction: float = 0.6
+    drift_partition: int = 1  # dur distribution shifted ⇒ drift must flag
+    drift_offset: int = 300
+    # audio synth cost knob: sr for payload generation can be decimated in
+    # tests (payload sr == sr_hz column value; keep real for correctness)
+
+
+def partition_tag(p: int) -> str:
+    return f"c{p:03d}"
+
+
+def make_clip_id(p: int, seq: int) -> str:
+    return f"{partition_tag(p)}-{seq:09d}"
+
+
+def expected_transcript(clip_id: str, seed: int) -> str:
+    h = stable_hash(f"t:{seed}:{clip_id}")
+    n = 3 + h % 6
+    return " ".join(_VOCAB[(h >> (i % 16)) % len(_VOCAB)] for i in range(n))
+
+
+def plan_partition(p: int, spec: SynthSpec) -> pd.DataFrame:
+    """Metadata plan for one partition (no audio bytes yet) — pure numpy.
+
+    Also serves as the pytest oracle's ground truth (same arithmetic).
+    """
+    n = spec.clips_per_partition
+    stopped = p == (spec.stopped_partition % spec.partitions)
+    last = int(n * spec.stop_fraction) if stopped else n
+    rng = np.random.default_rng((spec.seed << 8) ^ p)
+
+    seqs = [s for s in range(last) if not _hit(s, MOD_GAP)]
+    # never drop the final seq of a healthy partition (keeps frontier math
+    # exact: staleness must come only from the stopped partition)
+    if not stopped and (last - 1) not in seqs:
+        seqs.append(last - 1)
+    seqs = sorted(seqs)
+    m = len(seqs)
+
+    # mean-reverting dur walk ≙ random walk ±2 (settings.yaml:16-18).
+    # Bounded uniform steps (not gaussian): |Δdur| ≤ 2 so the walk itself
+    # can never trip max_slope=3 — only injected spikes do, exactly like
+    # the reference generator's ±change_value steps.
+    dur = np.empty(m, dtype=np.float64)
+    cur = float(spec.base_dur_ms)
+    noise = rng.uniform(-2.0, 2.0, m)
+    for i in range(m):
+        cur = float(np.clip(cur + noise[i], 700.0, 1300.0))
+        dur[i] = cur
+    if p == spec.drift_partition:
+        dur = dur + spec.drift_offset  # distribution shift ⇒ KS/PSI flags
+
+    rows = []
+    for i, s in enumerate(seqs):
+        d = dur[i]
+        if _hit(s, MOD_STEP):  # transient spike of 20-50 (max_slope=3 trips)
+            d = d + (20 + (s * 7) % 31) * (1 if s % 2 == 0 else -1)
+        if _hit(s, MOD_OOR):  # excursion beyond valid range (settings.yaml:9-12)
+            d = float(spec.valid_dur[1] + 20 + (s * 11) % 980) if s % 2 == 0 else float(
+                max(0, spec.valid_dur[0] - 20 - (s * 11) % 180)
+            )
+        sr = spec.sr_hz
+        if _hit(s, MOD_BADSR):
+            sr = 44100
+        codec = "pcm16" if (stable_hash(f"c:{spec.seed}:{p}:{s}") % 100) < 80 else "mulaw"
+        if _hit(s, MOD_BADCODEC):
+            codec = "opus"
+        cid = make_clip_id(p, s)
+        rows.append(
+            {
+                "clip_id": cid,
+                "seq": s,
+                "sr_hz": int(sr),
+                "dur_ms": int(round(d)),
+                "codec": codec,
+                "bad_audio": _hit(s, MOD_BADAUDIO),
+                "bad_transcript": _hit(s, MOD_BADTRANSCRIPT),
+                "dup": _hit(s, MOD_DUP),
+                "orphan": _hit(s, MOD_ORPHAN),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _render_rows(p: int, spec: SynthSpec) -> pd.DataFrame:
+    """Materialize one partition's clips (bytes + transcript) from its plan."""
+    plan = plan_partition(p, spec)
+    out = []
+    for row in plan.itertuples(index=False):
+        ref = reference_waveform(row.clip_id, row.sr_hz, row.dur_ms, seed=spec.seed)
+        sig = ref
+        if row.bad_audio:  # corrupt payload ⇒ SNR ≪ 30 dB
+            rng = np.random.default_rng(stable_hash("bad:" + row.clip_id))
+            sig = np.clip(ref + rng.normal(0.0, 0.3, len(ref)), -1, 1).astype(np.float32)
+        if row.codec == "pcm16":
+            payload = pcm16_wav_encode(sig, row.sr_hz)
+        elif row.codec == "mulaw":
+            payload = mulaw_encode(sig)
+        else:  # invalid codec: junk bytes no decoder accepts
+            payload = b"OggS" + bytes((stable_hash(row.clip_id) % 251,)) * 64
+        ts = expected_transcript(row.clip_id, spec.seed)
+        if row.bad_transcript:
+            ts = " ".join(reversed(ts.split())) + " [corrupted]"
+        rec = {
+            "clip_id": row.clip_id,
+            "bytes": payload,
+            "sr_hz": int(row.sr_hz),
+            "dur_ms": int(row.dur_ms),
+            "codec": row.codec,
+            "transcript": ts,
+        }
+        out.append(rec)
+        if row.dup:
+            out.append(dict(rec))  # exact duplicate row
+    return pd.DataFrame(out, columns=[f.name for f in CLIPS_SCHEMA.fields])
+
+
+def generate_clips(spark: SparkSession, spec: SynthSpec = SynthSpec()) -> DataFrame:
+    """Distributed clip generation: one task per partition tag."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for p in b["id"].tolist():
+                yield _render_rows(int(p), spec)
+
+    return (
+        spark.range(spec.partitions)
+        .repartition(spec.partitions, "id")
+        .mapInPandas(gen, CLIPS_SCHEMA)
+    )
+
+
+def generate_manifest(spark: SparkSession, spec: SynthSpec = SynthSpec()) -> DataFrame:
+    """Manifest = every non-orphan clip with its expected fields."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for p in b["id"].tolist():
+                plan = plan_partition(int(p), spec)
+                plan = plan[~plan["orphan"]]
+                yield pd.DataFrame(
+                    {
+                        "clip_id": plan["clip_id"],
+                        "expected_codec": plan["codec"],
+                        "expected_sr_hz": plan["sr_hz"],
+                        "expected_transcript": [
+                            expected_transcript(c, spec.seed) for c in plan["clip_id"]
+                        ],
+                    }
+                )
+
+    return (
+        spark.range(spec.partitions)
+        .repartition(spec.partitions, "id")
+        .mapInPandas(gen, MANIFEST_SCHEMA)
+    )
+
+
+def with_partition_cols(df: DataFrame) -> DataFrame:
+    """Derive (partition_key, seq) from clip_id = c{part:03d}-{seq:09d}."""
+    return df.withColumn("partition_key", F.substring("clip_id", 1, 4)).withColumn(
+        "seq", F.substring("clip_id", 6, 9).cast("long")
+    )
+
+
+def frontier_of(spec: SynthSpec) -> int:
+    """Run frontier = the max seq any healthy partition reaches."""
+    return spec.clips_per_partition - 1
