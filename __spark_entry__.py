@@ -1,10 +1,20 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship query (the unified five-detector
+violations log ≙ the reference's copy-pipe + dedup_log architecture) at
+sf0.001. `queries()` exposes every implemented operator from SURVEY.md §2
+plus the graft's training-data ops; `oracle_sql()` gives the DuckDB-
+equivalent ANSI SQL for each (omitted only for genuinely non-SQL ops:
+the audio-UDF clip validation and bit-twiddling simhash, which get
+rows-only checks and full pytest oracles instead).
+
+Parameter conventions (shared by Spark + SQL sides):
+- frontier ("NOW()", SURVEY.md §4.3) = max(ts) of the events table;
+- out-of-range [1, 180] over a 7-day detect window;
+- rate-of-change |slope| > 0.005 value-units/second, 7-day window;
+- timeout: last report older than 2 days;
+- z-score: threshold 2, 14-day stats window, 3-day detect window;
+- IQR: multiplier 1.5, same windows.
 """
 
 from __future__ import annotations
@@ -12,27 +22,774 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from use_case_real_time_anomaly_detection_spark.plans import detectors as D
+from use_case_real_time_anomaly_detection_spark.plans.copylog import anomalies_summary, violations_log
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.events_shape(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: unified violations log of all five detectors at sf0.001."""
+    ev = _events(spark, SF_DEFAULT)
+    return violations_log(ev, D.frontier_ts(ev))
+
+
+# ---------------------------------------------------------------------------
+# Spark-side query callables
+# ---------------------------------------------------------------------------
+
+
+def _q_out_of_range(spark, sf):
+    ev = _events(spark, sf)
+    return D.out_of_range(ev, D.frontier_ts(ev))
+
+
+def _q_rate_of_change(spark, sf):
+    ev = _events(spark, sf)
+    return D.rate_of_change(ev, D.frontier_ts(ev))
+
+
+def _q_timeout(spark, sf):
+    ev = _events(spark, sf)
+    return D.timeout(ev, D.frontier_ts(ev))
+
+
+def _q_most_recent(spark, sf):
+    return D.most_recent(_events(spark, sf))
+
+
+def _q_z_score(spark, sf):
+    ev = _events(spark, sf)
+    return D.z_score(ev, D.frontier_ts(ev))
+
+
+def _q_iqr(spark, sf):
+    ev = _events(spark, sf)
+    return D.iqr(ev, D.frontier_ts(ev))
+
+
+def _q_violations_log(spark, sf):
+    ev = _events(spark, sf)
+    return violations_log(ev, D.frontier_ts(ev))
+
+
+def _q_anomalies_summary(spark, sf):
+    ev = _events(spark, sf)
+    return anomalies_summary(violations_log(ev, D.frontier_ts(ev)))
+
+
+def _q_profile_events(spark, sf):
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("null_count"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.round(F.avg("value"), 2).alias("avg_value"),
+        F.round(F.stddev_pop("value"), 2).alias("stddev_value"),
+        F.round(F.expr("percentile(value, 0.5D)"), 2).alias("median_value"),
+    )
+
+
+def _q_unique_events(spark, sf):
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return (
+        ev.groupBy("user_id", "event_type", "value")
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def _q_ref_orphans(spark, sf):
+    """Referential check: event users absent from a (filtered) manifest —
+    the left-anti join pattern of RefIntegrityRule."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    manifest = (
+        spark.read.parquet(f"{sf}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+    return (
+        ev.select("user_id")
+        .distinct()
+        .join(F.broadcast(manifest), "user_id", "left_anti")
+        .select(F.col("user_id").alias("orphan_user_id"))
+    )
+
+
+def _q_sessionize(spark, sf):
+    """Gap-based sessionization (6 h): lag + conditional cumsum windows."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.coalesce(
+                (
+                    F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+                )
+                > 6 * 3600,
+                F.lit(True),
+            )
+        )
+        .cast("long")
+        .alias("new_s"),
+    )
+    sess = marked.withColumn("session_id", F.sum("new_s").over(w))
+    return sess.groupBy(F.col("user_id").alias("id"), "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def _q_pricing_summary(spark, sf):
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_top_customers(spark, sf):
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        rev.join(F.broadcast(cust), rev["o_custkey"] == cust["c_custkey"])
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            "revenue",
+            "n_orders",
+        )
+        .orderBy(F.desc("revenue"), "custkey")
+        .limit(20)
+    )
+
+
+# ---- documents: text analysis + dedup -------------------------------------
+
+
+def _q_text_quality(spark, sf):
+    from use_case_real_time_anomaly_detection_spark.functions.text import quality_score
+
+    return quality_score(_docs(spark, sf))
+
+
+def _q_token_counts(spark, sf):
+    from use_case_real_time_anomaly_detection_spark.functions.text import token_counts
+
+    return token_counts(_docs(spark, sf))
+
+
+def _q_fingerprint(spark, sf):
+    from use_case_real_time_anomaly_detection_spark.functions.text import fingerprint
+
+    return fingerprint(_docs(spark, sf))
+
+
+def _q_langid(spark, sf):
+    from use_case_real_time_anomaly_detection_spark.functions.text import language_id
+
+    return language_id(_docs(spark, sf))
+
+
+def _q_dedup_exact(spark, sf):
+    from use_case_real_time_anomaly_detection_spark.functions.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf))
+
+
+def _q_minhash_lsh(spark, sf):
+    from use_case_real_time_anomaly_detection_spark.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf), threshold=0.5)
+
+
+def _q_ngram_jaccard(spark, sf):
+    from use_case_real_time_anomaly_detection_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf), n=2, threshold=0.3)
+
+
+def _q_simhash_pairs(spark, sf):
+    from use_case_real_time_anomaly_detection_spark.functions.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf), max_hamming=3)
+
+
+# ---- embeddings: similarity search -----------------------------------------
+
+
+def _query_vector(spark, sf) -> list:
+    row = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+def _q_ann_brute(spark, sf):
+    from use_case_real_time_anomaly_detection_spark.functions.similarity import brute_force_topk
+
+    return brute_force_topk(_emb(spark, sf), _query_vector(spark, sf), k=10, exclude_id=0)
+
+
+def _q_ann_lsh(spark, sf):
+    from use_case_real_time_anomaly_detection_spark.functions.similarity import lsh_topk
+
+    return lsh_topk(_emb(spark, sf), _query_vector(spark, sf), k=10, exclude_id=0)
+
+
+def _q_ann_ivf(spark, sf):
+    from use_case_real_time_anomaly_detection_spark.functions.similarity import ivf_topk
+
+    return ivf_topk(_emb(spark, sf), _query_vector(spark, sf), k=10, n_probe=2, exclude_id=0)
+
+
+# ---- the graft flagship: clip validation (audio UDF — rows-only check) ----
+
+
+def _q_clips_validate(spark, sf):
+    from use_case_real_time_anomaly_detection_spark.plans.clips import validate_synthetic
+    from use_case_real_time_anomaly_detection_spark.sources.synth import SynthSpec
+
+    res = validate_synthetic(spark, SynthSpec(partitions=4, clips_per_partition=150))
+    return res.violations
+
+
+def _q_clips_verdicts(spark, sf):
+    from use_case_real_time_anomaly_detection_spark.plans.clips import validate_synthetic
+    from use_case_real_time_anomaly_detection_spark.sources.synth import SynthSpec
+
+    res = validate_synthetic(spark, SynthSpec(partitions=4, clips_per_partition=150))
+    return res.verdicts.drop("run_id")  # run_id is per-invocation
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "out_of_range": _q_out_of_range,
+        "rate_of_change": _q_rate_of_change,
+        "timeout": _q_timeout,
+        "most_recent": _q_most_recent,
+        "z_score": _q_z_score,
+        "iqr": _q_iqr,
+        "violations_log": _q_violations_log,
+        "anomalies_summary": _q_anomalies_summary,
+        "profile_events": _q_profile_events,
+        "unique_events": _q_unique_events,
+        "ref_orphans": _q_ref_orphans,
+        "sessionize": _q_sessionize,
+        "pricing_summary": _q_pricing_summary,
+        "top_customers": _q_top_customers,
+        "text_quality": _q_text_quality,
+        "token_counts": _q_token_counts,
+        "fingerprint": _q_fingerprint,
+        "langid": _q_langid,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_lsh": _q_minhash_lsh,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash_pairs": _q_simhash_pairs,
+        "ann_brute": _q_ann_brute,
+        "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
+        "clips_validate": _q_clips_validate,
+        "clips_verdicts": _q_clips_verdicts,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_FRONTIER = "(SELECT max(ts) FROM events)"
+
+
+def _R(expr: str, d: int) -> str:
+    """Spark-compatible ROUND for the DuckDB oracle.
+
+    Spark's round(double, d) rounds the double's SHORTEST DECIMAL REPR
+    half-up (BigDecimal.valueOf → setScale(HALF_UP)); DuckDB's round()
+    rounds the exact binary value. They disagree on values like -73.945
+    whose binary is -73.94499…; casting through VARCHAR reproduces
+    Spark's shortest-repr semantics in DuckDB.
     """
-    return {}
+    return (
+        f"CAST(ROUND(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,15)), {d}) AS DOUBLE)"
+    )
+
+_SQL_OUT_OF_RANGE = f"""
+SELECT user_id AS id, ts, value,
+       CAST(1.0 AS DOUBLE) AS min_value, CAST(180.0 AS DOUBLE) AS max_value
+FROM events
+WHERE (value < 1.0 OR value > 180.0)
+  AND ts > {_FRONTIER} - INTERVAL 7 DAY
+"""
+
+_SQL_RATE_OF_CHANGE = f"""
+WITH lagged AS (
+  SELECT user_id AS id, ts, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+         lag(ts)    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), sl AS (
+  SELECT id, ts, value, prev_value,
+         {_R("(value - prev_value) / (floor(epoch(ts)) - floor(epoch(prev_ts)))", 6)} AS slope,
+         {_R("value - prev_value", 2)} AS value_diff
+  FROM lagged
+  WHERE floor(epoch(ts)) - floor(epoch(prev_ts)) > 0
+)
+SELECT id, ts, value, prev_value, slope, value_diff
+FROM sl
+WHERE abs(slope) > 0.005
+  AND ts > {_FRONTIER} - INTERVAL 7 DAY
+"""
+
+_SQL_MOST_RECENT = """
+SELECT user_id AS id, ts AS last_seen, value
+FROM (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+_SQL_TIMEOUT = f"""
+SELECT user_id AS id, ts AS last_seen, value
+FROM (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND ts < {_FRONTIER} - INTERVAL 2 DAY
+"""
+
+_ZR = _R("(e.value - s.average) / s.stddev", 2)
+
+_SQL_Z_SCORE = f"""
+WITH stats AS (
+  SELECT user_id AS id, avg(value) AS average, stddev_pop(value) AS stddev
+  FROM events
+  WHERE ts BETWEEN {_FRONTIER} - INTERVAL 14 DAY AND {_FRONTIER}
+  GROUP BY user_id
+)
+SELECT e.user_id AS id, e.ts, e.value,
+       {_ZR} AS zscore,
+       CASE WHEN {_ZR} < -2.0 THEN 'low'
+            WHEN {_ZR} >  2.0 THEN 'high'
+            ELSE 'ok' END AS test,
+       {_R("s.average", 2)} AS average,
+       {_R("s.stddev", 2)} AS stddev
+FROM events e JOIN stats s ON s.id = e.user_id
+WHERE e.ts BETWEEN {_FRONTIER} - INTERVAL 3 DAY AND {_FRONTIER}
+  AND s.stddev > 0
+  AND abs({_ZR}) > 2.0
+"""
+
+_SQL_IQR = f"""
+WITH stats AS (
+  SELECT user_id AS id,
+         quantile_cont(value, 0.25) AS lower_quartile,
+         quantile_cont(value, 0.75) AS upper_quartile,
+         (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)) * 1.5 AS iqr
+  FROM events
+  WHERE ts BETWEEN {_FRONTIER} - INTERVAL 14 DAY AND {_FRONTIER}
+  GROUP BY user_id
+)
+SELECT DISTINCT e.user_id AS id, e.ts, e.value,
+       {_R("s.lower_quartile - s.iqr", 2)} AS lower_bound,
+       {_R("s.upper_quartile + s.iqr", 2)} AS upper_bound
+FROM events e JOIN stats s ON s.id = e.user_id
+WHERE e.ts BETWEEN {_FRONTIER} - INTERVAL 3 DAY AND {_FRONTIER}
+  AND (e.value > s.upper_quartile + s.iqr OR e.value < s.lower_quartile - s.iqr)
+"""
+
+_SQL_VIOLATIONS_LOG = f"""
+WITH oor AS (
+  SELECT user_id AS id, ts, value, 'out-of-range' AS anomaly_type,
+         'min:' || CAST({_R("CAST(1.0 AS DOUBLE)", 2)} AS VARCHAR)
+         || ' max:' || CAST({_R("CAST(180.0 AS DOUBLE)", 2)} AS VARCHAR) AS note
+  FROM events
+  WHERE (value < 1.0 OR value > 180.0) AND ts > {_FRONTIER} - INTERVAL 7 DAY
+), lagged AS (
+  SELECT user_id AS id, ts, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+         lag(ts)    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), roc AS (
+  SELECT id, ts, value, 'rate-of-change' AS anomaly_type,
+         'slope:' || CAST({_R("slope", 2)} AS VARCHAR)
+         || '| max_slope:0.005'
+         || '| value_diff: ' || CAST({_R("value_diff", 2)} AS VARCHAR) AS note
+  FROM (
+    SELECT id, ts, value,
+           {_R("(value - prev_value) / (floor(epoch(ts)) - floor(epoch(prev_ts)))", 6)} AS slope,
+           {_R("value - prev_value", 2)} AS value_diff
+    FROM lagged
+    WHERE floor(epoch(ts)) - floor(epoch(prev_ts)) > 0
+  )
+  WHERE abs(slope) > 0.005 AND ts > {_FRONTIER} - INTERVAL 7 DAY
+), tmo AS (
+  SELECT user_id AS id, ts, value, 'timeout' AS anomaly_type,
+         'timestamp is time of last report' AS note
+  FROM (
+    SELECT user_id, ts, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1 AND ts < {_FRONTIER} - INTERVAL 2 DAY
+), zstats AS (
+  SELECT user_id AS id, avg(value) AS average, stddev_pop(value) AS stddev
+  FROM events
+  WHERE ts BETWEEN {_FRONTIER} - INTERVAL 14 DAY AND {_FRONTIER}
+  GROUP BY user_id
+), zs AS (
+  SELECT id, ts, value, 'z-score' AS anomaly_type,
+         'z-score: ' || substring(CAST(zscore AS VARCHAR), 1, 6)
+         || ' | ' || test
+         || ' | average: ' || CAST({_R("average", 2)} AS VARCHAR)
+         || ' | std_dev: ' || CAST({_R("stddev", 2)} AS VARCHAR) AS note
+  FROM (
+    SELECT e.user_id AS id, e.ts, e.value,
+           {_ZR} AS zscore,
+           CASE WHEN {_ZR} < -2.0 THEN 'low'
+                WHEN {_ZR} >  2.0 THEN 'high'
+                ELSE 'ok' END AS test,
+           s.average, s.stddev
+    FROM events e JOIN zstats s ON s.id = e.user_id
+    WHERE e.ts BETWEEN {_FRONTIER} - INTERVAL 3 DAY AND {_FRONTIER} AND s.stddev > 0
+  ) WHERE abs(zscore) > 2.0
+), istats AS (
+  SELECT user_id AS id,
+         quantile_cont(value, 0.25) AS lower_quartile,
+         quantile_cont(value, 0.75) AS upper_quartile,
+         (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)) * 1.5 AS iqr
+  FROM events
+  WHERE ts BETWEEN {_FRONTIER} - INTERVAL 14 DAY AND {_FRONTIER}
+  GROUP BY user_id
+), iq AS (
+  SELECT DISTINCT e.user_id AS id, e.ts, e.value,
+         'interquartile-range' AS anomaly_type,
+         'lower_bound:' || CAST({_R("s.lower_quartile - s.iqr", 2)} AS VARCHAR)
+         || '| upper_bound:' || CAST({_R("s.upper_quartile + s.iqr", 2)} AS VARCHAR) AS note
+  FROM events e JOIN istats s ON s.id = e.user_id
+  WHERE e.ts BETWEEN {_FRONTIER} - INTERVAL 3 DAY AND {_FRONTIER}
+    AND (e.value > s.upper_quartile + s.iqr OR e.value < s.lower_quartile - s.iqr)
+), unioned AS (
+  SELECT * FROM oor UNION ALL SELECT * FROM roc UNION ALL SELECT * FROM tmo
+  UNION ALL SELECT * FROM zs UNION ALL SELECT * FROM iq
+)
+SELECT id, ts, value, anomaly_type, note
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY ts, id, anomaly_type
+                               ORDER BY value, note) AS rn
+  FROM unioned
+) WHERE rn = 1
+"""
+
+_SQL_ANOMALIES_SUMMARY = (
+    "WITH log AS (\n" + _SQL_VIOLATIONS_LOG + "\n)\n"
+    "SELECT anomaly_type, count(*) AS n, min(ts) AS first_ts, max(ts) AS last_ts "
+    "FROM log GROUP BY anomaly_type"
+)
+
+_SQL_PROFILE_EVENTS = f"""
+SELECT event_type,
+       count(*) AS n_rows,
+       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_count,
+       count(DISTINCT user_id) AS n_users,
+       {_R("min(value)", 2)} AS min_value,
+       {_R("max(value)", 2)} AS max_value,
+       {_R("avg(value)", 2)} AS avg_value,
+       {_R("stddev_pop(value)", 2)} AS stddev_value,
+       {_R("quantile_cont(value, 0.5)", 2)} AS median_value
+FROM events GROUP BY event_type
+"""
+
+_SQL_UNIQUE_EVENTS = """
+SELECT user_id, event_type, value, count(*) AS dup_count
+FROM events GROUP BY user_id, event_type, value HAVING count(*) > 1
+"""
+
+_SQL_REF_ORPHANS = """
+SELECT DISTINCT user_id AS orphan_user_id
+FROM events
+WHERE user_id NOT IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+)
+"""
+
+_SQL_SESSIONIZE = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), m AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 21600
+              THEN 1 ELSE 0 END AS new_s
+  FROM o
+), s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM m
+)
+SELECT user_id AS id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, session_id
+"""
+
+_SQL_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       {_R("sum(l_quantity)", 2)} AS sum_qty,
+       {_R("sum(l_extendedprice)", 2)} AS sum_base_price,
+       {_R("sum(l_extendedprice * (1 - l_discount))", 2)} AS sum_disc_price,
+       {_R("avg(l_quantity)", 4)} AS avg_qty,
+       {_R("avg(l_discount)", 4)} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_SQL_TOP_CUSTOMERS = f"""
+WITH r AS (
+  SELECT o_custkey, {_R("sum(o_totalprice)", 2)} AS revenue,
+         count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_custkey AS custkey, c.c_name AS name, r.revenue, r.n_orders
+FROM r JOIN customer c ON c.c_custkey = r.o_custkey
+ORDER BY r.revenue DESC, custkey
+LIMIT 20
+"""
+
+_TOK = (
+    "SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents"
+)
+
+_SQL_TEXT_QUALITY = f"""
+WITH tok AS ({_TOK})
+SELECT doc_id,
+       count(*) AS n_tokens,
+       count(DISTINCT token) AS distinct_tokens,
+       {_R("avg(length(token))", 4)} AS avg_token_len,
+       {_R("CAST(sum(CASE WHEN token IN ('the','a','of','and','to','in','is','it')"
+           " THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 4)} AS stopword_ratio
+FROM tok WHERE token <> '' GROUP BY doc_id
+"""
+
+_SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
+_SQL_FINGERPRINT = """
+SELECT doc_id,
+       substring(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16) AS fingerprint
+FROM documents
+"""
+
+_LANG_CASE = {
+    "en": "('the','and','of','is','data','with')",
+    "es": "('el','la','de','los','con','por')",
+    "fr": "('le','la','les','des','avec','pour')",
+}
+
+_SQL_LANGID = f"""
+WITH tok AS ({_TOK}),
+sc AS (
+  SELECT doc_id,
+         sum(CASE WHEN token IN {_LANG_CASE['en']} THEN 1 ELSE 0 END) AS s_en,
+         sum(CASE WHEN token IN {_LANG_CASE['es']} THEN 1 ELSE 0 END) AS s_es,
+         sum(CASE WHEN token IN {_LANG_CASE['fr']} THEN 1 ELSE 0 END) AS s_fr
+  FROM tok WHERE token <> '' GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE WHEN s_es > s_en AND s_fr <= s_es THEN 'es'
+            WHEN s_fr > s_en AND (s_es <= s_en OR s_fr > s_es) THEN 'fr'
+            ELSE 'en' END AS lang_pred,
+       greatest(s_en, s_es, s_fr) AS lang_score
+FROM sc
+"""
+
+_SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, count(*) AS dup_count,
+       min(doc_id) AS first_id, max(doc_id) AS last_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+# word 3-gram shingles (matches functions/dedup.py SHINGLE_N)
+_SHINGLES = """
+  SELECT DISTINCT doc_id,
+         token || ' ' || lead(token)    OVER (PARTITION BY doc_id ORDER BY pos)
+               || ' ' || lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS gram
+  FROM t
+  QUALIFY lead(token) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+      AND lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+"""
+
+_TOK_POS = """
+  SELECT doc_id, token, pos FROM (
+    SELECT doc_id,
+           unnest(string_split(lower(text), ' ')) AS token,
+           generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+    FROM documents
+  ) WHERE token <> ''
+"""
+
+_MINHASH_SIG = """
+  SELECT doc_id,
+         min(md5('0:' || gram)) AS h0, min(md5('1:' || gram)) AS h1,
+         min(md5('2:' || gram)) AS h2, min(md5('3:' || gram)) AS h3,
+         min(md5('4:' || gram)) AS h4, min(md5('5:' || gram)) AS h5,
+         min(md5('6:' || gram)) AS h6, min(md5('7:' || gram)) AS h7
+  FROM grams GROUP BY doc_id
+"""
+
+_SQL_MINHASH_LSH = f"""
+WITH t AS ({_TOK_POS}),
+grams AS ({_SHINGLES}),
+sig AS ({_MINHASH_SIG}),
+bands AS (
+  SELECT doc_id AS doc, 0 AS band, h0 || h1 AS bh FROM sig
+  UNION ALL SELECT doc_id, 1, h2 || h3 FROM sig
+  UNION ALL SELECT doc_id, 2, h4 || h5 FROM sig
+  UNION ALL SELECT doc_id, 3, h6 || h7 FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS overlap
+  FROM cand c
+  JOIN grams ta ON ta.doc_id = c.id_a
+  JOIN grams tb ON tb.doc_id = c.id_b AND tb.gram = ta.gram
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       {_R("CAST(i.overlap AS DOUBLE) / (sa.n + sb.n - i.overlap)", 4)} AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE {_R("CAST(i.overlap AS DOUBLE) / (sa.n + sb.n - i.overlap)", 4)} >= 0.5
+"""
+
+_SQL_NGRAM_JACCARD = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(lower(text), ' ')) AS token,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+  FROM documents
+), t AS (SELECT * FROM tok WHERE token <> ''),
+grams AS (
+  SELECT DISTINCT doc_id,
+         token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS gram
+  FROM t
+  QUALIFY lead(token) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS overlap
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_a, i.id_b,
+       {_R("CAST(i.overlap AS DOUBLE) / (sa.n + sb.n - i.overlap)", 4)} AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE {_R("CAST(i.overlap AS DOUBLE) / (sa.n + sb.n - i.overlap)", 4)} >= 0.3
+"""
+
+_SQL_ANN_BRUTE = f"""
+WITH q AS (
+  SELECT unnest(embedding) AS qx, generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id = 0
+), e AS (
+  SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), d AS (
+  SELECT e.vec_id,
+         sum(CAST(e.x AS DOUBLE) * CAST(q.qx AS DOUBLE)) AS dot,
+         sum(CAST(e.x AS DOUBLE) * CAST(e.x AS DOUBLE)) AS n2,
+         sum(CAST(q.qx AS DOUBLE) * CAST(q.qx AS DOUBLE)) AS qn2
+  FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id
+)
+SELECT vec_id, {_R("dot / (sqrt(n2) * sqrt(qn2))", 4)} AS cosine
+FROM d WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "out_of_range": _SQL_OUT_OF_RANGE,
+        "rate_of_change": _SQL_RATE_OF_CHANGE,
+        "timeout": _SQL_TIMEOUT,
+        "most_recent": _SQL_MOST_RECENT,
+        "z_score": _SQL_Z_SCORE,
+        "iqr": _SQL_IQR,
+        "violations_log": _SQL_VIOLATIONS_LOG,
+        "anomalies_summary": _SQL_ANOMALIES_SUMMARY,
+        "profile_events": _SQL_PROFILE_EVENTS,
+        "unique_events": _SQL_UNIQUE_EVENTS,
+        "ref_orphans": _SQL_REF_ORPHANS,
+        "sessionize": _SQL_SESSIONIZE,
+        "pricing_summary": _SQL_PRICING_SUMMARY,
+        "top_customers": _SQL_TOP_CUSTOMERS,
+        "text_quality": _SQL_TEXT_QUALITY,
+        "token_counts": _SQL_TOKEN_COUNTS,
+        "fingerprint": _SQL_FINGERPRINT,
+        "langid": _SQL_LANGID,
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "minhash_lsh": _SQL_MINHASH_LSH,
+        "ngram_jaccard": _SQL_NGRAM_JACCARD,
+        "ann_brute": _SQL_ANN_BRUTE,
+        # simhash_pairs, ann_lsh, ann_ivf: hash-bit / centroid arithmetic is
+        # engine-specific → rows-only check here, exact pandas oracles in
+        # tests/test_dedup_text.py and tests/test_similarity.py.
+        # clips_validate / clips_verdicts: audio pandas-UDF path is not SQL-
+        # expressible → rows-only here, full oracle in tests/test_clips_engine.py.
+    }

@@ -1,0 +1,118 @@
+"""Local mirror of the driver's correctness gate.
+
+For every key in __spark_entry__.oracle_sql(): run the Spark query and
+the DuckDB oracle at the given sf dir, sort columns by name and rows by
+value, and compare exactly (the driver hashes values — so we compare the
+stringified frames byte-for-byte, not approximately).
+
+Usage: python tools/parity_check.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # canonicalize dtypes: everything to string via repr-stable conversion
+    out = pd.DataFrame()
+    for c in df.columns:
+        s = df[c]
+        if s.dtype.kind == "f":
+            out[c] = s.round(9).map(lambda x: f"{x:.9g}" if pd.notna(x) else "NULL")
+        elif s.dtype.kind in "iu":
+            out[c] = s.map(lambda x: str(int(x)) if pd.notna(x) else "NULL")
+        elif s.dtype.kind == "M":
+            out[c] = s.astype("datetime64[us]").map(
+                lambda x: x.isoformat() if pd.notna(x) else "NULL"
+            )
+        else:
+            out[c] = s.map(lambda x: "NULL" if x is None or x is pd.NA else str(x))
+    out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from use_case_real_time_anomaly_detection_spark.session import get_spark
+
+    spark = get_spark(
+        "local[8]", extra_confs={"spark.ui.showConsoleProgress": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:
+            print(f"FAIL  {name:22s} spark error: {exc}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"rows  {name:22s} {len(sdf):6d} rows (rows-only check) "
+                  f"[{time.time()-t0:5.1f}s]")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as exc:
+            print(f"FAIL  {name:22s} duckdb error: {exc}")
+            failures.append(name)
+            continue
+        a, b = normalize(sdf), normalize(odf)
+        status = "ok  "
+        detail = ""
+        if list(a.columns) != list(b.columns):
+            status = "FAIL"
+            detail = f"cols spark={list(a.columns)} oracle={list(b.columns)}"
+        elif len(a) != len(b):
+            status = "FAIL"
+            detail = f"rows spark={len(a)} oracle={len(b)}"
+        elif not a.equals(b):
+            status = "FAIL"
+            neq = (a != b).any(axis=1)
+            idx = neq[neq].index[:3]
+            detail = "value mismatch, first rows:\n" + "\n".join(
+                f"  spark : {a.loc[i].to_dict()}\n  oracle: {b.loc[i].to_dict()}"
+                for i in idx
+            )
+        print(f"{status}  {name:22s} {len(a):6d} rows [{time.time()-t0:5.1f}s] {detail}")
+        if status == "FAIL":
+            failures.append(name)
+
+    print()
+    if failures:
+        print("FAILURES:", failures)
+        return 1
+    print("ALL PARITY CHECKS PASSED")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,302 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle→minhash→band→bucket-join),
+SimHash (Hamming-bucketed), and n-gram Jaccard — all as DataFrame
+compositions over built-in functions (md5, min, explode, joins). No
+Python UDFs: the hash family is md5-of-seeded-string, whose lexicographic
+MIN over a token set is a valid min-wise signature and is reproducible in
+any SQL engine (the DuckDB oracle runs the identical construction).
+
+Scale shape (10^12 docs):
+- minhash signatures: one token-explode + one groupBy(doc) — map-side
+  partial min per band seed, so the shuffle carries one row per doc.
+- candidate pairs: explode bands (ROWS_PER_BAND signatures concatenated
+  per band) and self-join on (band, hash) — the classic LSH bucket join;
+  bucket skew (giant near-dup clusters) is handled by AQE skew-join.
+- verification joins token sets only for candidate pairs (≪ n²).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+N_HASHES = 8
+ROWS_PER_BAND = 2  # 8 hashes → 4 bands of 2
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup via content-hash groupBy: groups with >1 doc."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min(id_col).alias("first_id"),
+            F.max(id_col).alias("last_id"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+SHINGLE_N = 3
+
+
+def shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = SHINGLE_N
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: posexplode keeps token
+    order, lead() builds the n-gram within the doc's window."""
+    t = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("token", i).over(w) for i in range(1, n)]
+    g = t.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.col("token"), *leads).alias("gram"),
+        *[lead.alias(f"_t{i}") for i, lead in enumerate(leads, 1)],
+    )
+    for i in range(1, n):
+        g = g.filter(F.col(f"_t{i}").isNotNull())
+    return g.select(id_col, "gram").distinct()
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n_hashes: int = N_HASHES, shingle_n: int = SHINGLE_N,
+) -> DataFrame:
+    """Per-doc minhash signature: for seed i, min(md5('{i}:' || shingle))
+    over the doc's distinct word n-gram shingles. min-of-hash over a set
+    is the standard min-wise independent permutation approximation;
+    md5-hex lexicographic order stands in for integer order (both are
+    uniform). Shingles (not unigram tokens) keep the Jaccard space
+    meaningful when the vocabulary is small."""
+    t = shingles(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("gram")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return t.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n_hashes: int = N_HASHES,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Near-duplicate pairs: LSH banding proposes candidates, exact token
+    Jaccard verifies. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sig = minhash_signatures(df, id_col, text_col, n_hashes)
+    n_bands = n_hashes // rows_per_band
+    bands = [
+        sig.select(
+            F.col(id_col).alias("doc"),
+            F.lit(b).alias("band"),
+            F.concat(
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bh"),
+        )
+        for b in range(n_bands)
+    ]
+    banded = reduce(DataFrame.unionByName, bands)
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    items = shingles(df, id_col, text_col)
+    return set_jaccard(items, cand, id_col=id_col, item_col="gram").filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def set_jaccard(
+    items: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    item_col: str = "gram",
+) -> DataFrame:
+    """Exact set Jaccard for candidate pairs (id_a, id_b) over a distinct
+    (id, item) relation — verification stage of LSH dedup."""
+    sizes = items.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs.join(items.alias("ta"), pairs["id_a"] == F.col(f"ta.{id_col}"))
+        .join(
+            items.alias("tb"),
+            (pairs["id_b"] == F.col(f"tb.{id_col}"))
+            & (F.col(f"ta.{item_col}") == F.col(f"tb.{item_col}")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    return (
+        inter.join(sizes.alias("sa"), inter["id_a"] == F.col(f"sa.{id_col}"))
+        .join(sizes.alias("sb"), inter["id_b"] == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("overlap")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("overlap")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Near-dup pairs by word n-gram (shingle) Jaccard. Candidates =
+    pairs sharing ≥1 shingle (pairs sharing none have Jaccard 0 anyway);
+    at scale, rare-shingle blocking bounds the join fan-out."""
+    # posexplode keeps the token position → deterministic n-gram order
+    t = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # build n-grams via lead() over token order within the doc
+    grams = t.select(
+        F.col(id_col),
+        F.concat_ws(
+            " ", "token", *[F.lead("token", i).over(w) for i in range(1, n)]
+        ).alias("gram"),
+        *[F.lead("token", i).over(w).alias(f"_t{i}") for i in range(1, n)],
+    )
+    for i in range(1, n):
+        grams = grams.filter(F.col(f"_t{i}").isNotNull())
+    grams = grams.select(id_col, "gram").distinct()
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        grams.alias("a")
+        .join(
+            grams.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    return (
+        inter.join(sizes.alias("sa"), inter["id_a"] == F.col(f"sa.{id_col}"))
+        .join(sizes.alias("sb"), inter["id_b"] == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("overlap")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("overlap")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """Per-doc SimHash: sign-sum of token-hash bits. Uses the low 32 bits
+    of md5 (via conv of 8 hex chars) to stay in safe bigint range.
+
+    JVM-only and explode-free: each bit's ±1 contribution is a separate
+    aggregate column over the token stream (one groupBy, map-side partial
+    sums), then the sign bits pack into one long.
+    """
+    t = tokens(df, id_col, text_col)
+    h = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+    t = t.select(F.col(id_col), h.alias("h"))
+    sums = t.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    packed = sums.select(
+        F.col(id_col),
+        sum(
+            [
+                F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+                for b in range(bits)
+            ],
+            start=F.lit(0),
+        )
+        .cast("long")
+        .alias("simhash"),
+    )
+    return packed
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on byte-slices (pigeonhole — any
+    pair within max_hamming < n_blocks shares ≥1 identical block), then
+    verify exact Hamming distance via bit_count(xor)."""
+    s = simhash(df, id_col, text_col, bits)
+    width = bits // n_blocks
+    blocks = [
+        s.select(
+            F.col(id_col).alias("doc"),
+            F.col("simhash"),
+            F.lit(b).alias("blk"),
+            F.shiftright("simhash", b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("bv"),
+        )
+        for b in range(n_blocks)
+    ]
+    blocked = reduce(DataFrame.unionByName, blocks)
+    pairs = (
+        blocked.alias("a")
+        .join(
+            blocked.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,112 @@
+"""Text analysis operators for training-data pipelines.
+
+All JVM-side (built-in pyspark.sql.functions — no Python UDFs): language
+ID via stopword-profile scoring, quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting. Each operates
+on the driver's `documents` table shape (doc_id, text, lang, source,
+n_chars) but takes any (id, text) DataFrame.
+
+Scale: every operator is a single scan with optional one groupBy on the
+exploded token stream; token explode multiplies rows ~100× but stays
+within a stage (no shuffle before the re-aggregation by doc_id, which is
+partial-agg friendly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# Tiny per-language indicator profiles (n-gram-heuristic structure: score
+# each language by indicator-token hits, argmax with deterministic
+# tie-break). Profiles are deliberately small and fixed — the operator's
+# value is the distributed scoring pattern, not the lexicon.
+LANG_PROFILES: dict[str, tuple] = {
+    "en": ("the", "and", "of", "is", "data", "with"),
+    "es": ("el", "la", "de", "los", "con", "por"),
+    "fr": ("le", "la", "les", "des", "avec", "pour"),
+}
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single punctuation —
+# the common GPT-2-style regex skeleton, simplified to stay portable
+# between Java regex (Spark) and RE2 (DuckDB oracle).
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, token) stream: lowercase, whitespace-split, empties dropped."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+
+
+def quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc quality stats: token count, distinct tokens, avg token
+    length, stopword ratio — the standard cheap quality filters for a
+    pretraining corpus."""
+    t = tokens(df, id_col, text_col)
+    return t.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("token").alias("distinct_tokens"),
+        F.round(F.avg(F.length("token")), 4).alias("avg_token_len"),
+        F.round(
+            F.sum(F.col("token").isin(*STOPWORDS_EN).cast("long"))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("stopword_ratio"),
+    )
+
+
+def language_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic language ID: score each profile by indicator-token hits,
+    argmax with alphabetical tie-break. One token-explode + one groupBy."""
+    t = tokens(df, id_col, text_col)
+    aggs = [
+        F.sum(F.col("token").isin(*words).cast("long")).alias(f"s_{lang}")
+        for lang, words in sorted(LANG_PROFILES.items())
+    ]
+    scored = t.groupBy(id_col).agg(*aggs)
+    langs = sorted(LANG_PROFILES)
+    # argmax with ties → first alphabetically (deterministic)
+    pred = F.col(f"s_{langs[0]}")
+    best = F.lit(langs[0])
+    for lang in langs[1:]:
+        cond = F.col(f"s_{lang}") > pred
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        pred = F.when(cond, F.col(f"s_{lang}")).otherwise(pred)
+    return scored.select(F.col(id_col), best.alias("lang_pred"), pred.alias("lang_score"))
+
+
+def token_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count + char count."""
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(F.col(text_col)), "\\s+")).alias("n_ws_tokens"),
+        # F.lit pattern (not F.expr SQL string) — Spark SQL literals eat
+        # backslash escapes, which would corrupt the \s in the pattern
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), F.lit(0))
+        ).alias("n_bpe_tokens"),
+        F.length(text_col).alias("n_chars"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text,
+    truncated to 64 bits of hex — the exact-dedup / provenance key."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")
+    return df.select(
+        F.col(id_col),
+        F.substring(F.md5(norm), 1, 16).alias("fingerprint"),
+    )
