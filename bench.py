@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR + clip-validation
+throughput. Prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "clips_per_sec": ..., "clips_validated": ...}
+
+Every query is forced to full materialization with the noop sink (count()
+alone would let Catalyst prune expensive projections like note strings).
+Scaling evidence (local[8] vs local[32]) lives in tools/scaling_bench.py
+→ BENCH/BASELINE.md; this script measures one parallelism level.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "violations_log",      # flagship: all five detectors, one pass, union+dedup
+    "out_of_range",
+    "rate_of_change",
+    "z_score",
+    "iqr",
+    "most_recent",
+    "profile_events",
+    "sessionize",
+    "pricing_summary",
+    "top_customers",
+    "text_quality",
+    "fingerprint",
+    "dedup_exact",
+    "minhash_lsh",
+    "simhash_pairs",
+    "ann_brute",
+    "ann_ivf",
+]
+
+CLIPS_SPEC = dict(partitions=32, clips_per_partition=1000, sr_hz=8000)
+
+
+def _materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+
+    from use_case_real_time_anomaly_detection_spark.session import get_spark
+
+    spark = get_spark(
+        f"local[{cpus}]",
+        app_name="bench",
+        extra_confs={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    # JVM/codegen warmup so the first measured query isn't penalized
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        _materialize(qs[name](spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    # --- clip-validation throughput (the north metric's numerator) --------
+    from use_case_real_time_anomaly_detection_spark.plans.clips import (
+        default_rules,
+        validate_clips,
+    )
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        frontier_of,
+        generate_clips,
+        generate_manifest,
+    )
+
+    spec = SynthSpec(**CLIPS_SPEC)
+    base = f"/tmp/bench_clips_{spec.partitions}x{spec.clips_per_partition}"
+    if not os.path.exists(base):  # synthesize once, reuse across runs
+        generate_clips(spark, spec).write.mode("overwrite").parquet(f"{base}/clips")
+        generate_manifest(spark, spec).write.mode("overwrite").parquet(
+            f"{base}/manifest"
+        )
+    clips = spark.read.parquet(f"{base}/clips")
+    manifest = spark.read.parquet(f"{base}/manifest")
+    n_clips = clips.count()
+
+    t0 = time.time()
+    res = validate_clips(
+        clips, manifest, frontier=frontier_of(spec), rules=default_rules()
+    )
+    _materialize(res.violations)
+    _materialize(res.verdicts)
+    clip_secs = time.time() - t0
+    times["clips_validate_full"] = round(clip_secs, 3)
+
+    out = {
+        "metric": "headline suite wall-clock (all-detector log, stats, dedup, ANN, full clip validation)",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "clips_validated": n_clips,
+        "clips_per_sec": round(n_clips / clip_secs, 1),
+        "cpus": int(cpus),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""Audio codec + SNR invariants (SURVEY.md §5.2.5)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from use_case_real_time_anomaly_detection_spark.functions.audio import (
+    mulaw_decode,
+    mulaw_encode,
+    pcm16_wav_decode,
+    pcm16_wav_encode,
+    reference_waveform,
+    snr_db,
+    stable_hash,
+)
+
+
+def test_reference_waveform_deterministic():
+    a = reference_waveform("c000-000000001", 16000, 1000, seed=42)
+    b = reference_waveform("c000-000000001", 16000, 1000, seed=42)
+    c = reference_waveform("c000-000000002", 16000, 1000, seed=42)
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+    assert len(a) == 16000
+    assert a.dtype == np.float32
+    assert float(np.abs(a).max()) <= 1.0
+
+
+def test_pcm16_roundtrip_snr():
+    sig = reference_waveform("x", 16000, 500)
+    dec, sr = pcm16_wav_decode(pcm16_wav_encode(sig, 16000))
+    assert sr == 16000
+    assert len(dec) == len(sig)
+    # 16-bit quantization SNR ≈ 6.02*16 + 1.76 ≈ 98 dB
+    assert snr_db(sig, dec) > 80
+
+
+def test_mulaw_roundtrip_snr():
+    sig = reference_waveform("y", 8000, 500)
+    dec = mulaw_decode(mulaw_encode(sig))
+    db = snr_db(sig, dec)
+    # G.711 μ-law SNR ≈ 35-40 dB — above the 30 dB rule threshold
+    assert 30 < db < 60
+
+
+def test_corrupted_audio_fails_threshold():
+    sig = reference_waveform("z", 16000, 400)
+    rng = np.random.default_rng(7)
+    bad = np.clip(sig + rng.normal(0, 0.3, len(sig)), -1, 1).astype(np.float32)
+    assert snr_db(sig, bad) < 10
+
+
+def test_wav_decode_rejects_garbage():
+    import pytest
+
+    with pytest.raises(ValueError):
+        pcm16_wav_decode(b"OggS" + b"\x00" * 100)
+
+
+def test_stable_hash_is_process_independent():
+    assert stable_hash("abc") == 891568578  # crc32("abc") — fixed forever

@@ -1,0 +1,204 @@
+"""Clips engine vs an independent pandas/numpy oracle.
+
+Transposes the reference's generator-as-oracle strategy (SURVEY.md §5.1:
+anomalies are prescribed, so a correct detector MUST flag the injected
+events and nothing else). The oracle recomputes every rule's expected
+violating clip_ids from the same deterministic plan (sources/synth.py
+index arithmetic) using pandas/numpy only — no Spark.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from use_case_real_time_anomaly_detection_spark.operators.rules import IqrRule
+from use_case_real_time_anomaly_detection_spark.plans.clips import (
+    default_rules,
+    validate_synthetic,
+)
+from use_case_real_time_anomaly_detection_spark.sources.synth import (
+    SynthSpec,
+    frontier_of,
+    partition_tag,
+    plan_partition,
+)
+
+SPEC = SynthSpec(partitions=6, clips_per_partition=250)
+
+
+def _row_stream(p: int) -> pd.DataFrame:
+    """The engine-visible row stream of a partition: plan rows with dup
+    rows duplicated, ordered by seq (dup copies identical → order moot)."""
+    plan = plan_partition(p, SPEC)
+    dups = plan[plan["dup"]]
+    return (
+        pd.concat([plan, dups])
+        .sort_values("seq", kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    res = validate_synthetic(spark, SPEC, with_audio=True)
+    violations = res.violations.toPandas()
+    verdicts = res.verdicts.toPandas()
+    return violations, verdicts
+
+
+def _flagged(violations: pd.DataFrame, detector: str) -> set:
+    return set(violations[violations["detector"] == detector]["clip_id"])
+
+
+def test_out_of_range_exact(result):
+    violations, _ = result
+    expected = set()
+    for p in range(SPEC.partitions):
+        plan = plan_partition(p, SPEC)
+        bad = plan[(plan["dur_ms"] < 200) | (plan["dur_ms"] > 2000)]
+        expected |= set(bad["clip_id"])
+    assert _flagged(violations, "out-of-range") == expected
+    assert expected  # injections actually present
+
+
+def test_rate_of_change_exact(result):
+    violations, _ = result
+    expected = set()
+    for p in range(SPEC.partitions):
+        rows = _row_stream(p).drop_duplicates("seq")
+        dur = rows["dur_ms"].to_numpy(dtype=float)
+        seq = rows["seq"].to_numpy(dtype=float)
+        slope = np.diff(dur) / np.diff(seq)
+        hit = np.abs(slope) > 3.0
+        expected |= set(rows["clip_id"].iloc[1:][hit])
+    assert _flagged(violations, "rate-of-change") == expected
+    assert expected
+
+
+def test_gap_and_timeout_exact(result):
+    violations, _ = result
+    exp_gap = set()
+    for p in range(SPEC.partitions):
+        rows = _row_stream(p).drop_duplicates("seq")
+        seq = rows["seq"].to_numpy()
+        hit = np.diff(seq) > 1
+        exp_gap |= set(rows["clip_id"].iloc[1:][hit])
+    assert _flagged(violations, "timeout-gap") == exp_gap
+    assert exp_gap
+
+    stopped = partition_tag(SPEC.stopped_partition % SPEC.partitions)
+    tmo = violations[violations["detector"] == "timeout"]
+    assert set(tmo["partition_key"]) == {stopped}
+
+
+def test_z_score_exact(result):
+    """Rolling count-window z-score: pandas rolling oracle, exact match."""
+    violations, _ = result
+    expected = set()
+    for p in range(SPEC.partitions):
+        rows = _row_stream(p)
+        x = rows["dur_ms"].astype(float)
+        prev = x.shift(1)
+        mean = prev.rolling(50, min_periods=10).mean()
+        # population std over the same trailing frame
+        std = prev.rolling(50, min_periods=10).std(ddof=0)
+        z = (x - mean) / std
+        hit = (std > 0) & (np.abs(z) > 2.0)
+        expected |= set(rows["clip_id"][hit.fillna(False)])
+    assert _flagged(violations, "z-score") == expected
+    assert expected
+
+
+def test_iqr_exact_mode(spark):
+    """Exact-quantile mode equals the pandas linear-interpolation oracle
+    (≙ quantileExact parity, SURVEY.md §4.2.5)."""
+    rules = [r if not isinstance(r, IqrRule) else IqrRule("dur_ms", 1.5, exact=True) for r in default_rules(with_audio=False)]
+    from use_case_real_time_anomaly_detection_spark.plans.clips import validate_clips
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        generate_clips,
+        generate_manifest,
+    )
+
+    clips = generate_clips(spark, SPEC)
+    manifest = generate_manifest(spark, SPEC)
+    res = validate_clips(clips, manifest, frontier=frontier_of(SPEC), rules=rules)
+    flagged = _flagged(res.violations.toPandas(), "interquartile-range")
+
+    expected = set()
+    for p in range(SPEC.partitions):
+        rows = _row_stream(p)
+        x = rows["dur_ms"].to_numpy(dtype=float)
+        q1, q3 = np.percentile(x, [25, 75])
+        iqr = (q3 - q1) * 1.5
+        hit = (x > q3 + iqr) | (x < q1 - iqr)
+        expected |= set(rows["clip_id"][hit])
+    assert flagged == expected
+    assert expected
+
+
+def test_iqr_approx_flags_injected_outliers(result):
+    """Approx-percentile fences must still catch the far-out injections."""
+    violations, _ = result
+    flagged = _flagged(violations, "interquartile-range")
+    for p in range(SPEC.partitions):
+        plan = plan_partition(p, SPEC)
+        far = plan[(plan["dur_ms"] < 200) | (plan["dur_ms"] > 2000)]
+        assert set(far["clip_id"]) <= flagged
+
+
+def test_unique_referential_transcript(result):
+    violations, _ = result
+    exp_dup, exp_orphan, exp_bad_ts = set(), set(), set()
+    for p in range(SPEC.partitions):
+        plan = plan_partition(p, SPEC)
+        exp_dup |= set(plan[plan["dup"]]["clip_id"])
+        exp_orphan |= set(plan[plan["orphan"]]["clip_id"])
+        exp_bad_ts |= set(
+            plan[plan["bad_transcript"] & ~plan["orphan"]]["clip_id"]
+        )
+    assert _flagged(violations, "unique") == exp_dup
+    assert _flagged(violations, "referential") == exp_orphan
+    assert _flagged(violations, "transcript") == exp_bad_ts
+    assert exp_dup and exp_orphan and exp_bad_ts
+
+
+def test_value_sets(result):
+    violations, _ = result
+    exp_sr, exp_codec = set(), set()
+    for p in range(SPEC.partitions):
+        plan = plan_partition(p, SPEC)
+        exp_sr |= set(plan[~plan["sr_hz"].isin([8000, 16000])]["clip_id"])
+        exp_codec |= set(plan[~plan["codec"].isin(["pcm16", "mulaw"])]["clip_id"])
+    assert _flagged(violations, "value-set-sr_hz") == exp_sr
+    assert _flagged(violations, "value-set-codec") == exp_codec
+
+
+def test_audio_decode(result):
+    violations, _ = result
+    expected = set()
+    for p in range(SPEC.partitions):
+        plan = plan_partition(p, SPEC)
+        expected |= set(plan[plan["bad_audio"] | (plan["codec"] == "opus")]["clip_id"])
+    assert _flagged(violations, "audio-decode") == expected
+    assert expected
+
+
+def test_drift_flags_only_drifted_partition(result):
+    violations, _ = result
+    drift = violations[violations["detector"] == "drift"]
+    assert set(drift["partition_key"]) == {partition_tag(SPEC.drift_partition)}
+
+
+def test_verdict_grid_consistency(result):
+    violations, verdicts = result
+    # every (partition, detector) combination present
+    n_det = verdicts["detector"].nunique()
+    assert len(verdicts) == SPEC.partitions * n_det
+    # pass == (violation_count == 0), counts match the violations table
+    counts = violations.groupby(["partition_key", "detector"]).size()
+    for row in verdicts.itertuples():
+        expected = counts.get((row.partition_key, row.detector), 0)
+        assert row.violation_count == expected
+        assert row._3 == (expected == 0)  # 'pass' is a keyword → positional

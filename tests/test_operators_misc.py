@@ -1,0 +1,78 @@
+"""limit_by rewrite, rule validation, profiling, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from use_case_real_time_anomaly_detection_spark.functions.multimodal import (
+    frame_sample,
+    image_features,
+)
+from use_case_real_time_anomaly_detection_spark.functions.stats import profile_table
+from use_case_real_time_anomaly_detection_spark.operators.limit_by import limit_by
+from use_case_real_time_anomaly_detection_spark.operators.rules import (
+    ProfileSpec,
+    RangeRule,
+    ValueSetRule,
+)
+
+
+def test_limit_by_matches_reference_semantics(spark):
+    """≙ LIMIT 1 BY id after ORDER BY ts DESC (timeout.pipe:22-23)."""
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c"), (2, 5, "d")],
+        "id long, ts long, tag string",
+    )
+    got = {
+        (r["id"], r["tag"])
+        for r in limit_by(df, ["id"], [F.desc("ts"), F.desc("tag")], 1).collect()
+    }
+    assert got == {(1, "b"), (2, "d")}
+
+    top2 = limit_by(df, ["id"], [F.desc("ts"), F.desc("tag")], 2).count()
+    assert top2 == 4
+
+
+def test_rule_validation_errors():
+    with pytest.raises(ValueError):
+        RangeRule("x")  # ≙ {{ error(...) }} — out_of_range.pipe:28
+    with pytest.raises(ValueError):
+        ValueSetRule("x", allowed=())
+
+
+def test_profile_long_format(spark):
+    df = spark.createDataFrame(
+        [("p1", 1, None), ("p1", 3, "x"), ("p2", 5, "y")],
+        "partition_key string, v long, s string",
+    )
+    prof = profile_table(df, ProfileSpec(columns=("v", "s"))).toPandas()
+    p1 = prof[(prof.partition_key == "p1")]
+    null_rate = p1[(p1["column"] == "s") & (p1.stat == "null_rate")]["value"].iloc[0]
+    assert null_rate == pytest.approx(0.5)
+    vmax = p1[(p1["column"] == "v") & (p1.stat == "max")]["value"].iloc[0]
+    assert vmax == 3.0
+
+
+def test_image_features_stub_plumbing(spark):
+    rows = [
+        ("i1", bytes(range(64)), "fake:gray8x8"),
+        ("i2", b"\xff" * 10, "fake:gray8x8"),
+        ("i3", b"\x00" * 10, "jpeg"),  # stubbed → decode_error row
+        ("i4", b"\x00" * 10, "webp"),  # unknown codec → decode_error row
+    ]
+    df = spark.createDataFrame(rows, "item_id string, payload binary, codec string")
+    got = {r["item_id"]: r for r in image_features(df).collect()}
+    assert got["i1"]["width"] == 8 and got["i1"]["decode_error"] is None
+    assert got["i1"]["mean_luma"] == pytest.approx(31.5)
+    assert "requires an image codec" in got["i3"]["decode_error"]
+    assert "no decoder" in got["i4"]["decode_error"]
+
+
+def test_frame_sample_fanout(spark):
+    df = spark.createDataFrame(
+        [("v1", b"\x01" * 2560)], "item_id string, payload binary"
+    )  # 10 frames of 256B
+    frames = frame_sample(df, every_n=3).collect()
+    assert [r["frame_idx"] for r in sorted(frames, key=lambda r: r["frame_idx"])] == [0, 3, 6, 9]
+    assert all(len(r["frame"]) == 256 for r in frames)

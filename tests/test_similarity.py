@@ -1,0 +1,90 @@
+"""Similarity search vs a numpy oracle; ANN recall measured, not assumed."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from use_case_real_time_anomaly_detection_spark.functions.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def np_data(emb):
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _np_topk(ids, mat, q, k=10, exclude=0):
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    sims = np.round(sims, 4)
+    order = sorted(zip(ids, sims), key=lambda t: (-t[1], t[0]))
+    return [(int(i), float(s)) for i, s in order if i != exclude][:k]
+
+
+def test_brute_force_matches_numpy(emb, np_data):
+    ids, mat = np_data
+    q = mat[list(ids).index(0)]
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in brute_force_topk(emb, list(q), k=10, exclude_id=0).collect()
+    ]
+    assert got == _np_topk(ids, mat, q)
+
+
+def test_ivf_all_probes_equals_brute_force(emb, np_data):
+    """Correctness invariant: probing every bucket IS brute force."""
+    ids, mat = np_data
+    q = mat[list(ids).index(0)]
+    n_buckets = len(set(r["label"] for r in emb.select("label").collect()))
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_topk(emb, list(q), k=10, n_probe=n_buckets, exclude_id=0).collect()
+    ]
+    assert got == _np_topk(ids, mat, q)
+
+
+def test_ivf_partial_probe_recall(emb, np_data):
+    """The testdata embeddings have NO cluster structure (labels are
+    independent of cosine neighborhoods), so bucket-probing recall is
+    ≈ n_probe / n_buckets by construction — assert that floor, and that
+    results are a correct top-k of the probed subset (sorted desc)."""
+    ids, mat = np_data
+    q = mat[list(ids).index(0)]
+    exact = {i for i, _ in _np_topk(ids, mat, q)}
+    rows = ivf_topk(emb, list(q), k=10, n_probe=2, exclude_id=0).collect()
+    sims = [r["cosine"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    recall = len(exact & {r["vec_id"] for r in rows}) / 10
+    assert recall >= 0.1, f"IVF recall@10 = {recall}"
+
+
+def test_lsh_topk_returns_from_query_bucket(emb, np_data):
+    ids, mat = np_data
+    q = mat[list(ids).index(0)]
+    exact = {i for i, _ in _np_topk(ids, mat, q)}
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in lsh_topk(emb, list(q), k=10, exclude_id=0).collect()
+    ]
+    assert len(got) > 0
+    # results sorted by cosine desc
+    sims = [s for _, s in got]
+    assert sims == sorted(sims, reverse=True)
+    # deterministic data (seed 42) → deterministic recall: measured 0.4
+    # with 6 planes / multi-probe 1 (structureless corpus; clustered data
+    # scores far higher)
+    recall = len(exact & {i for i, _ in got}) / 10
+    assert recall >= 0.3, f"LSH recall@10 = {recall}"

@@ -140,13 +140,18 @@ def lsh_topk(
     qvec: list[float],
     *,
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int = 6,
+    multi_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_id=None,
 ) -> DataFrame:
-    """ANN via hyperplane-LSH bucket: search only vectors whose bucket
-    matches the query's. Fast, recall measured in tests."""
+    """ANN via hyperplane-LSH with multi-probe: search vectors whose
+    bucket is within Hamming distance `multi_probe` of the query's bucket
+    (single-bucket probing has near-zero recall when the corpus has no
+    cluster structure; probing sign-adjacent buckets is the standard
+    fix). The Hamming filter is a JVM bit_count over the bucket column —
+    at scale, bucket is the partition key and the filter prunes files."""
     bucketed = lsh_bucketed(emb, n_planes=n_planes, vec_col=vec_col)
     qb = 0
     for p in range(n_planes):
@@ -154,8 +159,11 @@ def lsh_topk(
             float(x) * hyperplane(p, d) for d, x in enumerate(qvec)
         )
         qb |= (1 if dot > 0 else 0) << p
+    probed = bucketed.filter(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qb))) <= multi_probe
+    )
     return brute_force_topk(
-        bucketed.filter(F.col("bucket") == qb),
+        probed,
         qvec,
         k=k,
         id_col=id_col,

@@ -441,6 +441,11 @@ def _drift_violations(df: DataFrame, r: DriftRule, *, partition_col: str) -> Dat
     mm = df.agg(
         F.min(r.column).alias("lo"), F.max(r.column).alias("hi")
     ).collect()[0]
+    if mm["lo"] is None:  # empty input (e.g. resume skipped every partition)
+        return spark.createDataFrame(
+            [], "partition_key string, clip_id string, detector string, "
+                "observed string, note string"
+        )
     lo, hi = float(mm["lo"]), float(mm["hi"])
     if hi <= lo:
         hi = lo + 1.0

@@ -1,0 +1,83 @@
+"""Lineage/metrics checkpoint — resumable validation runs.
+
+North-rule requirement: "resumable from checkpoint with per-partition
+lineage + metrics". The lineage table is the verdicts table itself
+(FIXTURES.md §4: partition_key, detector, pass, violation_count,
+rows_checked, run_id, completed_at_seq): a partition is *complete for a
+frontier* when every detector has a verdict row at completed_at_seq ≥
+frontier. Resume = anti-join the input's partitions against that set —
+the same left-anti pattern as RefIntegrityRule.
+
+This transposes the reference's at-least-once contract (copy pipes
+re-scan an overlapping 61 s window every run; duplicates removed by the
+dedup MV — copy_out_of_range.pipe:26, content/copies-pipes.md:44):
+re-validating a partition here is idempotent because violations for a
+(partition, run frontier) replace rather than accumulate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import ParquetCatalog
+
+LINEAGE_TABLE = "lineage"
+VIOLATIONS_TABLE = "violations"
+
+
+class CheckpointStore:
+    def __init__(self, catalog: ParquetCatalog) -> None:
+        self.catalog = catalog
+
+    # -- write side ---------------------------------------------------------
+
+    def record_run(self, result, *, frontier: int) -> None:
+        """Persist a run's outputs: violations (partition-overwritten →
+        idempotent re-runs) + verdict/lineage rows (append-only history)."""
+        self.catalog.overwrite_partitions(
+            result.violations.withColumn("pk", F.col("partition_key")),
+            VIOLATIONS_TABLE,
+            partition_by=["pk"],
+        )
+        self.catalog.append(result.verdicts, LINEAGE_TABLE)
+
+    # -- read side ----------------------------------------------------------
+
+    def completed_partitions(self, frontier: int) -> DataFrame | None:
+        """Partitions fully validated at a frontier ≥ the requested one."""
+        if not self.catalog.exists(LINEAGE_TABLE):
+            return None
+        lin = self.catalog.read(LINEAGE_TABLE)
+        per_part = lin.filter(F.col("completed_at_seq") >= frontier).groupBy(
+            "partition_key"
+        ).agg(F.count_distinct("detector").alias("n_det"))
+        total = lin.select("detector").distinct().count()
+        return per_part.filter(F.col("n_det") >= total).select("partition_key")
+
+    def violations(self) -> DataFrame:
+        return self.catalog.read(VIOLATIONS_TABLE)
+
+    def lineage(self) -> DataFrame:
+        return self.catalog.read(LINEAGE_TABLE)
+
+
+def run_with_resume(
+    spark: SparkSession,
+    clips: DataFrame,
+    manifest: DataFrame,
+    store: CheckpointStore,
+    *,
+    frontier: int,
+    rules: list | None = None,
+):
+    """Validate only partitions not already complete for this frontier,
+    then checkpoint. Returns the RunResult (possibly over a subset)."""
+    from ..plans.clips import validate_clips
+
+    done = store.completed_partitions(frontier)
+    result = validate_clips(
+        clips, manifest, frontier=frontier, rules=rules, skip_partitions=done
+    )
+    store.record_run(result, frontier=frontier)
+    return result

@@ -1,0 +1,78 @@
+"""Streaming surface: continuous ingest → scheduled detection → log sink.
+
+≙ the reference's runtime loop (SURVEY.md §2.9, §3.2): the generator
+streams events in (ST1); copy pipes run per minute appending detections
+(ST2, cron `* * * * *` — copy_out_of_range.pipe:51); overlap + dedup give
+at-least-once → exactly-once (ST3, quirk §2.8.4).
+
+Spark mapping: Structured Streaming `foreachBatch` with
+Trigger.AvailableNow (drain-everything-then-stop; the scheduled-batch
+analog of a cron tick) or ProcessingTime for a long-lived job. Inside
+each micro-batch the SAME batch detectors run (plans/copylog.py) — one
+code path for batch and streaming, the Spark-idiomatic replacement for
+the reference's five separate scheduled SQL jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans import detectors as D
+from ..plans.copylog import violations_log
+
+
+def run_copy_cycle(
+    events_batch: DataFrame,
+    sink_append,
+    *,
+    frontier=None,
+    **detector_params,
+) -> None:
+    """One detection cycle over a (micro-)batch of events: run all five
+    detectors, shape to the log schema, dedup, append via sink_append.
+    `frontier` freezes NOW() per cycle (≙ a copy run's snapshot)."""
+    if frontier is None:
+        frontier = D.frontier_ts(events_batch)
+    log = violations_log(events_batch, frontier, **detector_params)
+    sink_append(log)
+
+
+def stream_violations(
+    event_stream: DataFrame,
+    sink_append,
+    *,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    **detector_params,
+):
+    """Wire a streaming events source to the detection cycle.
+
+    foreachBatch gets the micro-batch as a normal DataFrame, so the batch
+    detectors (window functions, stats joins) run unchanged — Structured
+    Streaming's own stateful operators aren't needed for the reference's
+    semantics (its "streaming" is trailing-window re-evaluation per run,
+    ST5: no tumbling windows anywhere).
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if "event_id" not in batch_df.columns:
+            # deterministic-ordering tiebreaker for the lag window; legal
+            # here because inside foreachBatch this is a plain batch DF
+            batch_df = batch_df.withColumn(
+                "event_id", F.monotonically_increasing_id()
+            )
+        run_copy_cycle(batch_df, sink_append, **detector_params)
+
+    writer = (
+        event_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="1 minute")  # ≙ COPY_SCHEDULE
+    return writer.start()
