@@ -282,6 +282,45 @@ def _q_ann_ivf(spark, sf):
     return ivf_topk(_emb(spark, sf), _query_vector(spark, sf), k=10, n_probe=2, exclude_id=0)
 
 
+def _q_embed_neardup(spark, sf):
+    from use_case_real_time_anomaly_detection_spark.functions.similarity import neardup_pairs
+
+    return neardup_pairs(_emb(spark, sf), threshold=0.4)
+
+
+# ---- reference consumer endpoints ------------------------------------------
+
+
+def _q_simple_z_score(spark, sf):
+    ev = _events(spark, sf)
+    return D.simple_z_score(ev, D.frontier_ts(ev))
+
+
+def _q_get_data(spark, sf):
+    ev = _events(spark, sf)
+    return D.get_data(ev, D.frontier_ts(ev), minutes=1440)
+
+
+def _q_ui_ids(spark, sf):
+    return D.ui_ids(_events(spark, sf))
+
+
+def _q_monitor_logs(spark, sf):
+    from use_case_real_time_anomaly_detection_spark.plans.copylog import monitor_logs
+
+    ev = _events(spark, sf)
+    f = D.frontier_ts(ev)
+    return monitor_logs(violations_log(ev, f), f, hours=24)
+
+
+def _q_get_anomalies(spark, sf):
+    from use_case_real_time_anomaly_detection_spark.plans.copylog import get_anomalies
+
+    ev = _events(spark, sf)
+    f = D.frontier_ts(ev)
+    return get_anomalies(violations_log(ev, f), f, hours=72, anomaly_type="out-of-range")
+
+
 # ---- the graft flagship: clip validation (audio UDF — rows-only check) ----
 
 
@@ -330,6 +369,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "clips_validate": _q_clips_validate,
         "clips_verdicts": _q_clips_verdicts,
+        "embed_neardup": _q_embed_neardup,
+        "simple_z_score": _q_simple_z_score,
+        "get_data": _q_get_data,
+        "ui_ids": _q_ui_ids,
+        "monitor_logs": _q_monitor_logs,
+        "get_anomalies": _q_get_anomalies,
     }
 
 
@@ -763,6 +808,55 @@ LIMIT 10
 """
 
 
+_SQL_EMBED_NEARDUP = f"""
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), n AS (
+  SELECT vec_id, sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS n2
+  FROM e GROUP BY vec_id
+), d AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+), c AS (
+  SELECT a_id, b_id,
+         {_R("dot / (sqrt(na.n2) * sqrt(nb.n2))", 4)} AS cosine
+  FROM d JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id
+)
+SELECT a_id, b_id, cosine FROM c WHERE cosine >= 0.4
+"""
+
+# simple_z_score = z_score with multiplier 3 + the multiplier echoed
+# (simple_z_score.pipe:45-60); built from the z_score oracle by constant
+# substitution (the only occurrences of "2.0" there are the threshold).
+_SQL_SIMPLE_Z_SCORE = (
+    "SELECT *, CAST(3.0 AS DOUBLE) AS zscore_multiplier FROM (\n"
+    + _SQL_Z_SCORE.replace("2.0", "3.0")
+    + "\n)"
+)
+
+_SQL_GET_DATA = f"""
+SELECT user_id AS id, ts, value
+FROM events
+WHERE ts > {_FRONTIER} - INTERVAL 1440 MINUTE
+"""
+
+_SQL_UI_IDS = "SELECT DISTINCT user_id AS id FROM events"
+
+_SQL_MONITOR_LOGS = (
+    "WITH log AS (\n" + _SQL_VIOLATIONS_LOG + "\n)\n"
+    f"SELECT DISTINCT * FROM log WHERE ts > {_FRONTIER} - INTERVAL 24 HOUR"
+)
+
+_SQL_GET_ANOMALIES = (
+    "WITH log AS (\n" + _SQL_VIOLATIONS_LOG + "\n)\n"
+    f"SELECT * FROM log WHERE ts > {_FRONTIER} - INTERVAL 72 HOUR "
+    "AND anomaly_type = 'out-of-range'"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "out_of_range": _SQL_OUT_OF_RANGE,
@@ -787,6 +881,12 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _SQL_MINHASH_LSH,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "ann_brute": _SQL_ANN_BRUTE,
+        "embed_neardup": _SQL_EMBED_NEARDUP,
+        "simple_z_score": _SQL_SIMPLE_Z_SCORE,
+        "get_data": _SQL_GET_DATA,
+        "ui_ids": _SQL_UI_IDS,
+        "monitor_logs": _SQL_MONITOR_LOGS,
+        "get_anomalies": _SQL_GET_ANOMALIES,
         # simhash_pairs, ann_lsh, ann_ivf: hash-bit / centroid arithmetic is
         # engine-specific → rows-only check here, exact pandas oracles in
         # tests/test_dedup_text.py and tests/test_similarity.py.

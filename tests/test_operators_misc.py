@@ -76,3 +76,52 @@ def test_frame_sample_fanout(spark):
     frames = frame_sample(df, every_n=3).collect()
     assert [r["frame_idx"] for r in sorted(frames, key=lambda r: r["frame_idx"])] == [0, 3, 6, 9]
     assert all(len(r["frame"]) == 256 for r in frames)
+
+
+# ---------------------------------------------------------------------------
+# consumer endpoints (simple_z_score / get_data / ui_ids / monitor_logs /
+# get_anomalies)
+# ---------------------------------------------------------------------------
+
+
+def test_simple_z_score_equals_z_score_at_same_threshold(spark):
+    from use_case_real_time_anomaly_detection_spark.plans import detectors as D
+
+    ev = D.events_shape(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    f = D.frontier_ts(ev)
+    simple = D.simple_z_score(ev, f, zscore_multiplier=2.0)
+    base = D.z_score(ev, f, zscore_threshold=2.0)
+    assert {r["zscore_multiplier"] for r in simple.select("zscore_multiplier").distinct().collect()} <= {2.0}
+    a = {tuple(r) for r in base.collect()}
+    b = {tuple(r)[:-1] for r in simple.collect()}
+    assert a == b
+
+
+def test_endpoint_filters(spark):
+    from pyspark.sql import functions as F
+
+    from use_case_real_time_anomaly_detection_spark.plans import detectors as D
+    from use_case_real_time_anomaly_detection_spark.plans.copylog import (
+        get_anomalies,
+        monitor_logs,
+        violations_log,
+    )
+
+    ev = D.events_shape(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    f = D.frontier_ts(ev)
+
+    ids = D.ui_ids(ev)
+    assert ids.count() == ev.select("id").distinct().count()
+
+    sliced = D.get_data(ev, f, minutes=1440, sensor_id=1)
+    assert sliced.filter(F.col("id") != 1).count() == 0
+
+    log = violations_log(ev, f)
+    mon = monitor_logs(log, f, hours=24)
+    assert mon.count() == log.filter(
+        F.col("ts") > F.lit(f) - F.expr("INTERVAL 24 HOUR")
+    ).distinct().count()
+
+    one_type = get_anomalies(log, f, hours=72, anomaly_type="out-of-range")
+    assert one_type.filter(F.col("anomaly_type") != "out-of-range").count() == 0
+    assert one_type.count() > 0

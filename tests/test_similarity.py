@@ -88,3 +88,51 @@ def test_lsh_topk_returns_from_query_bucket(emb, np_data):
     # scores far higher)
     recall = len(exact & {i for i, _ in got}) / 10
     assert recall >= 0.3, f"LSH recall@10 = {recall}"
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+
+def _np_neardup(ids, mat, thr=0.4):
+    n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    c = np.round(n @ n.T, 4)
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if c[i, j] >= thr:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                out.add((a, b, float(c[i, j])))
+    return out
+
+
+def test_neardup_pairs_matches_numpy(emb, np_data):
+    from use_case_real_time_anomaly_detection_spark.functions.similarity import neardup_pairs
+
+    ids, mat = np_data
+    got = {
+        (r["a_id"], r["b_id"], r["cosine"])
+        for r in neardup_pairs(emb, threshold=0.4).collect()
+    }
+    assert got == _np_neardup(ids, mat, 0.4)
+
+
+def test_neardup_lsh_is_subset_with_recall(emb, np_data):
+    """LSH candidates verify exactly, so results ⊆ brute; recall is
+    measured (sign-LSH on near-orthogonal vectors won't be 100%)."""
+    from use_case_real_time_anomaly_detection_spark.functions.similarity import (
+        neardup_pairs,
+        neardup_pairs_lsh,
+    )
+
+    brute = {
+        (r["a_id"], r["b_id"]) for r in neardup_pairs(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"])
+        for r in neardup_pairs_lsh(emb, threshold=0.4, n_planes=4).collect()
+    }
+    assert lsh <= brute
+    assert len(brute) > 0
+    assert len(lsh) / len(brute) >= 0.2  # 4 planes ⇒ ≥ (1 - θ/π)^4 expected

@@ -170,3 +170,65 @@ def lsh_topk(
         vec_col=vec_col,
         exclude_id=exclude_id,
     )
+
+
+def neardup_pairs(
+    emb: DataFrame,
+    *,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b) with a < b and
+    round(cosine, 4) >= threshold.
+
+    This is the exactness baseline (O(n²) block-nested-loop self-join —
+    Spark's BroadcastNestedLoopJoin when one side fits). The comparison
+    runs on the ROUNDED cosine so engine-level last-ulp float noise
+    cannot flip a boundary pair. At 10^12 scale use
+    `neardup_pairs_lsh` — same verify step, LSH-pruned candidates.
+    """
+    a = emb.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec")
+    )
+    b = emb.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec")
+    )
+    pairs = a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+    cos = F.round(cosine(F.col("a_vec"), F.col("b_vec")), 4)
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", "cosine")
+    )
+
+
+def neardup_pairs_lsh(
+    emb: DataFrame,
+    *,
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for near-dup: candidates = pairs sharing an LSH bucket
+    (equi-join on bucket → shuffle-hash/sort-merge join, no cross
+    product), then exact-cosine verify. Recall < 1 by construction
+    (sign-LSH misses some near-pairs across bucket boundaries); raise
+    n_planes bands or multi-probe for higher recall — tested against the
+    brute baseline in tests/test_similarity.py."""
+    bucketed = lsh_bucketed(emb, n_planes=n_planes, vec_col=vec_col)
+    a = bucketed.select(
+        "bucket", F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec")
+    )
+    b = bucketed.select(
+        "bucket", F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec")
+    )
+    pairs = a.join(b, "bucket").filter(F.col("a_id") < F.col("b_id"))
+    cos = F.round(cosine(F.col("a_vec"), F.col("b_vec")), 4)
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", "cosine")
+        .distinct()
+    )

@@ -118,6 +118,45 @@ def violations_log(
     return limit_by(log, ["ts", "id", "anomaly_type"], [F.col("value"), F.col("note")], 1)
 
 
+def monitor_logs(
+    log: DataFrame,
+    frontier,
+    *,
+    hours: int = 24,
+    sensor_id: int | None = None,
+) -> DataFrame:
+    """≙ pipes/monitor_logs.pipe:15-21: SELECT DISTINCT * FROM copy_log
+    WHERE ts > addHours(NOW(), -hours) [AND id = sensor_id] — the single
+    all-detector consumer endpoint (O3 defensive dedup + F8 window)."""
+    df = log.filter(
+        F.col("ts") > F.lit(frontier) - F.expr(f"INTERVAL {hours} HOUR")
+    )
+    if sensor_id is not None:
+        df = df.filter(F.col("id") == sensor_id)
+    return df.distinct()
+
+
+def get_anomalies(
+    log: DataFrame,
+    frontier,
+    *,
+    hours: int = 24,
+    sensor_id: int | None = None,
+    anomaly_type: str | None = None,
+) -> DataFrame:
+    """≙ pipes/get_anomalies.pipe:10-21: trailing-hours slice of the log
+    with optional sensor / anomaly_type filters (P5 conditional
+    predicates; template `{% if defined %}` ≙ plain Python ifs)."""
+    df = log.filter(
+        F.col("ts") > F.lit(frontier) - F.expr(f"INTERVAL {hours} HOUR")
+    )
+    if sensor_id is not None:
+        df = df.filter(F.col("id") == sensor_id)
+    if anomaly_type is not None:
+        df = df.filter(F.col("anomaly_type") == anomaly_type)
+    return df
+
+
 def anomalies_summary(log: DataFrame) -> DataFrame:
     """≙ get_anomalies.pipe:27-29 (GROUP BY anomaly_type over the log) +
     monitor_logs-style counts: per-type row count and time span."""

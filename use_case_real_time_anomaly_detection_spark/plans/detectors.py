@@ -196,6 +196,55 @@ def z_score(
     )
 
 
+def simple_z_score(
+    events: DataFrame,
+    frontier,
+    *,
+    zscore_multiplier: float = 3.0,
+    stats_window_seconds: int = 14 * SECONDS_PER_DAY,
+    detect_window_seconds: int = 3 * SECONDS_PER_DAY,
+) -> DataFrame:
+    """≙ pipes/simple_z_score.pipe: identical math to z_score.pipe (per-id
+    avg/stddevPop joined to the detect window) with the multiplier named
+    `zscore_multiplier` (default 3) and echoed into the output
+    (simple_z_score.pipe:45-60). The reference's two z-score pipes differ
+    only in defaults and that echo; both compile to the same Spark plan."""
+    out = z_score(
+        events,
+        frontier,
+        zscore_threshold=zscore_multiplier,
+        stats_window_seconds=stats_window_seconds,
+        detect_window_seconds=detect_window_seconds,
+    )
+    return out.withColumn(
+        "zscore_multiplier", F.lit(float(zscore_multiplier))
+    )
+
+
+def get_data(
+    events: DataFrame,
+    frontier,
+    *,
+    minutes: int = 24,
+    sensor_id: int | None = None,
+) -> DataFrame:
+    """≙ pipes/get_data.pipe:15-21 (and data.pipe, the hours-granularity
+    twin): raw trailing-window slice of the fact table, optional key
+    filter (P5). Plan: a single pushed-down scan filter."""
+    df = events.filter(
+        F.col("ts") > F.lit(frontier) - F.expr(f"INTERVAL {minutes} MINUTE")
+    )
+    if sensor_id is not None:
+        df = df.filter(F.col("id") == sensor_id)
+    return df.select("id", "ts", "value")
+
+
+def ui_ids(events: DataFrame) -> DataFrame:
+    """≙ pipes/ui_ids.pipe:10-12: SELECT DISTINCT id (A5/O3) — partial
+    hash-aggregate per task, tiny final exchange."""
+    return events.select("id").distinct()
+
+
 def iqr(
     events: DataFrame,
     frontier,
