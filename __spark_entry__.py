@@ -282,6 +282,45 @@ def _q_ann_ivf(spark, sf):
     return ivf_topk(_emb(spark, sf), _query_vector(spark, sf), k=10, n_probe=2, exclude_id=0)
 
 
+def _q_drift_events(spark, sf):
+    """Standalone KS/PSI drift scores: distribution of `value` per
+    event_type vs the consensus baseline (functions/stats.py
+    drift_scores — the same math the clip DriftRule compiles to)."""
+    from use_case_real_time_anomaly_detection_spark.functions.stats import drift_scores
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return drift_scores(ev, "value", partition_col="event_type", bins=20).select(
+        "partition_key",
+        F.round("psi", 4).alias("psi"),
+        F.round("ks", 4).alias("ks"),
+    )
+
+
+def _q_clips_profile(spark, sf):
+    """Per-(partition, column) profiling stats of the synthetic clip table
+    (ProfileSpec → functions/stats.py). Rows-only check: long-format stat
+    frame; exact values asserted in tests/test_operators_misc.py."""
+    from use_case_real_time_anomaly_detection_spark.plans.clips import validate_synthetic
+    from use_case_real_time_anomaly_detection_spark.sources.synth import SynthSpec
+
+    res = validate_synthetic(spark, SynthSpec(partitions=4, clips_per_partition=150))
+    return res.profile
+
+
+def _q_image_features(spark, sf):
+    """Multimodal plumbing: binary payload + codec column → mapInPandas
+    feature extraction with the deterministic fake codec (real codecs are
+    stubbed — functions/multimodal.py). Payloads derive from documents."""
+    from use_case_real_time_anomaly_detection_spark.functions.multimodal import image_features
+
+    docs = _docs(spark, sf).select(
+        F.col("doc_id").cast("string").alias("item_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("fake:gray8x8").alias("codec"),
+    )
+    return image_features(docs)
+
+
 def _q_embed_neardup(spark, sf):
     from use_case_real_time_anomaly_detection_spark.functions.similarity import neardup_pairs
 
@@ -375,6 +414,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ui_ids": _q_ui_ids,
         "monitor_logs": _q_monitor_logs,
         "get_anomalies": _q_get_anomalies,
+        "clips_profile": _q_clips_profile,
+        "image_features": _q_image_features,
+        "drift_events": _q_drift_events,
     }
 
 
@@ -857,6 +899,45 @@ _SQL_GET_ANOMALIES = (
 )
 
 
+_SQL_DRIFT_EVENTS = f"""
+WITH src AS (
+  SELECT event_type AS pk, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+), mm AS (
+  SELECT min(v) AS lo, max(v) AS hi FROM src
+), binned AS (
+  SELECT pk,
+         least(19, CAST(floor((v - mm.lo) / ((mm.hi - mm.lo) / 20)) AS BIGINT)) AS bin
+  FROM src, mm
+), pc AS (
+  SELECT pk, bin, count(*) AS pn FROM binned GROUP BY pk, bin
+), grid AS (
+  SELECT pks.pk, b.bin
+  FROM (SELECT DISTINCT pk FROM pc) pks,
+       (SELECT unnest(generate_series(0, 19)) AS bin) b
+), h1 AS (
+  SELECT g.pk, g.bin, COALESCE(pc.pn, 0) AS pn,
+         sum(COALESCE(pc.pn, 0)) OVER (PARTITION BY g.pk) AS pt
+  FROM grid g LEFT JOIN pc ON pc.pk = g.pk AND pc.bin = g.bin
+), h2 AS (
+  SELECT pk, bin, (pn + 0.5) / (pt + 10.0) AS p FROM h1
+), med AS (
+  SELECT bin, quantile_cont(p, 0.5) AS qraw FROM h2 GROUP BY bin
+), medn AS (
+  SELECT bin, qraw / (SELECT sum(qraw) FROM med) AS q FROM med
+), h4 AS (
+  SELECT h2.pk, h2.bin, h2.p, m.q,
+         sum(h2.p) OVER (PARTITION BY h2.pk ORDER BY h2.bin) AS pcum,
+         sum(m.q)  OVER (PARTITION BY h2.pk ORDER BY h2.bin) AS qcum
+  FROM h2 JOIN medn m ON m.bin = h2.bin
+)
+SELECT pk AS partition_key,
+       {_R("sum((p - q) * ln(p / q))", 4)} AS psi,
+       {_R("max(abs(pcum - qcum))", 4)} AS ks
+FROM h4 GROUP BY pk
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "out_of_range": _SQL_OUT_OF_RANGE,
@@ -887,9 +968,13 @@ def oracle_sql() -> dict[str, str]:
         "ui_ids": _SQL_UI_IDS,
         "monitor_logs": _SQL_MONITOR_LOGS,
         "get_anomalies": _SQL_GET_ANOMALIES,
+        "drift_events": _SQL_DRIFT_EVENTS,
         # simhash_pairs, ann_lsh, ann_ivf: hash-bit / centroid arithmetic is
         # engine-specific → rows-only check here, exact pandas oracles in
         # tests/test_dedup_text.py and tests/test_similarity.py.
-        # clips_validate / clips_verdicts: audio pandas-UDF path is not SQL-
-        # expressible → rows-only here, full oracle in tests/test_clips_engine.py.
+        # clips_validate / clips_verdicts / clips_profile: audio pandas-UDF
+        # path is not SQL-expressible → rows-only here, full oracles in
+        # tests/test_clips_engine.py + tests/test_operators_misc.py.
+        # image_features: mapInPandas binary-decode plumbing → rows-only,
+        # exact oracle in tests/test_operators_misc.py.
     }

@@ -100,10 +100,12 @@ def main() -> None:
 
     t0 = time.time()
     res = validate_clips(
-        clips, manifest, frontier=frontier_of(spec), rules=default_rules()
+        clips, manifest, frontier=frontier_of(spec), rules=default_rules(),
+        persist=True,  # verdict pass re-aggregates violations, not the scan
     )
     _materialize(res.violations)
     _materialize(res.verdicts)
+    res.violations.unpersist()
     clip_secs = time.time() - t0
     times["clips_validate_full"] = round(clip_secs, 3)
 
@@ -117,6 +119,16 @@ def main() -> None:
         "clips_per_sec": round(n_clips / clip_secs, 1),
         "cpus": int(cpus),
     }
+    # fold in the latest N-vs-4N scaling evidence (tools/scaling_bench.py
+    # writes BENCH/scaling.json; the full run takes ~20 min so it is not
+    # re-measured here)
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            sc = json.load(f)
+        out["scaling"] = sc
+        out["scaling_efficiency"] = sc.get("scaling_efficiency")
     print(json.dumps(out))
 
 

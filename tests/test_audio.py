@@ -59,3 +59,42 @@ def test_wav_decode_rejects_garbage():
 
 def test_stable_hash_is_process_independent():
     assert stable_hash("abc") == 891568578  # crc32("abc") — fixed forever
+
+
+def test_map_in_arrow_equals_pandas_udf(spark):
+    """The mapInArrow production path and the pandas-UDF reference
+    formulation must produce identical (ok, snr, err) per clip."""
+    from pyspark.sql import functions as F
+
+    from use_case_real_time_anomaly_detection_spark.functions.audio import (
+        make_audio_check_udf,
+        with_audio_checks,
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.rules import AudioDecodeRule
+    from use_case_real_time_anomaly_detection_spark.sources.synth import SynthSpec, generate_clips
+
+    clips = generate_clips(spark, SynthSpec(partitions=3, clips_per_partition=80))
+    rule = AudioDecodeRule(min_snr_db=30.0, ref_seed=42)
+
+    arrow = {
+        r["clip_id"]: (r["__audio_ok"], r["__audio_snr_db"], r["__audio_err"])
+        for r in with_audio_checks(clips, rule)
+        .select("clip_id", "__audio_ok", "__audio_snr_db", "__audio_err")
+        .collect()
+    }
+    res = make_audio_check_udf(rule.min_snr_db, rule.ref_seed)(
+        F.col("clip_id"), F.col("bytes"), F.col("codec"), F.col("sr_hz"), F.col("dur_ms")
+    )
+    pandas_side = {
+        r["clip_id"]: (r["r"]["ok"], r["r"]["snr_db"], r["r"]["err"])
+        for r in clips.select("clip_id", res.alias("r")).collect()
+    }
+    assert set(arrow) == set(pandas_side)
+    mismatches = {
+        k: (arrow[k], pandas_side[k])
+        for k in arrow
+        if arrow[k][0] != pandas_side[k][0]
+        or (arrow[k][1] is None) != (pandas_side[k][1] is None)
+        or (arrow[k][1] is not None and abs(arrow[k][1] - pandas_side[k][1]) > 1e-9)
+    }
+    assert not mismatches, list(mismatches.items())[:3]

@@ -187,8 +187,10 @@ def test_audio_decode(result):
 
 def test_drift_flags_only_drifted_partition(result):
     violations, _ = result
-    drift = violations[violations["detector"] == "drift"]
-    assert set(drift["partition_key"]) == {partition_tag(SPEC.drift_partition)}
+    dur_drift = violations[violations["detector"] == "drift-dur_ms"]
+    assert set(dur_drift["partition_key"]) == {partition_tag(SPEC.drift_partition)}
+    sr_drift = violations[violations["detector"] == "drift-sr_hz"]
+    assert set(sr_drift["partition_key"]) == {partition_tag(SPEC.sr_drift_partition)}
 
 
 def test_verdict_grid_consistency(result):

@@ -1,8 +1,12 @@
 """Audio payload functions — the engine's only non-JVM execution path.
 
 Everything here is vectorized: codecs and SNR run in numpy over whole
-Arrow batches (pandas UDF, multi-column in → struct out); there is no
-per-row Python anywhere (BASELINE.json input_hint requirement).
+Arrow batches; there is no per-row Python in the sample hot path
+(BASELINE.json input_hint requirement). The production path is
+`with_audio_checks` (mapInArrow, zero-copy payload buffers — see its
+docstring for why pandas UDFs hit a pipeline ceiling on binary columns);
+`make_audio_check_udf` is the equivalent pandas-UDF formulation, kept as
+the cross-checked reference implementation (tests assert both agree).
 
 The reference repo has zero UDFs (SURVEY.md §2.10); this module is the
 graft's payload surface: decode `bytes` by `codec`, reconstruct the
@@ -46,20 +50,30 @@ def stable_hash(s: str) -> int:
 
 
 def reference_waveform(clip_id: str, sr_hz: int, dur_ms: int, seed: int = 42) -> np.ndarray:
-    """The golden signal for a clip: seed-derived sine + harmonic + noise.
+    """The golden signal for a clip: seed-derived sine + deterministic noise.
 
     float32 in [-1, 1]; every property derives from (clip_id, seed) so any
-    executor can reconstruct it without data movement.
+    executor can reconstruct it without data movement. The noise term is a
+    vectorized integer-hash sequence (uniform, ±0.017 ≈ the σ=0.01 gaussian
+    it replaces) rather than an np.random Generator: RNG construction +
+    normal() cost ~160 µs/clip, the hash ~50 µs — and this function is the
+    hot path of the audio rule (once per clip on both the synth and the
+    verify side), so per-clip constant factors set the engine's clips/sec.
     """
     h = stable_hash(f"{seed}:{clip_id}")
     n = max(1, int(round(sr_hz * dur_ms / 1000.0)))
     f0 = 200.0 + (h % 800)  # 200-1000 Hz fundamental
     amp = 0.5 + ((h >> 10) % 100) / 400.0  # 0.5-0.75
     t = np.arange(n, dtype=np.float64) / max(sr_hz, 1)
-    sig = amp * np.sin(2 * np.pi * f0 * t) + 0.1 * np.sin(2 * np.pi * 2 * f0 * t)
-    rng = np.random.default_rng(h)
-    sig = sig + rng.normal(0.0, 0.01, n)
-    return np.clip(sig, -1.0, 1.0).astype(np.float32)
+    sig = amp * np.sin(2 * np.pi * f0 * t)
+    # Knuth/Fibonacci-hash white noise, deterministic in (clip_id, seed)
+    x = (
+        np.arange(n, dtype=np.uint64) * np.uint64(2654435761)
+        + np.uint64(h * 40503 + 1)
+    ) & np.uint64(0xFFFFFFFF)
+    x = (x * np.uint64(2246822519)) & np.uint64(0xFFFFFFFF)
+    noise = (x.astype(np.float64) / 2.0**32 - 0.5) * 0.0346
+    return np.clip(sig + noise, -1.0, 1.0).astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -179,23 +193,76 @@ def make_audio_check_udf(min_snr_db: float, ref_seed: int):
 
 
 def with_audio_checks(df: DataFrame, rule, *, key_col: str = "clip_id") -> DataFrame:
-    """Append __audio_ok / __audio_snr_db / __audio_err columns.
+    """Append __audio_ok / __audio_snr_db / __audio_err; DROP the payload
+    column (nothing downstream of the check needs `bytes`).
 
-    One Arrow exchange per batch; numpy does the math. The per-clip loop
-    inside the UDF is over *decoded arrays* (one iteration per clip, all
-    sample math vectorized) — the per-sample hot path never touches Python.
+    Implementation: `mapInArrow`, not a pandas UDF. The Arrow→pandas
+    conversion of a binary column materializes every payload as a Python
+    bytes object — measured as a hard ~1.2 GB/s pipeline ceiling that
+    FLATTENS core-count scaling (8→32 cores gained nothing). Arrow record
+    batches instead give zero-copy buffer slices per payload
+    (BinaryScalar.as_buffer → memoryview → np.frombuffer), and the
+    non-payload columns pass through as unmodified Arrow arrays. Per-clip
+    work stays numpy-vectorized; only the ~per-clip loop header is Python.
     """
-    res = make_audio_check_udf(rule.min_snr_db, rule.ref_seed)(
-        F.col(key_col),
-        F.col(rule.bytes_column),
-        F.col(rule.codec_column),
-        F.col(rule.sr_column),
-        F.col(rule.dur_column),
+    import pyarrow as pa
+
+    bytes_col = rule.bytes_column
+    key, codec_c, sr_c, dur_c = key_col, rule.codec_column, rule.sr_column, rule.dur_column
+    min_snr, ref_seed = float(rule.min_snr_db), int(rule.ref_seed)
+
+    passthrough = [f for f in df.schema.fields if f.name != bytes_col]
+    out_schema = StructType(
+        list(passthrough)
+        + [
+            StructField("__audio_ok", BooleanType()),
+            StructField("__audio_snr_db", DoubleType()),
+            StructField("__audio_err", StringType()),
+        ]
     )
-    return (
-        df.withColumn("__audio", res)
-        .withColumn("__audio_ok", F.col("__audio.ok"))
-        .withColumn("__audio_snr_db", F.col("__audio.snr_db"))
-        .withColumn("__audio_err", F.col("__audio.err"))
-        .drop("__audio")
-    )
+
+    def run(batches):
+        for b in batches:
+            names = b.schema.names
+            barr = b.column(names.index(bytes_col))
+            cids = b.column(names.index(key)).to_pylist()
+            codecs = b.column(names.index(codec_c)).to_pylist()
+            srs = b.column(names.index(sr_c)).to_pylist()
+            durs = b.column(names.index(dur_c)).to_pylist()
+            n = len(barr)
+            oks, snrs, errs = [], [], []
+            for i in range(n):
+                try:
+                    dec_fn = DECODERS.get(codecs[i])
+                    if dec_fn is None:
+                        raise ValueError(f"no decoder for codec {codecs[i]!r}")
+                    sc = barr[i]
+                    if not sc.is_valid:
+                        raise ValueError("empty payload")
+                    mv = memoryview(sc.as_buffer())  # zero-copy slice
+                    if len(mv) == 0:
+                        raise ValueError("empty payload")
+                    s = int(srs[i]) if srs[i] is not None else 0
+                    dec = dec_fn(mv, s)
+                    ref = reference_waveform(
+                        str(cids[i]), s, int(durs[i] or 0), seed=ref_seed
+                    )
+                    db = snr_db(ref, dec)
+                    len_ok = abs(len(dec) - len(ref)) <= 1
+                    oks.append(bool(len_ok and db >= min_snr))
+                    snrs.append(db if np.isfinite(db) else None)
+                    errs.append(None if len_ok else "length mismatch")
+                except Exception as exc:  # decode failures are data, not bugs
+                    oks.append(False)
+                    snrs.append(None)
+                    errs.append(str(exc)[:120])
+            arrays = [b.column(names.index(f.name)) for f in passthrough]
+            arrays.append(pa.array(oks, type=pa.bool_()))
+            arrays.append(pa.array(snrs, type=pa.float64()))
+            arrays.append(pa.array(errs, type=pa.string()))
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=[f.name for f in passthrough]
+                + ["__audio_ok", "__audio_snr_db", "__audio_err"]
+            )
+
+    return df.mapInArrow(run, out_schema)

@@ -85,3 +85,80 @@ def profile_table(
     return long.unionByName(null_rates).select(
         "partition_key", "column", "stat", "value", "rows"
     )
+
+
+def drift_scores(
+    df: DataFrame,
+    column: str,
+    *,
+    partition_col: str,
+    bins: int = 20,
+    bounds: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Per-partition KS + PSI of `column` vs a robust consensus baseline.
+
+    The engine's drift math (operators/compiler.py DriftRule), exposed as
+    a standalone operator so any table/axis can be scored and so the
+    DuckDB oracle can verify it SQL-side (__spark_entry__.drift_events):
+
+    - fixed equal-width bins over the global [min, max] (one cheap
+      column-pruned driver agg fixes the edges);
+    - per (partition, bin) counts — map-side partial agg, then a dense
+      grid so empty buckets participate;
+    - Laplace-smoothed fractions p = (n + 0.5) / (N + 0.5 * bins);
+    - baseline q = per-bin MEDIAN of partition fractions, renormalized
+      (robust to a minority of drifted partitions — a global mixture
+      baseline would be contaminated by the very partitions under test);
+    - PSI = Σ (p - q) ln(p / q); KS = max |CDF_p - CDF_q|.
+
+    Returns (partition_key, psi, ks) for ALL partitions (thresholding is
+    the caller's policy). NULLs in `column` are excluded.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    src = df.filter(F.col(column).isNotNull())
+    if bounds is None:
+        # one cheap column-pruned driver agg fixes the bin edges; callers
+        # scoring several columns can batch these into a single agg and
+        # pass `bounds` (operators/compiler.py does)
+        mm = src.agg(F.min(column).alias("lo"), F.max(column).alias("hi")).collect()[0]
+        bounds = (mm["lo"], mm["hi"])
+    if bounds[0] is None:
+        return spark.createDataFrame([], "partition_key string, psi double, ks double")
+    lo, hi = float(bounds[0]), float(bounds[1])
+    if hi <= lo:
+        hi = lo + 1.0
+    width = (hi - lo) / bins
+
+    binned = src.select(
+        F.col(partition_col).alias("pk"),
+        F.least(
+            F.lit(bins - 1),
+            F.floor((F.col(column).cast("double") - F.lit(lo)) / F.lit(width)),
+        ).alias("bin"),
+    )
+    part_counts = binned.groupBy("pk", "bin").agg(F.count(F.lit(1)).alias("pn"))
+    pks = part_counts.select("pk").distinct()
+    bins_df = spark.range(bins).select(F.col("id").alias("bin"))
+    grid = pks.crossJoin(F.broadcast(bins_df))
+    h = grid.join(part_counts, ["pk", "bin"], "left").fillna(0, subset=["pn"])
+    wpk = Window.partitionBy("pk")
+    h = h.withColumn("pt", F.sum("pn").over(wpk))
+    h = h.withColumn("p", (F.col("pn") + 0.5) / (F.col("pt") + 0.5 * bins))
+    med = h.groupBy("bin").agg(F.expr("percentile(p, 0.5D)").alias("qraw"))
+    med = med.crossJoin(F.broadcast(med.agg(F.sum("qraw").alias("qsum")))).select(
+        "bin", (F.col("qraw") / F.col("qsum")).alias("q")
+    )
+    h = h.join(F.broadcast(med), "bin")
+    h = h.withColumn(
+        "psi_term", (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    )
+    wcum = Window.partitionBy("pk").orderBy("bin")
+    h = h.withColumn("pcum", F.sum("p").over(wcum)).withColumn(
+        "qcum", F.sum("q").over(wcum)
+    )
+    return h.groupBy("pk").agg(
+        F.sum("psi_term").alias("psi"),
+        F.max(F.abs(F.col("pcum") - F.col("qcum"))).alias("ks"),
+    ).select(F.col("pk").alias("partition_key"), "psi", "ks")

@@ -6,8 +6,9 @@ that — reference: content/copies-pipes.md:13). Here ALL rules over a table
 compile into ONE plan that Catalyst can optimize as a whole:
 
 scan (column-pruned: only referenced columns are read)
+ ├─ one Arrow mapInArrow pass (audio decode, only if requested; consumes
+ │   and DROPS the payload column so every later stage flows narrow rows)
  ├─ one left join to the manifest (covers referential + transcript rules)
- ├─ one Arrow pandas-UDF pass (covers audio decode, only if requested)
  ├─ one Window pass over (partition, seq) (covers rate-of-change, gap,
  │   rolling z-score — all window columns share the same WindowSpec, so
  │   Spark evaluates them in a single Window exec → a single shuffle)
@@ -105,6 +106,16 @@ def compile_rules(
     refs = refs or {}
     base = df
 
+    # ---- one Arrow pass for audio rules (FIRST: it consumes and DROPS the
+    # payload column, so everything downstream — manifest join, window
+    # shuffle, aggregates — flows narrow rows only) -----------------------
+    audio_rules = [r for r in rules if isinstance(r, AudioDecodeRule)]
+    if audio_rules:
+        from ..functions.audio import with_audio_checks
+
+        (rule,) = audio_rules  # one audio rule per run
+        base = with_audio_checks(base, rule, key_col=key_col)
+
     # ---- one manifest join serves referential + transcript rules --------
     ref_rules = [r for r in rules if isinstance(r, (RefIntegrityRule, TranscriptRule))]
     manifest_cols: dict[str, str] = {}
@@ -137,14 +148,6 @@ def compile_rules(
             for r in ref_rules
             if isinstance(r, TranscriptRule)
         }
-
-    # ---- one Arrow pandas-UDF pass for audio rules -----------------------
-    audio_rules = [r for r in rules if isinstance(r, AudioDecodeRule)]
-    if audio_rules:
-        from ..functions.audio import with_audio_checks
-
-        (rule,) = audio_rules  # one audio rule per run
-        base = with_audio_checks(base, rule, key_col=key_col)
 
     # ---- shared window columns ------------------------------------------
     window_rules = [
@@ -185,7 +188,10 @@ def compile_rules(
             # approx at 10^12 scale (north star; SURVEY.md §4.2.5)
             q1 = F.percentile_approx(r.column, 0.25, r.accuracy)
             q3 = F.percentile_approx(r.column, 0.75, r.accuracy)
-        stats = base.groupBy(partition_col).agg(
+        # stats from the PRE-audio frame: the audio mapInArrow pass is a
+        # column-pruning barrier, so an agg branch hanging off `base`
+        # would re-decode every payload just to read one numeric column
+        stats = df.groupBy(partition_col).agg(
             q1.alias(f"__q1_{r.column}"), q3.alias(f"__q3_{r.column}")
         )
         # ≤1 row per partition → always broadcast (≙ the reference's
@@ -363,7 +369,8 @@ def compile_rules(
         # ≙ timeout.pipe:15-37 — latest report per key, flagged if older
         # than the allowed staleness vs the (frozen) frontier. max_by keeps
         # the full latest row like the reference's LIMIT 1 BY id (W3→A6).
-        latest = base.groupBy(partition_col).agg(
+        # pre-audio frame for the same pruning-barrier reason as IQR stats
+        latest = df.groupBy(partition_col).agg(
             F.max(seq_col).alias("__last_seq"),
             F.max_by(F.col(key_col), F.col(seq_col)).alias("__last_key"),
         )
@@ -404,9 +411,27 @@ def compile_rules(
 
     # ---- drift (KS + PSI over binned histograms) -------------------------
     drift_rules = [r for r in rules if isinstance(r, DriftRule)]
+    if drift_rules:
+        # ONE driver agg fixes bin edges for every drift column (vs one
+        # full-scan collect per rule)
+        bounds_row = df.agg(
+            *[
+                a
+                for r in drift_rules
+                for a in (
+                    F.min(r.column).alias(f"__lo_{r.column}"),
+                    F.max(r.column).alias(f"__hi_{r.column}"),
+                )
+            ]
+        ).collect()[0]
     for r in drift_rules:
         fused_parts.append(
-            _drift_violations(df, r, partition_col=partition_col)
+            _drift_violations(
+                df,
+                r,
+                partition_col=partition_col,
+                bounds=(bounds_row[f"__lo_{r.column}"], bounds_row[f"__hi_{r.column}"]),
+            )
         )
         if r.detector not in detectors:
             detectors.append(r.detector)
@@ -421,77 +446,25 @@ def compile_rules(
     return CompiledPlan(violations=violations, rows_checked=rows_checked, detectors=det)
 
 
-def _drift_violations(df: DataFrame, r: DriftRule, *, partition_col: str) -> DataFrame:
+def _drift_violations(
+    df: DataFrame, r: DriftRule, *, partition_col: str, bounds=None
+) -> DataFrame:
     """Per-partition KS + PSI vs a robust consensus baseline, via binned
     histograms (two-level partial+final aggregation — SURVEY.md §4.2.6).
 
-    Baseline choice matters: the naive global mixture is contaminated by
-    the very partitions being tested (one shifted partition moves the
-    mixture, flagging every healthy partition). Instead the baseline is
-    the per-bin MEDIAN of the partitions' bin fractions, renormalized —
-    a consensus distribution robust to a minority (< 50 %) of drifted
-    partitions, in the spirit of median-absolute-deviation outlier tests.
-
-    Entirely JVM-side: groupBy(partition, bin).count() is a map-side
-    partial agg; PSI/KS arithmetic runs over the tiny (partitions × bins)
-    frame. One driver action fetches global min/max to fix bin edges
-    (cheap column-pruned full-scan agg, once per run).
+    The score math lives in functions/stats.py drift_scores (shared with
+    the standalone drift operator + its DuckDB oracle); this wrapper
+    applies the rule thresholds and shapes violations rows.
     """
-    spark = df.sparkSession
-    mm = df.agg(
-        F.min(r.column).alias("lo"), F.max(r.column).alias("hi")
-    ).collect()[0]
-    if mm["lo"] is None:  # empty input (e.g. resume skipped every partition)
-        return spark.createDataFrame(
-            [], "partition_key string, clip_id string, detector string, "
-                "observed string, note string"
-        )
-    lo, hi = float(mm["lo"]), float(mm["hi"])
-    if hi <= lo:
-        hi = lo + 1.0
-    width = (hi - lo) / r.bins
+    from ..functions.stats import drift_scores
 
-    binned = df.select(
-        F.col(partition_col).alias("pk"),
-        F.least(
-            F.lit(r.bins - 1),
-            F.floor((F.col(r.column).cast("double") - F.lit(lo)) / F.lit(width)),
-        ).alias("bin"),
-    )
-    part_counts = binned.groupBy("pk", "bin").agg(F.count(F.lit(1)).alias("pn"))
-
-    # dense (pk × bin) grid so zero buckets participate (Laplace-smoothed)
-    pks = part_counts.select("pk").distinct()
-    bins_df = spark.range(r.bins).select(F.col("id").alias("bin"))
-    grid = pks.crossJoin(F.broadcast(bins_df))
-    h = grid.join(part_counts, ["pk", "bin"], "left").fillna(0, subset=["pn"])
-    wpk = Window.partitionBy("pk")
-    h = h.withColumn("pt", F.sum("pn").over(wpk))
-    # Laplace smoothing (+0.5/bucket) keeps ln() finite on empty buckets.
-    h = h.withColumn(
-        "p", (F.col("pn") + 0.5) / (F.col("pt") + 0.5 * r.bins)
-    )
-
-    # consensus baseline: per-bin median of partition fractions, renormalized
-    med = h.groupBy("bin").agg(F.expr("percentile(p, 0.5D)").alias("qraw"))
-    med = med.crossJoin(
-        F.broadcast(med.agg(F.sum("qraw").alias("qsum")))
-    ).select("bin", (F.col("qraw") / F.col("qsum")).alias("q"))
-
-    h = h.join(F.broadcast(med), "bin")
-    h = h.withColumn("psi_term", (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")))
-    wcum = Window.partitionBy("pk").orderBy("bin")
-    h = h.withColumn("pcum", F.sum("p").over(wcum)).withColumn(
-        "qcum", F.sum("q").over(wcum)
-    )
-    scores = h.groupBy("pk").agg(
-        F.sum("psi_term").alias("psi"),
-        F.max(F.abs(F.col("pcum") - F.col("qcum"))).alias("ks"),
+    scores = drift_scores(
+        df, r.column, partition_col=partition_col, bins=r.bins, bounds=bounds
     )
     return scores.filter(
         (F.col("psi") > r.psi_threshold) | (F.col("ks") > r.ks_threshold)
     ).select(
-        F.col("pk").alias("partition_key"),
+        "partition_key",
         F.lit(None).cast("string").alias("clip_id"),
         F.lit(r.detector).alias("detector"),
         F.concat(F.lit("psi:"), _fmt(F.col("psi"), 4), F.lit("|ks:"), _fmt(F.col("ks"), 4)).alias(

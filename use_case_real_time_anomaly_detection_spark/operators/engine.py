@@ -65,6 +65,7 @@ class ValidationEngine:
         refs: dict[str, DataFrame] | None = None,
         skip_partitions: DataFrame | None = None,
         run_id: str | None = None,
+        persist: bool = False,
     ) -> RunResult:
         """Compile + evaluate ``rules`` over ``df`` (lazy: returned
         DataFrames trigger execution on action).
@@ -99,6 +100,13 @@ class ValidationEngine:
         violations = plan.violations.dropDuplicates(
             ["partition_key", "clip_id", "detector"]
         )
+        if persist:
+            # Verdicts aggregate the violations; without a persist the
+            # second action re-runs the whole scan + audio-UDF DAG. The
+            # violations frame is tiny (violating rows only), so this is
+            # the at-scale pattern too (write violations, aggregate the
+            # written table). Lazy — materialized by the first action.
+            violations = violations.persist()
 
         verdicts = self._verdicts(
             violations, plan.rows_checked, plan.detectors, run_id, frontier

@@ -49,7 +49,8 @@ def default_rules(*, with_audio: bool = True, seed: int = 42) -> list:
         UniqueRule(columns=("clip_id",)),
         RefIntegrityRule("clip_id", ref_table="clip_manifest", ref_column="clip_id"),
         TranscriptRule(),
-        DriftRule("dur_ms", bins=20),
+        DriftRule("dur_ms", bins=20, detector="drift-dur_ms"),
+        DriftRule("sr_hz", bins=20, detector="drift-sr_hz"),
         ProfileSpec(columns=("dur_ms", "sr_hz", "codec", "transcript", "bytes")),
     ]
     if with_audio:
@@ -65,6 +66,7 @@ def validate_clips(
     rules: list | None = None,
     skip_partitions: DataFrame | None = None,
     run_id: str | None = None,
+    persist: bool = False,
 ) -> RunResult:
     """Run the full rule set over a clip table (any source)."""
     engine = ValidationEngine(
@@ -77,6 +79,7 @@ def validate_clips(
         refs={"clip_manifest": manifest},
         skip_partitions=skip_partitions,
         run_id=run_id,
+        persist=persist,
     )
 
 

@@ -1,0 +1,172 @@
+"""spark-submit entrypoint for the clip-validation engine.
+
+North-rule surface: "runs via spark-submit --py-files on multi-executor
+clusters at N and 4N executors". Usage on a cluster:
+
+    python tools/package_pyfiles.py           # → dist/engine_pyfiles.zip
+    spark-submit --py-files dist/engine_pyfiles.zip \\
+        --master <cluster> --num-executors <N> \\
+        use_case_real_time_anomaly_detection_spark/runner.py \\
+        --clips <path-or-table> --manifest <path> \\
+        --checkpoint-dir /warehouse/validation --frontier 1999
+
+and in this sandbox (local mode stands in for a cluster; the same code
+path — see BENCH/BASELINE.md for the N vs 4N evidence):
+
+    python -m use_case_real_time_anomaly_detection_spark.runner \\
+        --synth 8x500 --checkpoint-dir /tmp/ckpt
+
+The job:
+  1. reads the clip table + manifest (or synthesizes a deterministic
+     fixture with --synth P×C),
+  2. anti-joins away partitions already complete in the lineage table
+     (resume; skipped with --no-resume),
+  3. runs the full rule set (single fused pass; audio decode gated by
+     --no-audio),
+  4. writes violations (dynamic-partition-overwrite → idempotent) and
+     appends lineage/metrics rows,
+  5. prints one JSON line: rows validated, violations, per-detector
+     counts, wall seconds, clips/sec.
+
+≙ the reference's scheduled copy-pipe run (SURVEY.md §3.2): detector
+union → dedup → log append, made idempotent + resumable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="clip-validation run")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--clips", help="parquet path (or table) of the clip table")
+    src.add_argument(
+        "--synth",
+        metavar="PxC",
+        help="synthesize a deterministic fixture: P partitions x C clips",
+    )
+    p.add_argument("--manifest", help="parquet path of the clip manifest")
+    p.add_argument(
+        "--checkpoint-dir",
+        required=True,
+        help="root for the violations + lineage tables",
+    )
+    p.add_argument(
+        "--frontier",
+        type=int,
+        default=None,
+        help="sequence frontier (frozen NOW(), SURVEY.md §4.3); "
+        "default: max seq present per the synth spec / input",
+    )
+    p.add_argument("--no-audio", action="store_true", help="skip audio decode rules")
+    p.add_argument("--no-resume", action="store_true", help="revalidate everything")
+    p.add_argument("--run-id", default=None)
+    p.add_argument(
+        "--master",
+        default=None,
+        help="Spark master override; default: the spark-submit session "
+        "(or local[$SPARK_GRAFT_CPUS] standalone)",
+    )
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from .plans.clips import default_rules, validate_clips
+    from .session import get_spark
+    from .sources.synth import (
+        SynthSpec,
+        frontier_of,
+        generate_clips,
+        generate_manifest,
+    )
+    from .sources.tables import get_catalog
+    from .streaming.checkpoint import CheckpointStore
+
+    spark = get_spark(args.master)
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.synth:
+        parts, clips_per = (int(x) for x in args.synth.lower().split("x"))
+        spec = SynthSpec(partitions=parts, clips_per_partition=clips_per)
+        clips = generate_clips(spark, spec)
+        manifest = generate_manifest(spark, spec)
+        frontier = args.frontier if args.frontier is not None else frontier_of(spec)
+    else:
+        clips = spark.read.parquet(args.clips)
+        if not args.manifest:
+            print("--manifest is required with --clips", file=sys.stderr)
+            return 2
+        manifest = spark.read.parquet(args.manifest)
+        if args.frontier is not None:
+            frontier = args.frontier
+        else:
+            # frontier = highest sequence present (clip_id carries the
+            # monotone sequence — FIXTURES.md §1, SURVEY.md §7.3)
+            frontier = clips.select(
+                F.max(F.substring("clip_id", 6, 9).cast("long")).alias("m")
+            ).collect()[0]["m"]
+
+    store = CheckpointStore(get_catalog(spark, args.checkpoint_dir))
+    skip = None if args.no_resume else store.completed_partitions(frontier)
+
+    rules = default_rules(with_audio=not args.no_audio)
+    t0 = time.time()
+    result = validate_clips(
+        clips,
+        manifest,
+        frontier=frontier,
+        rules=rules,
+        skip_partitions=skip,
+        run_id=args.run_id,
+        persist=True,
+    )
+    store.record_run(result, frontier=frontier)
+
+    verdicts = store.lineage().filter(F.col("run_id") == result.run_id)
+    agg = verdicts.agg(
+        F.sum("rows_checked").alias("rows"),
+        F.sum("violation_count").alias("violations"),
+    ).collect()[0]
+    per_det = {
+        r["detector"]: r["n"]
+        for r in verdicts.groupBy("detector")
+        .agg(F.sum("violation_count").alias("n"))
+        .collect()
+    }
+    dt = time.time() - t0
+    result.violations.unpersist()
+    # rows_checked is per (partition, detector); clips = rows of one detector
+    n_parts = verdicts.select("partition_key").distinct().count()
+    clips_n = (
+        verdicts.filter(F.col("detector") == "out-of-range")
+        .agg(F.sum("rows_checked"))
+        .collect()[0][0]
+        or 0
+    )
+    print(
+        json.dumps(
+            {
+                "run_id": result.run_id,
+                "frontier": frontier,
+                "partitions_validated": n_parts,
+                "clips_validated": int(clips_n),
+                "violations": int(agg["violations"] or 0),
+                "per_detector": per_det,
+                "seconds": round(dt, 2),
+                "clips_per_sec": round(clips_n / dt, 1) if dt > 0 else None,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -99,6 +99,8 @@ class SynthSpec:
     stop_fraction: float = 0.6
     drift_partition: int = 1  # dur distribution shifted ⇒ drift must flag
     drift_offset: int = 300
+    sr_drift_partition: int = 2  # sr_hz mix flipped ⇒ sr-drift must flag
+    sr_drift_pct: int = 50  # % of the partition's clips at the "other" rate
     # audio synth cost knob: sr for payload generation can be decimated in
     # tests (payload sr == sr_hz column value; keep real for correctness)
 
@@ -158,6 +160,14 @@ def plan_partition(p: int, spec: SynthSpec) -> pd.DataFrame:
                 max(0, spec.valid_dur[0] - 20 - (s * 11) % 180)
             )
         sr = spec.sr_hz
+        if (
+            p == spec.sr_drift_partition
+            and stable_hash(f"srd:{spec.seed}:{p}:{s}") % 100 < spec.sr_drift_pct
+        ):
+            # distribution drift on sr_hz (north rule: KS/PSI on dur_ms AND
+            # sr_hz): flip a fraction of one partition to the other valid
+            # rate — individually legal values, collectively a mix shift
+            sr = 8000 if spec.sr_hz != 8000 else 16000
         if _hit(s, MOD_BADSR):
             sr = 44100
         codec = "pcm16" if (stable_hash(f"c:{spec.seed}:{p}:{s}") % 100) < 80 else "mulaw"
@@ -214,12 +224,20 @@ def _render_rows(p: int, spec: SynthSpec) -> pd.DataFrame:
 
 
 def generate_clips(spark: SparkSession, spec: SynthSpec = SynthSpec()) -> DataFrame:
-    """Distributed clip generation: one task per partition tag."""
+    """Distributed clip generation: one task per partition tag.
+
+    Output is yielded in bounded chunks — a whole partition as one pandas
+    frame becomes one giant Arrow batch (30k clips ≈ 450 MB) and blows the
+    executor's direct-memory pool at high task concurrency.
+    """
+    chunk = 2000
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             for p in b["id"].tolist():
-                yield _render_rows(int(p), spec)
+                rows = _render_rows(int(p), spec)
+                for i in range(0, len(rows), chunk):
+                    yield rows.iloc[i : i + chunk]
 
     return (
         spark.range(spec.partitions)

@@ -25,8 +25,16 @@ from pyspark.sql import functions as F
 
 
 def iceberg_available(spark: SparkSession) -> bool:
+    """True only when a `local` Iceberg catalog is actually usable: the
+    catalog must be configured AND the runtime class loadable.
+    (py4j returns a JavaPackage stub for missing classes instead of
+    raising, so attribute access alone is NOT a valid probe.)"""
+    if spark.conf.get("spark.sql.catalog.local", None) is None:
+        return False
     try:
-        spark._jvm.org.apache.iceberg.catalog.Catalog  # noqa: SLF001
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
         return True
     except Exception:
         return False
