@@ -65,26 +65,23 @@ def profile_table(
 
     wide = df.groupBy(F.col(partition_col).alias("partition_key")).agg(*aggs)
 
-    # unpivot wide → long with stack(); null_rate derived from null_count
+    # unpivot wide → long with stack(); null_rate folds into the same
+    # stack (a union of `long` with a projection of `long` would make
+    # Catalyst evaluate the aggregation — and the scan — twice)
     stack_items = []
     for c, stat in per_col:
         stack_items.append(f"'{c}', '{stat}', cast(`{c}::{stat}` as double)")
+        if stat == "null_count":
+            stack_items.append(
+                f"'{c}', 'null_rate', cast(`{c}::{stat}` as double) / cast(__rows as double)"
+            )
     n = len(stack_items)
     long = wide.select(
         "partition_key",
         F.col("__rows").alias("rows"),
         F.expr(f"stack({n}, {', '.join(stack_items)}) as (column, stat, value)"),
     )
-    null_rates = long.filter(F.col("stat") == "null_count").select(
-        "partition_key",
-        "rows",
-        "column",
-        F.lit("null_rate").alias("stat"),
-        (F.col("value") / F.col("rows")).alias("value"),
-    )
-    return long.unionByName(null_rates).select(
-        "partition_key", "column", "stat", "value", "rows"
-    )
+    return long.select("partition_key", "column", "stat", "value", "rows")
 
 
 def drift_scores(
