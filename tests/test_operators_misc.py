@@ -125,3 +125,51 @@ def test_endpoint_filters(spark):
     one_type = get_anomalies(log, f, hours=72, anomaly_type="out-of-range")
     assert one_type.filter(F.col("anomaly_type") != "out-of-range").count() == 0
     assert one_type.count() > 0
+
+
+def test_chunked_window_equals_global_window(spark):
+    """operators/skew.py chunked_window_cols: the skew-safe
+    (partition, seq-chunk) window path must reproduce the global
+    per-partition window EXACTLY — same violations, same notes."""
+    from use_case_real_time_anomaly_detection_spark.plans.clips import validate_clips, default_rules
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        frontier_of,
+        generate_clips,
+        generate_manifest,
+    )
+
+    spec = SynthSpec(partitions=4, clips_per_partition=300)
+    clips = generate_clips(spark, spec).cache()
+    manifest = generate_manifest(spark, spec).cache()
+    rules = default_rules(with_audio=False)
+
+    def run(chunk):
+        res = validate_clips(
+            clips, manifest, frontier=frontier_of(spec), rules=rules,
+            window_chunk_size=chunk,
+        )
+        return {tuple(r) for r in res.violations.collect()}
+
+    baseline = run(None)
+    # chunk 120 > frame 50 (z-score window) — several chunks per partition
+    assert run(120) == baseline
+    assert baseline  # non-trivial
+    clips.unpersist()
+    manifest.unpersist()
+
+
+def test_chunked_window_rejects_small_chunks(spark):
+    from use_case_real_time_anomaly_detection_spark.operators.skew import chunked_window_cols
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunked_window_cols(
+            spark.range(1),
+            partition_col="id",
+            seq_col="id",
+            frame_rows=50,
+            chunk_size=10,
+            cols_builder=lambda w: [],
+        )

@@ -91,6 +91,7 @@ def compile_rules(
     frontier: int | None = None,
     refs: dict[str, DataFrame] | None = None,
     audio_check_columns: DataFrame | None = None,
+    window_chunk_size: int | None = None,
 ) -> CompiledPlan:
     """Compile ``rules`` over ``df`` into a single fused plan.
 
@@ -156,26 +157,50 @@ def compile_rules(
     if window_rules:
         if seq_col is None:
             raise ValueError("sequence rules need seq_col")
-        w = Window.partitionBy(partition_col).orderBy(seq_col)
-        cols: list[Column] = []
-        for r in window_rules:
-            if isinstance(r, RateOfChangeRule):
-                # ≙ lagInFrame(value/timestamp, 1) OVER (PARTITION BY id
-                #   ORDER BY timestamp) — tinybird/pipes/rate_of_change.pipe:31-34
-                cols.append(F.lag(r.column, 1).over(w).alias(f"__prev_{r.column}"))
-                cols.append(F.lag(seq_col, 1).over(w).alias("__prev_seq_roc"))
-            elif isinstance(r, GapRule):
-                cols.append(F.lag(seq_col, 1).over(w).alias("__prev_seq_gap"))
-            elif isinstance(r, ZScoreRule):
-                # Sliding count window per north star (SURVEY.md §2.5 W1
-                # generalization): trailing `window` rows, excluding self.
-                wf = w.rowsBetween(-r.window, -1)
-                cols.append(F.avg(r.column).over(wf).alias(f"__zavg_{r.column}"))
-                cols.append(
-                    F.stddev_pop(r.column).over(wf).alias(f"__zstd_{r.column}")
-                )
-                cols.append(F.count(r.column).over(wf).alias(f"__zcnt_{r.column}"))
-        base = base.select("*", *cols)
+
+        def window_cols(w) -> list[Column]:
+            cols: list[Column] = []
+            for r in window_rules:
+                if isinstance(r, RateOfChangeRule):
+                    # ≙ lagInFrame(value/timestamp, 1) OVER (PARTITION BY id
+                    #   ORDER BY timestamp) — tinybird/pipes/rate_of_change.pipe:31-34
+                    cols.append(F.lag(r.column, 1).over(w).alias(f"__prev_{r.column}"))
+                    cols.append(F.lag(seq_col, 1).over(w).alias("__prev_seq_roc"))
+                elif isinstance(r, GapRule):
+                    cols.append(F.lag(seq_col, 1).over(w).alias("__prev_seq_gap"))
+                elif isinstance(r, ZScoreRule):
+                    # Sliding count window per north star (SURVEY.md §2.5 W1
+                    # generalization): trailing `window` rows, excluding self.
+                    wf = w.rowsBetween(-r.window, -1)
+                    cols.append(F.avg(r.column).over(wf).alias(f"__zavg_{r.column}"))
+                    cols.append(
+                        F.stddev_pop(r.column).over(wf).alias(f"__zstd_{r.column}")
+                    )
+                    cols.append(F.count(r.column).over(wf).alias(f"__zcnt_{r.column}"))
+            return cols
+
+        if window_chunk_size is not None:
+            # skew-safe path (operators/skew.py): one task per
+            # (partition, seq-chunk) instead of one task per partition —
+            # at 10^12 rows a hot partition would otherwise be a single
+            # straggler task that AQE cannot split
+            from .skew import chunked_window_cols
+
+            frame_rows = max(
+                [1]
+                + [r.window for r in window_rules if isinstance(r, ZScoreRule)]
+            )
+            base = chunked_window_cols(
+                base,
+                partition_col=partition_col,
+                seq_col=seq_col,
+                frame_rows=frame_rows,
+                chunk_size=window_chunk_size,
+                cols_builder=window_cols,
+            )
+        else:
+            w = Window.partitionBy(partition_col).orderBy(seq_col)
+            base = base.select("*", *window_cols(w))
 
     # ---- per-partition IQR fences: two-level agg + broadcast join --------
     iqr_rules = [r for r in rules if isinstance(r, IqrRule)]

@@ -66,6 +66,7 @@ class ValidationEngine:
         skip_partitions: DataFrame | None = None,
         run_id: str | None = None,
         persist: bool = False,
+        window_chunk_size: int | None = None,
     ) -> RunResult:
         """Compile + evaluate ``rules`` over ``df`` (lazy: returned
         DataFrames trigger execution on action).
@@ -94,6 +95,7 @@ class ValidationEngine:
             seq_col=self.seq_col,
             frontier=frontier,
             refs=refs,
+            window_chunk_size=window_chunk_size,
         )
 
         # composite-key dedup ≙ dedup_log.pipe:4-6 (FIXTURES.md §3)

@@ -1,0 +1,89 @@
+"""Skew-handling operators (north rule: "codec/sr_hz skew handled via
+salted repartitioning and AQE").
+
+Three mechanisms, each matched to where skew actually bites this engine:
+
+1. AQE (session.py): skew-join splitting + partition coalescing — the
+   built-in half, covers joins and post-shuffle sizes.
+2. `salted_repartition` — spread a skewed low-cardinality key (codec:
+   ~80% pcm16) across `salt` x tasks for stages with no co-location
+   requirement (bulk writes, the storage layout's bucket column —
+   sources/tables.py write_clips_layout uses an id-hash bucket, the
+   write-time form of the same idea).
+3. `chunked_window_cols` — the hard case. Sequence windows
+   (lag / rolling stats) hash-partition by the table's partition key:
+   ONE task per partition, so at 10^12 rows a hot partition is a
+   straggler no matter how many executors exist, and AQE cannot split a
+   running window. The scale pattern: bucket the sequence axis into
+   fixed chunks, replicate each chunk's last `frame_rows` PRESENT rows
+   into the next chunk, evaluate the window inside (partition, chunk) —
+   parallelism becomes rows/chunk_size per partition — then drop the
+   replicas. Exact for frames up to `frame_rows` trailing rows provided
+   every chunk holds >= frame_rows rows (chunk_size >> frame_rows x
+   expected hole rate; verified exactly vs the global window in
+   tests/test_operators_misc.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def salted_repartition(
+    df: DataFrame, key_col: str, *, salt: int = 16
+) -> DataFrame:
+    """Repartition by (key, random-ish salt) so one heavy key value fans
+    out over `salt` tasks. The salt derives from a stable hash of the
+    whole row's key + a spread column when present — callers needing
+    determinism can add their own salt column first."""
+    return df.repartition(F.col(key_col), F.spark_partition_id() % salt)
+
+
+def chunked_window_cols(
+    df: DataFrame,
+    *,
+    partition_col: str,
+    seq_col: str,
+    frame_rows: int,
+    chunk_size: int,
+    cols_builder: Callable[[WindowSpec], list[Column]],
+) -> DataFrame:
+    """Evaluate trailing-frame window columns without one-task-per-key.
+
+    ``cols_builder(window_spec)`` returns the window Column expressions
+    (lag / avg / stddev over ``rowsBetween`` frames bounded by
+    ``frame_rows`` trailing rows). The columns are computed over a
+    (partition, chunk) window where each chunk is ``chunk_size`` wide on
+    the sequence axis and is prefixed with a replica of the previous
+    chunk's last ``frame_rows`` present rows, so every non-replica row
+    sees its full trailing frame. Replica rows are dropped before
+    returning — output rows == input rows, with the window columns
+    attached, identical to the global window provided each chunk
+    contains >= frame_rows rows.
+    """
+    if chunk_size <= frame_rows:
+        raise ValueError("chunk_size must exceed frame_rows")
+
+    chunk = F.floor(F.col(seq_col) / chunk_size)
+    own = df.withColumn("__chunk", chunk).withColumn("__replica", F.lit(False))
+
+    # last `frame_rows` PRESENT rows of each chunk (row_number over the
+    # chunk-local window — still skew-free: keyed by (partition, chunk))
+    w_tail = Window.partitionBy(partition_col, "__chunk0").orderBy(F.desc(seq_col))
+    tail = (
+        df.withColumn("__chunk0", chunk)
+        .withColumn("__rn", F.row_number().over(w_tail))
+        .filter(F.col("__rn") <= frame_rows)
+        .drop("__rn")
+        .withColumn("__chunk", F.col("__chunk0") + 1)
+        .drop("__chunk0")
+        .withColumn("__replica", F.lit(True))
+    )
+
+    u = own.unionByName(tail)
+    w = Window.partitionBy(partition_col, "__chunk").orderBy(seq_col)
+    out = u.select("*", *cols_builder(w))
+    return out.filter(~F.col("__replica")).drop("__chunk", "__replica")

@@ -67,6 +67,7 @@ def validate_clips(
     skip_partitions: DataFrame | None = None,
     run_id: str | None = None,
     persist: bool = False,
+    window_chunk_size: int | None = None,
 ) -> RunResult:
     """Run the full rule set over a clip table (any source)."""
     engine = ValidationEngine(
@@ -80,6 +81,7 @@ def validate_clips(
         skip_partitions=skip_partitions,
         run_id=run_id,
         persist=persist,
+        window_chunk_size=window_chunk_size,
     )
 
 

@@ -5,7 +5,8 @@ same settings apply in tests, bench runs, and the driver's verify:
 
 - AQE on (runtime re-planning, skew-join splitting, partition coalescing)
   — the north rule mandates explicit skew handling; AQE is the built-in
-  half of that (the other half is salting, see operators/compiler.py).
+  half of that (the explicit half is operators/skew.py: salted
+  repartition + chunked sequence-windows).
 - Arrow enabled for pandas UDF exchange (audio decode path).
 - shuffle.partitions sized for local[32]; on a real cluster this is
   overridden by --conf (AQE coalescing makes the initial number mostly
