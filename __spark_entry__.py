@@ -296,6 +296,12 @@ def _q_drift_events(spark, sf):
     )
 
 
+def _q_running_z_score(spark, sf):
+    """Prefix z-score (batch twin of the applyInPandasWithState streaming
+    operator): one cumulative window pass per key."""
+    return D.running_z_score(_events(spark, sf), threshold=3.0, min_periods=30)
+
+
 def _q_clips_profile(spark, sf):
     """Per-(partition, column) profiling stats of the synthetic clip table
     (ProfileSpec → functions/stats.py). Rows-only check: long-format stat
@@ -417,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_profile": _q_clips_profile,
         "image_features": _q_image_features,
         "drift_events": _q_drift_events,
+        "running_z_score": _q_running_z_score,
     }
 
 
@@ -899,6 +906,22 @@ _SQL_GET_ANOMALIES = (
 )
 
 
+_SQL_RUNNING_Z_SCORE = f"""
+WITH w AS (
+  SELECT user_id AS id, ts, value,
+         avg(value)        OVER pre AS a,
+         stddev_pop(value) OVER pre AS s,
+         count(value)      OVER pre AS c
+  FROM events
+  WINDOW pre AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT id, ts, value,
+       {_R("(value - a) / s", 4)} AS zscore
+FROM w
+WHERE c >= 30 AND s > 0 AND abs((value - a) / s) > 3.0
+"""
+
 _SQL_DRIFT_EVENTS = f"""
 WITH src AS (
   SELECT event_type AS pk, CAST(value AS DOUBLE) AS v
@@ -969,6 +992,7 @@ def oracle_sql() -> dict[str, str]:
         "monitor_logs": _SQL_MONITOR_LOGS,
         "get_anomalies": _SQL_GET_ANOMALIES,
         "drift_events": _SQL_DRIFT_EVENTS,
+        "running_z_score": _SQL_RUNNING_Z_SCORE,
         # simhash_pairs, ann_lsh, ann_ivf: hash-bit / centroid arithmetic is
         # engine-specific → rows-only check here, exact pandas oracles in
         # tests/test_dedup_text.py and tests/test_similarity.py.

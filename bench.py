@@ -39,6 +39,10 @@ HEADLINE = [
     "simhash_pairs",
     "ann_brute",
     "ann_ivf",
+    "running_z_score",
+    "drift_events",
+    "embed_neardup",
+    "monitor_logs",
 ]
 
 CLIPS_SPEC = dict(partitions=32, clips_per_partition=1000, sr_hz=8000)

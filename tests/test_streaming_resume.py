@@ -112,3 +112,124 @@ def test_resume_skips_completed_partitions(spark, tmp_path):
     # a HIGHER frontier invalidates completion → full re-run
     r3 = run_with_resume(spark, clips, manifest, store, frontier=fr + 10)
     assert r3.verdicts.select("partition_key").distinct().count() == SPEC.partitions
+
+
+# ---------------------------------------------------------------------------
+# stateful streaming: running z-score via applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+
+def _zscore_oracle(rows, threshold, min_periods):
+    """Pandas/python Welford over the full ordered stream — what the
+    streaming operator must equal regardless of micro-batch splits."""
+    import math
+
+    state = {}
+    flagged = []
+    for r in sorted(rows, key=lambda r: (r["id"], r["ts"])):
+        cnt, mean, m2 = state.get(r["id"], (0, 0.0, 0.0))
+        v = float(r["value"])
+        if cnt >= min_periods:
+            var = m2 / cnt
+            if var > 0:
+                z = (v - mean) / math.sqrt(var)
+                if abs(z) > threshold:
+                    flagged.append((r["id"], r["ts"], round(z, 4)))
+        cnt += 1
+        d = v - mean
+        mean += d / cnt
+        m2 += d * (v - mean)
+        state[r["id"]] = (cnt, mean, m2)
+    return set(flagged)
+
+
+def test_running_zscore_stateful_stream(spark, tmp_path):
+    """Two stream restarts over a checkpoint == one pandas pass: state
+    survives in the state store, flags are batch-boundary-independent."""
+    import random
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from use_case_real_time_anomaly_detection_spark.streaming.stateful import (
+        running_zscore_stream,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    t0 = 1700000000
+    for i in range(400):
+        for sensor in (1, 2):
+            v = rng.gauss(100.0 if sensor == 1 else 50.0, 2.0)
+            if i in (250, 300) and sensor == 1:
+                v += 40.0  # injected spikes MUST flag
+            rows.append(
+                {
+                    "id": sensor,
+                    "ts": f"2023-11-20T00:00:{0:02d}.{i:06d}",
+                    "ts_epoch": t0 + i,
+                    "value": round(v, 3),
+                }
+            )
+    # distinct second-resolution timestamps: encode i into seconds
+    for r in rows:
+        i = int(r["ts"][-6:])
+        r["ts"] = (
+            f"2023-11-{20 + i // 86400:02d}T"
+            f"{(i % 86400) // 3600:02d}:{(i % 3600) // 60:02d}:{i % 60:02d}"
+        )
+
+    src = tmp_path / "zs_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "zs_ckpt")
+    out_dir = str(tmp_path / "zs_out")
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("ts", StringType()),
+            StructField("value", StringType()),
+        ]
+    )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .json(str(src))
+            .selectExpr(
+                "id", "to_timestamp(ts) AS ts", "try_cast(value AS double) AS value"
+            )
+        )
+        q = (
+            running_zscore_stream(stream, threshold=4.0, min_periods=50)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    half = len(rows) // 2
+    _write_ndjson(str(src / "a.ndjson"), rows[:half])
+    run_once()
+    _write_ndjson(str(src / "b.ndjson"), rows[half:])
+    run_once()  # state restored from checkpoint, continues the prefix
+
+    got = {
+        (r["id"], r["ts"].isoformat(sep=" "), r["zscore"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    parsed = [
+        {"id": r["id"], "ts": r["ts"].replace("T", " "), "value": r["value"]}
+        for r in rows
+    ]
+    expected = _zscore_oracle(parsed, threshold=4.0, min_periods=50)
+    assert {(i, t, z) for (i, t, z) in got} == expected
+    # the injected spikes are among the flags
+    assert any(z > 4.0 for (_, _, z) in got)

@@ -196,6 +196,50 @@ def z_score(
     )
 
 
+def running_z_score(
+    events: DataFrame,
+    *,
+    threshold: float = 3.0,
+    min_periods: int = 30,
+) -> DataFrame:
+    """Prefix (expanding-window) z-score: each event scored against the
+    mean/stddevPop of ALL its key's prior events — the batch twin of the
+    stateful streaming operator (streaming/stateful.py
+    running_zscore_stream; both self-exclude the current row). One
+    cumulative window pass, single shuffle by id."""
+    w = (
+        Window.partitionBy("id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    avg_c = F.avg("value").over(w)
+    std_c = F.stddev_pop("value").over(w)
+    cnt_c = F.count("value").over(w)
+    z = (F.col("value") - avg_c) / std_c
+    return (
+        events.select(
+            "id", "ts", "value",
+            avg_c.alias("__avg"), std_c.alias("__std"), cnt_c.alias("__cnt"),
+            z.alias("__z"),
+        )
+        .filter(
+            (F.col("__cnt") >= min_periods)
+            & (F.col("__std") > 0)
+            & (F.abs(F.col("__z")) > threshold)
+        )
+        .select(
+            "id",
+            "ts",
+            "value",
+            # zscore only: the mean/std columns are rational numbers of
+            # 2-decimal inputs and routinely land EXACTLY on rounding
+            # midpoints, where engine summation order flips the 4th
+            # decimal — the quotient is boundary-safe (oracle parity)
+            F.round("__z", 4).alias("zscore"),
+        )
+    )
+
+
 def simple_z_score(
     events: DataFrame,
     frontier,

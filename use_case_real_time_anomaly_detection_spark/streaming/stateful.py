@@ -1,0 +1,103 @@
+"""Custom stateful streaming operator: running z-score per key.
+
+The reference's detectors re-evaluate trailing windows per run (no
+stream state — SURVEY.md §2.9 ST5). This module adds the genuinely
+streaming-native formulation the batch engine cannot express: an
+UNBOUNDED running mean/variance per sensor, carried across micro-batches
+in Spark state-store state (`applyInPandasWithState`), flagging each
+arriving event against the statistics of its entire history so far.
+
+State per key: Welford accumulators (count, mean, M2) — O(1) memory per
+key, mergeable, numerically stable; exactly the population stddev the
+reference's stddevPop computes (tinybird/pipes/z_score.pipe:18), but
+over the full prefix instead of a trailing window. An event is scored
+against the state BEFORE it (self-exclusion, like the engine's rolling
+z-score frame `rowsBetween(-k, -1)`), so flags are deterministic in
+event order and independent of micro-batch boundaries — proven in
+tests/test_streaming_resume.py by splitting the same stream 1-batch vs
+2-batches-with-checkpoint-restore and comparing to a pandas oracle.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "id long, ts timestamp, value double, zscore double, "
+    "average double, std_dev double"
+)
+STATE_SCHEMA = "count long, mean double, m2 double"
+
+
+def running_zscore_stream(
+    events: DataFrame,
+    *,
+    threshold: float = 3.0,
+    min_periods: int = 30,
+    id_col: str = "id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Streaming anomaly flags: |(v - mean_prefix) / std_prefix| > t.
+
+    ``events`` must be a streaming DataFrame. Within a micro-batch rows
+    are processed in (ts, *order_cols) order; across micro-batches the
+    state store carries the accumulators (and the checkpoint persists
+    them across restarts).
+    """
+    sort_cols = [ts_col, *order_cols]
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cnt, mean, m2 = state.get
+        else:
+            cnt, mean, m2 = 0, 0.0, 0.0
+
+        out: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(sort_cols, kind="mergesort")
+            for row in pdf.itertuples(index=False):
+                v = getattr(row, value_col)
+                if v is None or (isinstance(v, float) and math.isnan(v)):
+                    continue  # nulls neither score nor update state
+                v = float(v)
+                if cnt >= min_periods:
+                    var = m2 / cnt  # population variance of the prefix
+                    if var > 0.0:
+                        std = math.sqrt(var)
+                        z = (v - mean) / std
+                        if abs(z) > threshold:
+                            out.append(
+                                (
+                                    key[0],
+                                    getattr(row, ts_col),
+                                    v,
+                                    round(z, 4),
+                                    round(mean, 4),
+                                    round(std, 4),
+                                )
+                            )
+                cnt += 1
+                d = v - mean
+                mean += d / cnt
+                m2 += d * (v - mean)
+
+        state.update((cnt, mean, m2))
+        cols = ["id", "ts", "value", "zscore", "average", "std_dev"]
+        yield pd.DataFrame(out, columns=cols)
+
+    return events.groupBy(id_col).applyInPandasWithState(
+        fn,
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
