@@ -233,3 +233,30 @@ def test_running_zscore_stateful_stream(spark, tmp_path):
     assert {(i, t, z) for (i, t, z) in got} == expected
     # the injected spikes are among the flags
     assert any(z > 4.0 for (_, _, z) in got)
+
+
+def test_runner_cli_fresh_then_resume(spark, tmp_path, capsys):
+    """runner.main(): fresh run validates everything and prints metrics;
+    second run over the same checkpoint skips all completed partitions."""
+    from use_case_real_time_anomaly_detection_spark import runner
+
+    ckpt = str(tmp_path / "runner_ckpt")
+    rc = runner.main(
+        ["--synth", "4x120", "--checkpoint-dir", ckpt, "--run-id", "t1",
+         "--no-audio"]
+    )
+    assert rc == 0
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["partitions_validated"] == 4
+    assert out1["clips_validated"] > 400
+    assert out1["violations"] > 0
+    assert out1["per_detector"]["out-of-range"] > 0
+
+    rc = runner.main(
+        ["--synth", "4x120", "--checkpoint-dir", ckpt, "--run-id", "t2",
+         "--no-audio"]
+    )
+    assert rc == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["partitions_validated"] == 0  # resume: all complete
+    assert out2["clips_validated"] == 0
