@@ -93,15 +93,26 @@ def _q_anomalies_summary(spark, sf):
 
 
 def _q_profile_events(spark, sf):
+    # avg/stddev are computed from EXACT decimal sums (value is ~2-decimal
+    # quantized), so the result double is independent of partition /
+    # summation order — plain avg(double) rounded to 2 decimals lands on
+    # rounding midpoints where the digit flips run-to-run. The oracle
+    # mirrors the identical IEEE op sequence.
     ev = spark.read.parquet(f"{sf}/events.parquet")
+    vd = F.col("value").cast("decimal(18,2)")
+    s1 = F.sum(vd).cast("double")
+    s2 = F.sum(vd * vd).cast("double")
+    n = F.count("value")
+    mean = s1 / n
+    var = s2 / n - mean * mean
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("value").isNull().cast("long")).alias("null_count"),
         F.count_distinct("user_id").alias("n_users"),
         F.round(F.min("value"), 2).alias("min_value"),
         F.round(F.max("value"), 2).alias("max_value"),
-        F.round(F.avg("value"), 2).alias("avg_value"),
-        F.round(F.stddev_pop("value"), 2).alias("stddev_value"),
+        F.round(mean, 2).alias("avg_value"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 2).alias("stddev_value"),
         F.round(F.expr("percentile(value, 0.5D)"), 2).alias("median_value"),
     )
 
@@ -163,18 +174,25 @@ def _q_sessionize(spark, sf):
 
 
 def _q_pricing_summary(spark, sf):
+    # sum_disc_price / avg_disc go through exact decimal sums: their true
+    # values have 4 decimals, so rounding plain double sums sits on
+    # midpoints where summation order flips the digit (sum_qty /
+    # sum_base_price are integer- / 2-decimal-valued sums — midpoint-free
+    # at their rounding scale, so plain double sums are stable).
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    dd = F.col("l_discount").cast("decimal(18,2)")
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
+            F.round(F.sum(ep * (1 - dd)).cast("double"), 2).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(dd).cast("double") / F.count("l_discount"), 4).alias(
+                "avg_disc"
+            ),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -447,6 +465,17 @@ def _R(expr: str, d: int) -> str:
         f"CAST(ROUND(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,15)), {d}) AS DOUBLE)"
     )
 
+
+# Exact decimal sum / sum-of-squares / non-null count of `value` —
+# building blocks for summation-order-independent avg/stddevPop (see
+# plans/detectors.py z_score for why plain double avg is unstable here).
+_S1 = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+_S2 = (
+    "CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))"
+    " AS DOUBLE)"
+)
+_NV = "count(value)"
+
 _SQL_OUT_OF_RANGE = f"""
 SELECT user_id AS id, ts, value,
        CAST(1.0 AS DOUBLE) AS min_value, CAST(180.0 AS DOUBLE) AS max_value
@@ -494,25 +523,39 @@ FROM (
 
 _ZR = _R("(e.value - s.average) / s.stddev", 2)
 
-_SQL_Z_SCORE = f"""
-WITH stats AS (
-  SELECT user_id AS id, avg(value) AS average, stddev_pop(value) AS stddev
+# per-id avg/stddevPop from exact decimal sums — the same IEEE op
+# sequence as plans/detectors.py z_score (see comment there).
+_ZSTATS = f"""
+  SELECT user_id AS id,
+         {_S1} / {_NV} AS average,
+         sqrt(greatest({_S2} / {_NV} - ({_S1} / {_NV}) * ({_S1} / {_NV}), 0.0)) AS stddev
   FROM events
   WHERE ts BETWEEN {_FRONTIER} - INTERVAL 14 DAY AND {_FRONTIER}
   GROUP BY user_id
-)
+"""
+
+
+def _sql_z_score(threshold: str) -> str:
+    """z_score oracle parameterized by the |z| threshold (simple_z_score
+    is the same query at threshold 3 — built via this template, not
+    textual substitution)."""
+    return f"""
+WITH stats AS ({_ZSTATS})
 SELECT e.user_id AS id, e.ts, e.value,
        {_ZR} AS zscore,
-       CASE WHEN {_ZR} < -2.0 THEN 'low'
-            WHEN {_ZR} >  2.0 THEN 'high'
+       CASE WHEN {_ZR} < -{threshold} THEN 'low'
+            WHEN {_ZR} >  {threshold} THEN 'high'
             ELSE 'ok' END AS test,
        {_R("s.average", 2)} AS average,
        {_R("s.stddev", 2)} AS stddev
 FROM events e JOIN stats s ON s.id = e.user_id
 WHERE e.ts BETWEEN {_FRONTIER} - INTERVAL 3 DAY AND {_FRONTIER}
   AND s.stddev > 0
-  AND abs({_ZR}) > 2.0
+  AND abs({_ZR}) > {threshold}
 """
+
+
+_SQL_Z_SCORE = _sql_z_score("2.0")
 
 _SQL_IQR = f"""
 WITH stats AS (
@@ -566,10 +609,7 @@ WITH oor AS (
     FROM events
   ) WHERE rn = 1 AND ts < {_FRONTIER} - INTERVAL 2 DAY
 ), zstats AS (
-  SELECT user_id AS id, avg(value) AS average, stddev_pop(value) AS stddev
-  FROM events
-  WHERE ts BETWEEN {_FRONTIER} - INTERVAL 14 DAY AND {_FRONTIER}
-  GROUP BY user_id
+{_ZSTATS}
 ), zs AS (
   SELECT id, ts, value, 'z-score' AS anomaly_type,
          'z-score: ' || substring(CAST(zscore AS VARCHAR), 1, 6)
@@ -620,15 +660,19 @@ _SQL_ANOMALIES_SUMMARY = (
     "FROM log GROUP BY anomaly_type"
 )
 
+# avg/stddev from exact decimal sums, identical IEEE op order to the
+# Spark side (see _q_profile_events). Integer sums are CAST to BIGINT:
+# DuckDB sum(int) is HUGEINT, which lands in pandas as float64 and
+# hash-mismatches Spark's int64.
 _SQL_PROFILE_EVENTS = f"""
 SELECT event_type,
        count(*) AS n_rows,
-       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_count,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
        count(DISTINCT user_id) AS n_users,
        {_R("min(value)", 2)} AS min_value,
        {_R("max(value)", 2)} AS max_value,
-       {_R("avg(value)", 2)} AS avg_value,
-       {_R("stddev_pop(value)", 2)} AS stddev_value,
+       {_R(f"{_S1} / {_NV}", 2)} AS avg_value,
+       {_R(f"sqrt(greatest({_S2} / {_NV} - ({_S1} / {_NV}) * ({_S1} / {_NV}), 0.0))", 2)} AS stddev_value,
        {_R("quantile_cont(value, 0.5)", 2)} AS median_value
 FROM events GROUP BY event_type
 """
@@ -659,8 +703,8 @@ WITH o AS (
   FROM o
 ), s AS (
   SELECT user_id, ts,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM m
 )
 SELECT user_id AS id, session_id, count(*) AS n_events,
@@ -672,9 +716,9 @@ _SQL_PRICING_SUMMARY = f"""
 SELECT l_returnflag, l_linestatus,
        {_R("sum(l_quantity)", 2)} AS sum_qty,
        {_R("sum(l_extendedprice)", 2)} AS sum_base_price,
-       {_R("sum(l_extendedprice * (1 - l_discount))", 2)} AS sum_disc_price,
+       {_R("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)", 2)} AS sum_disc_price,
        {_R("avg(l_quantity)", 4)} AS avg_qty,
-       {_R("avg(l_discount)", 4)} AS avg_disc,
+       {_R("CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount)", 4)} AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= DATE '1998-09-02'
@@ -728,18 +772,21 @@ _LANG_CASE = {
     "fr": "('le','la','les','des','avec','pour')",
 }
 
+# CASE mirrors the Spark argmax loop exactly (alphabetical tie-break:
+# en beats es beats fr on ties); sums CAST to BIGINT (HUGEINT → float64
+# in pandas otherwise).
 _SQL_LANGID = f"""
 WITH tok AS ({_TOK}),
 sc AS (
   SELECT doc_id,
-         sum(CASE WHEN token IN {_LANG_CASE['en']} THEN 1 ELSE 0 END) AS s_en,
-         sum(CASE WHEN token IN {_LANG_CASE['es']} THEN 1 ELSE 0 END) AS s_es,
-         sum(CASE WHEN token IN {_LANG_CASE['fr']} THEN 1 ELSE 0 END) AS s_fr
+         CAST(sum(CASE WHEN token IN {_LANG_CASE['en']} THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
+         CAST(sum(CASE WHEN token IN {_LANG_CASE['es']} THEN 1 ELSE 0 END) AS BIGINT) AS s_es,
+         CAST(sum(CASE WHEN token IN {_LANG_CASE['fr']} THEN 1 ELSE 0 END) AS BIGINT) AS s_fr
   FROM tok WHERE token <> '' GROUP BY doc_id
 )
 SELECT doc_id,
-       CASE WHEN s_es > s_en AND s_fr <= s_es THEN 'es'
-            WHEN s_fr > s_en AND (s_es <= s_en OR s_fr > s_es) THEN 'fr'
+       CASE WHEN s_fr > s_en AND s_fr > s_es THEN 'fr'
+            WHEN s_es > s_en THEN 'es'
             ELSE 'en' END AS lang_pred,
        greatest(s_en, s_es, s_fr) AS lang_score
 FROM sc
@@ -878,11 +925,10 @@ SELECT a_id, b_id, cosine FROM c WHERE cosine >= 0.4
 """
 
 # simple_z_score = z_score with multiplier 3 + the multiplier echoed
-# (simple_z_score.pipe:45-60); built from the z_score oracle by constant
-# substitution (the only occurrences of "2.0" there are the threshold).
+# (simple_z_score.pipe:45-60); same parameterized template as z_score.
 _SQL_SIMPLE_Z_SCORE = (
     "SELECT *, CAST(3.0 AS DOUBLE) AS zscore_multiplier FROM (\n"
-    + _SQL_Z_SCORE.replace("2.0", "3.0")
+    + _sql_z_score("3.0")
     + "\n)"
 )
 

@@ -44,6 +44,20 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def kind_mismatch(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
+    """Columns whose numeric FAMILY differs (int vs float). The driver
+    hashes raw values, so DuckDB HUGEINT→float64 (e.g. sum(int)) prints
+    `3.0` against Spark's `3` and fails the hash even though the
+    stringified normalize() above masks it. Flag it here."""
+    fam = lambda k: {"i": "int", "u": "int", "f": "float"}.get(k)
+    bad = []
+    for c in set(a.columns) & set(b.columns):
+        fa, fb = fam(a[c].dtype.kind), fam(b[c].dtype.kind)
+        if fa != fb and (fa or fb):
+            bad.append(f"{c}: spark={a[c].dtype} oracle={b[c].dtype}")
+    return bad
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -85,10 +99,17 @@ def main() -> int:
             print(f"FAIL  {name:22s} duckdb error: {exc}")
             failures.append(name)
             continue
+        kinds = kind_mismatch(
+            sdf.reindex(sorted(sdf.columns), axis=1),
+            odf.reindex(sorted(odf.columns), axis=1),
+        )
         a, b = normalize(sdf), normalize(odf)
         status = "ok  "
         detail = ""
-        if list(a.columns) != list(b.columns):
+        if kinds:
+            status = "FAIL"
+            detail = f"dtype family mismatch: {kinds}"
+        elif list(a.columns) != list(b.columns):
             status = "FAIL"
             detail = f"cols spark={list(a.columns)} oracle={list(b.columns)}"
         elif len(a) != len(b):

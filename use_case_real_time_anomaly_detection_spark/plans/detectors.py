@@ -160,12 +160,23 @@ def z_score(
     the *intended* semantics; the reference's WHERE has a precedence
     quirk that evaluates to the same set, SURVEY.md §2.8.1), with the
     low/high label (F3)."""
+    # avg/stddevPop from EXACT decimal sums: `value` is ~2-decimal
+    # quantized, so plain double avg is summation-order dependent and its
+    # 2-decimal rounding lands on midpoints that flip run-to-run. The
+    # decimal sums are exact (order-independent); the double ops after
+    # the cast are a fixed IEEE sequence the DuckDB oracle mirrors 1:1.
+    vd = F.col("value").cast("decimal(18,2)")
+    s1 = F.sum(vd).cast("double")
+    s2 = F.sum(vd * vd).cast("double")
+    n = F.count("value")
+    mean = s1 / n
+    var = s2 / n - mean * mean
     stats = (
         events.filter(_between(frontier, stats_window_seconds))
         .groupBy("id")
         .agg(
-            F.avg("value").alias("average"),
-            F.stddev_pop("value").alias("stddev"),
+            mean.alias("average"),
+            F.sqrt(F.greatest(var, F.lit(0.0))).alias("stddev"),
         )
     )
     # NOTE: ClickHouse lets later expressions reference SELECT aliases, so
