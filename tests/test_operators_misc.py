@@ -173,3 +173,72 @@ def test_chunked_window_rejects_small_chunks(spark):
             chunk_size=10,
             cols_builder=lambda w: [],
         )
+
+
+def test_chunked_window_exact_across_empty_chunks(spark):
+    """A seq gap wider than chunk_size leaves whole chunks empty; the
+    tail replica must route to the next NON-EMPTY chunk so the first row
+    after the gap still sees its true previous row (exactly the rows a
+    GapRule exists to flag)."""
+    from pyspark.sql import Window
+
+    from use_case_real_time_anomaly_detection_spark.operators.skew import chunked_window_cols
+
+    # partition p: seqs 0..39, then a gap of 3 empty 20-chunks, then 100..139
+    rows = [("p", s, float(s)) for s in range(40)]
+    rows += [("p", s, float(s)) for s in range(100, 140)]
+    # second partition with its own gap pattern (each non-empty chunk
+    # holds >= frame_rows rows — the documented exactness precondition)
+    rows += [("q", s, float(s * 2)) for s in (0, 1, 2, 55, 56, 57, 90)]
+    df = spark.createDataFrame(rows, "part string, seq long, v double").repartition(8)
+
+    def cols(w):
+        return [
+            F.lag("v", 1).over(w).alias("prev_v"),
+            F.lag("seq", 1).over(w).alias("prev_seq"),
+            F.avg("v").over(w.rowsBetween(-3, -1)).alias("roll_avg"),
+        ]
+
+    w_global = Window.partitionBy("part").orderBy("seq")
+    expected = {tuple(r) for r in df.select("*", *cols(w_global)).collect()}
+    got = {
+        tuple(r)
+        for r in chunked_window_cols(
+            df,
+            partition_col="part",
+            seq_col="seq",
+            frame_rows=3,
+            chunk_size=20,
+            cols_builder=cols,
+        ).collect()
+    }
+    assert got == expected
+    # sanity: the gap rows really cross empty chunks
+    assert ("p", 100, 100.0, 39.0, 39, (37.0 + 38.0 + 39.0) / 3) in expected
+
+
+def test_salted_repartition_fans_out_hot_key(spark):
+    """A single hot key already clustered in ONE input partition must
+    spread over >= salt/2 output partitions (the salt is per-row, not
+    per-input-partition)."""
+    from use_case_real_time_anomaly_detection_spark.operators.skew import salted_repartition
+
+    hot = (
+        spark.range(5000)
+        .select(F.lit("pcm16").alias("codec"), F.col("id"))
+        .coalesce(1)  # the typical skew case: hot key pre-clustered
+    )
+    # AQE would (correctly) re-coalesce these tiny partitions; disable it
+    # here to observe the raw fan-out the salt provides.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # 256 target partitions so the 16 salted keys rarely collide —
+        # the assertion is about the salt mechanism, not hash collisions
+        out = salted_repartition(hot, "codec", salt=16, num_partitions=256)
+        n_parts = (
+            out.select(F.spark_partition_id().alias("p")).distinct().count()
+        )
+        assert n_parts >= 8, n_parts
+        assert out.count() == 5000
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -260,3 +260,78 @@ def test_runner_cli_fresh_then_resume(spark, tmp_path, capsys):
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["partitions_validated"] == 0  # resume: all complete
     assert out2["clips_validated"] == 0
+
+
+def test_running_zscore_multichunk_out_of_order(spark, tmp_path):
+    """A large group arrives as MULTIPLE Arrow chunks, in no guaranteed
+    order (here: written newest-first, 64-row chunks). Flags must still
+    equal the ordered pandas oracle — the operator concatenates the
+    chunk iterator and sorts once, not per-chunk."""
+    import random
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from use_case_real_time_anomaly_detection_spark.streaming.stateful import (
+        running_zscore_stream,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(600):
+        v = rng.gauss(10.0, 1.0)
+        if i in (400, 500):
+            v += 20.0
+        rows.append(
+            {
+                "id": 1,
+                "ts": f"2023-11-{20 + i // 86400:02d}T"
+                f"{(i % 86400) // 3600:02d}:{(i % 3600) // 60:02d}:{i % 60:02d}",
+                "value": round(v, 3),
+            }
+        )
+
+    src = tmp_path / "mc_in"
+    src.mkdir()
+    _write_ndjson(str(src / "a.ndjson"), rows[::-1])  # newest-first on disk
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("ts", StringType()),
+            StructField("value", StringType()),
+        ]
+    )
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .json(str(src))
+            .selectExpr(
+                "id", "to_timestamp(ts) AS ts", "try_cast(value AS double) AS value"
+            )
+        )
+        out_dir = str(tmp_path / "mc_out")
+        q = (
+            running_zscore_stream(stream, threshold=4.0, min_periods=50)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "mc_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = {
+            (r["id"], r["ts"].isoformat(sep=" "), r["zscore"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+
+    parsed = [
+        {"id": r["id"], "ts": r["ts"].replace("T", " "), "value": r["value"]}
+        for r in rows
+    ]
+    expected = _zscore_oracle(parsed, threshold=4.0, min_periods=50)
+    assert got == expected
+    assert len(got) >= 2  # both injected spikes flagged

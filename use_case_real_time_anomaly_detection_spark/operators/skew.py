@@ -16,12 +16,13 @@ Three mechanisms, each matched to where skew actually bites this engine:
    straggler no matter how many executors exist, and AQE cannot split a
    running window. The scale pattern: bucket the sequence axis into
    fixed chunks, replicate each chunk's last `frame_rows` PRESENT rows
-   into the next chunk, evaluate the window inside (partition, chunk) —
-   parallelism becomes rows/chunk_size per partition — then drop the
-   replicas. Exact for frames up to `frame_rows` trailing rows provided
-   every chunk holds >= frame_rows rows (chunk_size >> frame_rows x
-   expected hole rate; verified exactly vs the global window in
-   tests/test_operators_misc.py).
+   into the next NON-EMPTY chunk, evaluate the window inside
+   (partition, chunk) — parallelism becomes rows/chunk_size per
+   partition — then drop the replicas. Exact for frames up to
+   `frame_rows` trailing rows provided every non-empty chunk holds
+   >= frame_rows rows (empty chunks — seq gaps wider than chunk_size —
+   are handled by the chunk directory; verified exactly vs the global
+   window, including the gap case, in tests/test_operators_misc.py).
 """
 
 from __future__ import annotations
@@ -33,13 +34,32 @@ from pyspark.sql import functions as F
 
 
 def salted_repartition(
-    df: DataFrame, key_col: str, *, salt: int = 16
+    df: DataFrame,
+    key_col: str,
+    *,
+    salt: int = 16,
+    spread_cols: tuple[str, ...] = (),
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """Repartition by (key, random-ish salt) so one heavy key value fans
-    out over `salt` tasks. The salt derives from a stable hash of the
-    whole row's key + a spread column when present — callers needing
-    determinism can add their own salt column first."""
-    return df.repartition(F.col(key_col), F.spark_partition_id() % salt)
+    """Repartition by (key, per-ROW salt) so one heavy key value fans out
+    over up to `salt` tasks.
+
+    The salt is `pmod(xxhash64(key, spread...), salt)` — a per-row
+    expression, NOT anything derived from the input partition id: a hot
+    key concentrated in few input partitions (the typical skew case —
+    data already clustered by key) must still spread over all `salt`
+    buckets. With no ``spread_cols`` the spread term is
+    ``monotonically_increasing_id()``, unique per row.
+    """
+    spread = (
+        [F.col(c) for c in spread_cols]
+        if spread_cols
+        else [F.monotonically_increasing_id()]
+    )
+    salt_col = F.pmod(F.xxhash64(F.col(key_col), *spread), F.lit(salt))
+    if num_partitions is not None:
+        return df.repartition(num_partitions, F.col(key_col), salt_col)
+    return df.repartition(F.col(key_col), salt_col)
 
 
 def chunked_window_cols(
@@ -58,10 +78,11 @@ def chunked_window_cols(
     ``frame_rows`` trailing rows). The columns are computed over a
     (partition, chunk) window where each chunk is ``chunk_size`` wide on
     the sequence axis and is prefixed with a replica of the previous
-    chunk's last ``frame_rows`` present rows, so every non-replica row
-    sees its full trailing frame. Replica rows are dropped before
-    returning — output rows == input rows, with the window columns
-    attached, identical to the global window provided each chunk
+    NON-EMPTY chunk's last ``frame_rows`` present rows, so every
+    non-replica row sees its full trailing frame even across seq gaps
+    wider than a chunk. Replica rows are dropped before returning —
+    output rows == input rows, with the window columns attached,
+    identical to the global window provided each non-empty chunk
     contains >= frame_rows rows.
     """
     if chunk_size <= frame_rows:
@@ -69,6 +90,22 @@ def chunked_window_cols(
 
     chunk = F.floor(F.col(seq_col) / chunk_size)
     own = df.withColumn("__chunk", chunk).withColumn("__replica", F.lit(False))
+
+    # Chunk directory: each NON-EMPTY chunk's successor non-empty chunk.
+    # Tails must replicate into the next chunk that actually has rows —
+    # chunk+1 may be empty (a seq gap wider than chunk_size: exactly the
+    # data a GapRule violation describes), and routing the tail there
+    # would leave the next present row with a NULL lag instead of its
+    # true predecessor. The directory is rows/chunk_size entries (tiny
+    # relative to the data; chunk_size is chosen ≫ frame_rows), so the
+    # join back is a broadcast.
+    w_next = Window.partitionBy(partition_col).orderBy("__chunk0")
+    nxt = (
+        df.select(F.col(partition_col), chunk.alias("__chunk0"))
+        .distinct()
+        .withColumn("__next", F.lead("__chunk0").over(w_next))
+        .filter(F.col("__next").isNotNull())
+    )
 
     # last `frame_rows` PRESENT rows of each chunk (row_number over the
     # chunk-local window — still skew-free: keyed by (partition, chunk))
@@ -78,8 +115,9 @@ def chunked_window_cols(
         .withColumn("__rn", F.row_number().over(w_tail))
         .filter(F.col("__rn") <= frame_rows)
         .drop("__rn")
-        .withColumn("__chunk", F.col("__chunk0") + 1)
-        .drop("__chunk0")
+        .join(F.broadcast(nxt), [partition_col, "__chunk0"])
+        .withColumn("__chunk", F.col("__next"))
+        .drop("__chunk0", "__next")
         .withColumn("__replica", F.lit(True))
     )
 

@@ -31,9 +31,6 @@ _DEFAULT_CONFS: dict[str, str] = {
     # where the giant buffers became G1 humongous allocations and GC
     # serialized the whole Arrow exchange.
     "spark.sql.execution.arrow.maxRecordsPerBatch": "256",
-    # Keep multi-MB Arrow/columnar buffers out of G1's humongous path
-    # (regions default to 4-8 MB at these heap sizes).
-    "spark.driver.extraJavaOptions": "-XX:G1HeapRegionSize=32m",
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
@@ -63,6 +60,18 @@ def get_spark(
     builder = SparkSession.builder.master(master).appName(app_name)
     for k, v in _DEFAULT_CONFS.items():
         builder = builder.config(k, v)
+    # Keep multi-MB Arrow/columnar buffers out of G1's humongous path
+    # (regions default to 4-8 MB at these heap sizes; measured 3x on the
+    # audio decode exchange). driver.extraJavaOptions only takes effect
+    # when THIS call launches the driver JVM — under spark-submit (the
+    # JVM spawned this Python process: PYSPARK_GATEWAY_PORT is set) it is
+    # silently ignored, so there it must be passed via
+    # --driver-java-options / spark-defaults.conf instead; we skip it to
+    # keep the ignored setting out of the session conf.
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        builder = builder.config(
+            "spark.driver.extraJavaOptions", "-XX:G1HeapRegionSize=32m"
+        )
     for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

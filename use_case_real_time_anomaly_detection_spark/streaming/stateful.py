@@ -62,8 +62,18 @@ def running_zscore_stream(
             cnt, mean, m2 = 0, 0.0, 0.0
 
         out: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        # A large group's micro-batch arrives as MULTIPLE Arrow chunks in
+        # this iterator, in no guaranteed order — sorting each chunk
+        # independently would process rows out of global (ts, *order_cols)
+        # order and make flags batch-boundary dependent. Concatenate
+        # first, sort once. (Within one micro-batch the whole group must
+        # fit in memory anyway — that is applyInPandasWithState's own
+        # contract, not an extra bound this concat introduces.)
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                sort_cols, kind="mergesort"
+            )
             for row in pdf.itertuples(index=False):
                 v = getattr(row, value_col)
                 if v is None or (isinstance(v, float) and math.isnan(v)):
