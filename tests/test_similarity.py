@@ -136,3 +136,42 @@ def test_neardup_lsh_is_subset_with_recall(emb, np_data):
     assert lsh <= brute
     assert len(brute) > 0
     assert len(lsh) / len(brute) >= 0.2  # 4 planes ⇒ ≥ (1 - θ/π)^4 expected
+
+
+def test_neardup_lsh_banded_recall(spark):
+    """OR-construction (8 bands x 6 planes) must reach >= 0.95 measured
+    recall vs brute at threshold 0.9 on a corpus with real near-dups
+    (base vectors + small perturbations)."""
+    from use_case_real_time_anomaly_detection_spark.functions.similarity import (
+        neardup_pairs,
+        neardup_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(123)
+    base = rng.normal(size=(120, 32))
+    rows = []
+    vid = 0
+    for i in range(120):
+        rows.append((vid, [float(x) for x in base[i]]))
+        vid += 1
+        # two perturbed near-duplicates of each base vector
+        for _ in range(2):
+            noisy = base[i] + rng.normal(scale=0.08, size=32)
+            rows.append((vid, [float(x) for x in noisy]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    brute = {
+        (r["a_id"], r["b_id"])
+        for r in neardup_pairs(emb, threshold=0.9).collect()
+    }
+    assert len(brute) >= 100  # the corpus genuinely contains near-dups
+    lsh = {
+        (r["a_id"], r["b_id"])
+        for r in neardup_pairs_lsh(
+            emb, threshold=0.9, n_planes=6, bands=8
+        ).collect()
+    }
+    assert lsh <= brute  # exact verify: no false positives
+    recall = len(lsh & brute) / len(brute)
+    assert recall >= 0.95, f"banded LSH recall = {recall}"

@@ -121,15 +121,19 @@ def lsh_bucketed(
     *,
     n_planes: int = 8,
     vec_col: str = "embedding",
+    plane_offset: int = 0,
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket = sign-bit pattern of dot products
     with n_planes fixed hyperplanes. Appends a `bucket` long column; at
     scale this becomes the write-time partition/cluster key so ANN reads
-    prune to one bucket."""
+    prune to one bucket. ``plane_offset`` selects an independent plane
+    family (band b uses planes [b·n_planes, (b+1)·n_planes))."""
     dim_count = len(emb.select(vec_col).first()[0])
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        plane = F.array(*[F.lit(hyperplane(p, d)) for d in range(dim_count)])
+        plane = F.array(
+            *[F.lit(hyperplane(plane_offset + p, d)) for d in range(dim_count)]
+        )
         bit = (_dot(F.col(vec_col), plane) > 0).cast("long")
         bucket = bucket + F.shiftleft(bit, p)
     return emb.withColumn("bucket", bucket)
@@ -178,54 +182,101 @@ def neardup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a, b) with a < b and
     round(cosine, 4) >= threshold. Exact (no pruning).
 
-    Block matrix multiply, not a pairwise join: Spark's higher-order
-    functions (zip_with/aggregate) evaluate interpreted per ELEMENT, so
-    an O(n²) join costs n²·d interpreted ops (measured ~70 s for
-    n=2000, d=64). Instead the normalized matrix is broadcast once and
-    each Arrow batch of rows does ONE float64 GEMM against it
-    (n_batch × d @ d × n — BLAS), then emits the above-threshold pairs.
-    At 10^12 scale the broadcast side becomes the inner loop of a
-    block × block cross-join over bucket blocks; the per-task GEMM is
-    unchanged. The comparison runs on the ROUNDED cosine so last-ulp
-    float noise cannot flip a boundary pair.
+    Distributed BLOCK GEMM — the classic all-pairs "triangle" scheme,
+    with NO driver-side collect and NO full-table broadcast:
+
+    1. hash every row into one of ``n_blocks`` blocks
+       (pmod(xxhash64(id), B));
+    2. replicate each row to the B block-PAIR tasks it participates in
+       (pair (min(b,j), max(b,j)) for j in 0..B-1) — shuffle volume is
+       B × data, spread over B(B+1)/2 independent tasks;
+    3. each (bi, bj) task receives exactly blocks bi and bj, normalizes
+       them once, and does ONE float64 GEMM (|bi| × d @ d × |bj| —
+       BLAS), emitting the above-threshold pairs. Every unordered pair
+       lands in exactly one task (the one keyed by its two blocks), so
+       no post-dedup is needed.
+
+    A naive pairwise equi-join is ~100× slower here: Spark's
+    higher-order functions (zip_with/aggregate) evaluate interpreted
+    per ELEMENT, so an O(n²) join costs n²·d interpreted ops (measured
+    ~70 s for n=2000, d=64). Per-task memory is O(2·N/B·d) — pick
+    n_blocks so two blocks fit an executor; the total O(N²·d) FLOPs are
+    inherent to the EXACT variant. At 10^12 rows exact all-pairs is not
+    a sane query — ``neardup_pairs_lsh`` (bucket-join candidates +
+    exact verify) is the scale path; this operator is the exactness
+    baseline and stays correct/distributed at any N that fits the FLOP
+    budget. Comparison runs on the ROUNDED cosine so last-ulp float
+    noise cannot flip a boundary pair.
     """
     import numpy as np
     import pandas as pd
 
-    spark = emb.sparkSession
-    pdf = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
-    ids = pdf["id"].to_numpy()
-    mat = np.array([list(v) for v in pdf["v"]], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    tagged = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+    )
+    # one struct per target block-pair; explode → B replicas per row
+    targets = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.least(F.col("blk"), F.lit(j)).alias("bi"),
+                    F.greatest(F.col("blk"), F.lit(j)).alias("bj"),
+                )
+                for j in range(n_blocks)
+            ]
+        )
+    ).alias("pair")
+    rep = tagged.select("id", "v", "blk", targets).select(
+        "id", "v", "blk", F.col("pair.bi").alias("bi"), F.col("pair.bj").alias("bj")
+    )
 
-    def block(batches):
-        all_ids = b_ids.value
-        m = b_mat.value
-        for pdf_b in batches:
-            a = np.array([list(v) for v in pdf_b["v"]], dtype=np.float64)
-            a = a / np.linalg.norm(a, axis=1, keepdims=True)
-            sims = np.round(a @ m.T, 4)
-            rows_a, rows_b = np.nonzero(sims >= threshold)
-            a_ids = pdf_b["id"].to_numpy()[rows_a]
-            other = all_ids[rows_b]
-            keep = a_ids < other
-            yield pd.DataFrame(
-                {
-                    "a_id": a_ids[keep],
-                    "b_id": other[keep],
-                    "cosine": sims[rows_a[keep], rows_b[keep]],
-                }
-            )
+    def _mat(pdf_side: pd.DataFrame):
+        ids = pdf_side["id"].to_numpy()
+        m = np.array(pdf_side["v"].tolist(), dtype=np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return ids, m
 
-    return emb.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).mapInPandas(block, "a_id long, b_id long, cosine double")
+    def task(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        empty = pd.DataFrame({"a_id": [], "b_id": [], "cosine": []})
+        side_a = pdf[pdf["blk"] == bi]
+        if side_a.empty:
+            return empty
+        ids_a, mat_a = _mat(side_a)
+        if bi == bj:
+            ids_b, mat_b = ids_a, mat_a
+        else:
+            side_b = pdf[pdf["blk"] == bj]
+            if side_b.empty:
+                return empty
+            ids_b, mat_b = _mat(side_b)
+        sims = np.round(mat_a @ mat_b.T, 4)
+        ra, rb = np.nonzero(sims >= threshold)
+        xa, xb = ids_a[ra], ids_b[rb]
+        if bi == bj:
+            # full square computed: keep strict upper triangle by id
+            # (drops self-pairs and the mirrored duplicate)
+            keep = xa < xb
+            ra, rb, xa, xb = ra[keep], rb[keep], xa[keep], xb[keep]
+        # cross-block pairs appear in ONE orientation only — order by id
+        return pd.DataFrame(
+            {
+                "a_id": np.minimum(xa, xb),
+                "b_id": np.maximum(xa, xb),
+                "cosine": sims[ra, rb],
+            }
+        )
+
+    return rep.groupBy("bi", "bj").applyInPandas(
+        task, "a_id long, b_id long, cosine double"
+    )
 
 
 def neardup_pairs_lsh(
@@ -233,27 +284,44 @@ def neardup_pairs_lsh(
     *,
     threshold: float = 0.9,
     n_planes: int = 6,
+    bands: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Scale path for near-dup: candidates = pairs sharing an LSH bucket
-    (equi-join on bucket → shuffle-hash/sort-merge join, no cross
-    product), then exact-cosine verify. Recall < 1 by construction
-    (sign-LSH misses some near-pairs across bucket boundaries); raise
-    n_planes bands or multi-probe for higher recall — tested against the
-    brute baseline in tests/test_similarity.py."""
-    bucketed = lsh_bucketed(emb, n_planes=n_planes, vec_col=vec_col)
-    a = bucketed.select(
-        "bucket", F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec")
+    """Scale path for near-dup: candidates = pairs sharing a bucket in
+    ANY of ``bands`` independent sign-LSH tables (the OR-construction),
+    then exact-cosine verify — results ⊆ the brute-force pairs always.
+
+    One band's recall for a pair at angle θ is (1-θ/π)^n_planes; b
+    bands lift it to 1-(1-r)^b. At threshold 0.9 (θ≈0.451 rad),
+    n_planes=6 / bands=8 gives ≈0.98 expected recall — measured ≥0.95
+    in tests/test_similarity.py. The band join is a single equi-join on
+    (band, bucket): no cross product, shuffle volume bands × ids (ids
+    only — vectors are re-joined per side for the verify, so the heavy
+    array column never fans out with the bands)."""
+    banded = None
+    for b in range(bands):
+        one = lsh_bucketed(
+            emb, n_planes=n_planes, vec_col=vec_col, plane_offset=b * n_planes
+        ).select(
+            F.lit(b).alias("band"), F.col("bucket"), F.col(id_col).alias("id")
+        )
+        banded = one if banded is None else banded.unionByName(one)
+    a = banded.select("band", "bucket", F.col("id").alias("a_id"))
+    b_ = banded.select("band", "bucket", F.col("id").alias("b_id"))
+    cand = (
+        a.join(b_, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
     )
-    b = bucketed.select(
-        "bucket", F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec")
-    )
-    pairs = a.join(b, "bucket").filter(F.col("a_id") < F.col("b_id"))
+    va = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+    vb = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
     cos = F.round(cosine(F.col("a_vec"), F.col("b_vec")), 4)
     return (
-        pairs.withColumn("cosine", cos)
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cosine")
-        .distinct()
     )
