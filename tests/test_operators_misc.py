@@ -242,3 +242,33 @@ def test_salted_repartition_fans_out_hot_key(spark):
         assert out.count() == 5000
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_violations_log_fused_equals_union(spark):
+    """The single-scan fused log must reproduce the five-detector union
+    EXACTLY — same rows, same note bytes — at two scales."""
+    from use_case_real_time_anomaly_detection_spark.plans import detectors as D
+    from use_case_real_time_anomaly_detection_spark.plans.copylog import (
+        violations_log,
+        violations_log_union,
+    )
+
+    ev = D.events_shape(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    f = D.frontier_ts(ev)
+    fused = {tuple(r) for r in violations_log(ev, f).collect()}
+    union = {tuple(r) for r in violations_log_union(ev, f).collect()}
+    assert fused == union
+    assert len(fused) > 0
+    # non-default thresholds flow through both paths identically
+    fused2 = {
+        tuple(r)
+        for r in violations_log(ev, f, zscore_threshold=3.0, max_slope=0.01).collect()
+    }
+    union2 = {
+        tuple(r)
+        for r in violations_log_union(
+            ev, f, zscore_threshold=3.0, max_slope=0.01
+        ).collect()
+    }
+    assert fused2 == union2
+    assert fused2 != fused

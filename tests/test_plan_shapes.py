@@ -80,13 +80,29 @@ def test_rate_of_change_single_window_exchange(events, frontier):
     assert "*(1)" in plan
 
 
-def test_violations_log_shares_detector_scans(events, frontier):
-    """The five-detector union must not explode into per-detector window
-    exchanges: rate-of-change contributes the only full-width window."""
+def test_violations_log_single_scan_single_exchange(events, frontier):
+    """The fused five-detector log reads the fact table ONCE and
+    shuffles ONCE (by id; the dedup window's (ts,id,type) clustering is
+    satisfied by the id partitioning, so no second exchange). This is
+    the whole point of the fused plan vs the reference's five copy
+    pipes — a regression here quintuples the scan cost at 100 TB."""
     from use_case_real_time_anomaly_detection_spark.plans.copylog import violations_log
 
     plan = _physical(violations_log(events, frontier))
-    # stats joins broadcast (z-score + iqr)
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan  # all stats are windows over the one shuffle
+
+
+def test_violations_log_union_baseline_broadcasts_stats(events, frontier):
+    """The union-of-detectors baseline (reference architecture mirror)
+    keeps its own invariant: stats joins broadcast, never shuffling the
+    fact table."""
+    from use_case_real_time_anomaly_detection_spark.plans.copylog import (
+        violations_log_union,
+    )
+
+    plan = _physical(violations_log_union(events, frontier))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
 

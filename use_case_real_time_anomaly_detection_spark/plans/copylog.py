@@ -38,10 +38,169 @@ def violations_log(
     zscore_threshold: float = 2.0,
     iqr_multiplier: float = 1.5,
 ) -> DataFrame:
-    """Union of all five detectors in the copy_log shape, deduped.
+    """All five detectors in ONE pass over the fact table, deduped.
 
     Output columns: id, ts, value, anomaly_type, note
-    (≙ copy_log.datasource:3-8).
+    (≙ copy_log.datasource:3-8); row set and note bytes are identical
+    to ``violations_log_union`` (asserted in tests), but the plan is
+    ONE FileScan + ONE shuffle by id instead of five detector subtrees
+    each re-reading events — the fix for the reference's own lament
+    about its five-copy-pipes architecture (content/copies-pipes.md:13).
+
+    How: every per-id statistic each detector needs is expressed as a
+    window over the same hash-partitioning by id —
+    - lag(value/ts) for rate-of-change (ordered window),
+    - row_number desc for timeout's latest-row test,
+    - stats-window avg/stddevPop as conditional aggregates over the
+      UNBOUNDED id window (sum(when(in_stats, value))), from exact
+      decimal sums (see plans/detectors.py z_score for the float
+      determinism contract),
+    - exact quartiles as conditional percentile over the same window —
+    then each row evaluates all five predicates and emits an array of
+    matching violation structs, exploded into the log shape. Ids with
+    no stats-window rows yield NULL stats → predicates false, exactly
+    like the inner stats-joins they replace.
+    """
+    from pyspark.sql import Window
+
+    sec = lambda s: F.expr(f"INTERVAL {s} SECOND")
+    in_7d = F.col("ts") > F.lit(frontier) - sec(7 * D.SECONDS_PER_DAY)
+    in_stats = F.col("ts").between(
+        F.lit(frontier) - sec(14 * D.SECONDS_PER_DAY), F.lit(frontier)
+    )
+    in_detect = F.col("ts").between(
+        F.lit(frontier) - sec(3 * D.SECONDS_PER_DAY), F.lit(frontier)
+    )
+
+    w_id = Window.partitionBy("id")
+    w_seq = Window.partitionBy("id").orderBy("ts", "event_id")
+    w_last = Window.partitionBy("id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    vd = F.col("value").cast("decimal(18,2)")
+    s1 = F.sum(F.when(in_stats, vd)).over(w_id).cast("double")
+    s2 = F.sum(F.when(in_stats, vd * vd)).over(w_id).cast("double")
+    n = F.count(F.when(in_stats, F.col("value"))).over(w_id)
+    average = s1 / n
+    stddev = F.sqrt(F.greatest(s2 / n - (s1 / n) * (s1 / n), F.lit(0.0)))
+
+    q1 = F.percentile(F.when(in_stats, F.col("value")), F.lit(0.25)).over(w_id)
+    q3 = F.percentile(F.when(in_stats, F.col("value")), F.lit(0.75)).over(w_id)
+
+    prev_value = F.lag("value", 1).over(w_seq)
+    prev_ts = F.lag("ts", 1).over(w_seq)
+    tdiff = (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)).cast("double")
+    vdiff = F.col("value") - prev_value
+    slope_w = F.round(F.when(tdiff > 0, vdiff / tdiff), 6)
+    value_diff_w = F.round(vdiff, 2)
+    rn_last = F.row_number().over(w_last)
+
+    # window expressions can't sit under a generator (explode) in the
+    # same projection — materialize them as plain columns first
+    enriched = events.select(
+        "id",
+        "ts",
+        "value",
+        average.alias("__avg"),
+        stddev.alias("__std"),
+        q1.alias("__q1"),
+        q3.alias("__q3"),
+        slope_w.alias("__slope"),
+        value_diff_w.alias("__vdiff"),
+        rn_last.alias("__rn"),
+    )
+    average, stddev = F.col("__avg"), F.col("__std")
+    q1, q3 = F.col("__q1"), F.col("__q3")
+    iqr_w = (q3 - q1) * iqr_multiplier
+    slope, value_diff = F.col("__slope"), F.col("__vdiff")
+    rn_last = F.col("__rn")
+
+    zscore = F.round((F.col("value") - average) / stddev, 2)
+    ztest = (
+        F.when(zscore < -zscore_threshold, "low")
+        .when(zscore > zscore_threshold, "high")
+        .otherwise("ok")
+    )
+
+    def branch(cond, anomaly_type: str, note):
+        return F.when(
+            cond, F.struct(F.lit(anomaly_type).alias("anomaly_type"), note.alias("note"))
+        )
+
+    candidates = F.array(
+        branch(
+            in_7d & ((F.col("value") < min_value) | (F.col("value") > max_value)),
+            "out-of-range",
+            F.concat(
+                F.lit("min:"), _s(F.lit(float(min_value))),
+                F.lit(" max:"), _s(F.lit(float(max_value))),
+            ),
+        ),
+        branch(
+            in_7d & (F.abs(slope) > max_slope),
+            "rate-of-change",
+            F.concat(
+                F.lit("slope:"), _s(slope),
+                F.lit(f"| max_slope:{max_slope:g}"),
+                F.lit("| value_diff: "), _s(value_diff),
+            ),
+        ),
+        branch(
+            (rn_last == 1)
+            & (F.col("ts") < F.lit(frontier) - sec(timeout_seconds)),
+            "timeout",
+            F.lit("timestamp is time of last report"),
+        ),
+        branch(
+            in_detect & (stddev > 0) & (F.abs(zscore) > zscore_threshold),
+            "z-score",
+            F.concat(
+                F.lit("z-score: "), F.substring(zscore.cast("string"), 1, 6),
+                F.lit(" | "), ztest,
+                F.lit(" | average: "), _s(average),
+                F.lit(" | std_dev: "), _s(stddev),
+            ),
+        ),
+        branch(
+            in_detect
+            & (
+                (F.col("value") > q3 + iqr_w) | (F.col("value") < q1 - iqr_w)
+            ),
+            "interquartile-range",
+            F.concat(
+                F.lit("lower_bound:"), _s(q1 - iqr_w),
+                F.lit("| upper_bound:"), _s(q3 + iqr_w),
+            ),
+        ),
+    )
+
+    log = enriched.select(
+        "id",
+        "ts",
+        "value",
+        F.explode(F.filter(candidates, lambda c: c.isNotNull())).alias("__v"),
+    ).select("id", "ts", "value", F.col("__v.anomaly_type").alias("anomaly_type"), F.col("__v.note").alias("note"))
+
+    from ..operators.limit_by import limit_by
+
+    return limit_by(log, ["ts", "id", "anomaly_type"], [F.col("value"), F.col("note")], 1)
+
+
+def violations_log_union(
+    events: DataFrame,
+    frontier,
+    *,
+    min_value: float = 1.0,
+    max_value: float = 180.0,
+    max_slope: float = 0.005,
+    timeout_seconds: int = 2 * D.SECONDS_PER_DAY,
+    zscore_threshold: float = 2.0,
+    iqr_multiplier: float = 1.5,
+) -> DataFrame:
+    """Union of the five standalone detectors in the copy_log shape,
+    deduped — the literal mirror of the reference's five-copy-pipes
+    architecture. Kept as the semantic baseline for the fused
+    ``violations_log`` (equality asserted in tests); the fused plan is
+    what runs, since this one scans the fact table five times.
     """
     oor = D.out_of_range(
         events, frontier, min_value=min_value, max_value=max_value
