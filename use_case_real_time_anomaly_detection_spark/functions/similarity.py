@@ -18,9 +18,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .audio import stable_hash
-
-
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -112,8 +109,13 @@ def ivf_topk(
 
 def hyperplane(plane: int, dim: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1]:
-    md5-derived, reproducible anywhere (no RNG state)."""
-    return (stable_hash(f"hp:{plane}:{dim}") / 0xFFFFFFFF) * 2.0 - 1.0
+    md5-derived (first 8 hex chars as a uint32), reproducible anywhere —
+    including the DuckDB oracle, which parses the same md5 hex digits
+    (crc32 would not be available there)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"hp:{plane}:{dim}".encode("utf-8")).hexdigest()[:8], 16)
+    return (h / 0xFFFFFFFF) * 2.0 - 1.0
 
 
 def lsh_bucketed(

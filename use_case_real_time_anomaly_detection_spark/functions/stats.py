@@ -50,7 +50,22 @@ def profile_table(
             add(c, "max", F.max(c).cast("double"))
             if spec.extra_numeric_stats:
                 add(c, "avg", F.avg(c))
-                add(c, "stddev_pop", F.stddev_pop(c))
+                # explicit sum/sumsq moments, not F.stddev_pop: exact for
+                # integer/quantized columns regardless of partial-agg
+                # order, and a fixed IEEE op sequence the DuckDB oracle
+                # mirrors (Welford streaming moments differ per engine in
+                # the last ulp, which the driver's value hash would catch)
+                cd = F.col(c).cast("double")
+                mean = F.sum(cd) / F.count(c)
+                add(
+                    c,
+                    "stddev_pop",
+                    F.sqrt(
+                        F.greatest(
+                            F.sum(cd * cd) / F.count(c) - mean * mean, F.lit(0.0)
+                        )
+                    ),
+                )
                 add(c, "q1", F.percentile_approx(c, 0.25, 10000).cast("double"))
                 add(c, "median", F.percentile_approx(c, 0.5, 10000).cast("double"))
                 add(c, "q3", F.percentile_approx(c, 0.75, 10000).cast("double"))

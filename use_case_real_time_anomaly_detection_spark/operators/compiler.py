@@ -171,10 +171,26 @@ def compile_rules(
                 elif isinstance(r, ZScoreRule):
                     # Sliding count window per north star (SURVEY.md §2.5 W1
                     # generalization): trailing `window` rows, excluding self.
+                    # avg/stddevPop come from EXPLICIT sum/sum-of-squares —
+                    # not F.avg/F.stddev_pop — so that for integer (or
+                    # decimal-quantized) columns the frame sums are exact
+                    # and the derived moments are a fixed IEEE op sequence
+                    # any engine (the DuckDB oracle) reproduces bit-for-bit.
+                    # Welford-style streaming moments give last-ulp results
+                    # that differ per engine and flip rounded note digits.
                     wf = w.rowsBetween(-r.window, -1)
-                    cols.append(F.avg(r.column).over(wf).alias(f"__zavg_{r.column}"))
                     cols.append(
-                        F.stddev_pop(r.column).over(wf).alias(f"__zstd_{r.column}")
+                        F.sum(F.col(r.column).cast("double"))
+                        .over(wf)
+                        .alias(f"__zs1_{r.column}")
+                    )
+                    cols.append(
+                        F.sum(
+                            F.col(r.column).cast("double")
+                            * F.col(r.column).cast("double")
+                        )
+                        .over(wf)
+                        .alias(f"__zs2_{r.column}")
                     )
                     cols.append(F.count(r.column).over(wf).alias(f"__zcnt_{r.column}"))
             return cols
@@ -299,9 +315,14 @@ def compile_rules(
             _entry(r.detector + "-gap", cond, gap.cast("string"), note)
 
         elif isinstance(r, ZScoreRule):
-            avg_c = F.col(f"__zavg_{r.column}")
-            std_c = F.col(f"__zstd_{r.column}")
             cnt_c = F.col(f"__zcnt_{r.column}")
+            avg_c = F.col(f"__zs1_{r.column}") / cnt_c
+            std_c = F.sqrt(
+                F.greatest(
+                    F.col(f"__zs2_{r.column}") / cnt_c - avg_c * avg_c,
+                    F.lit(0.0),
+                )
+            )
             z = F.when(
                 (cnt_c >= r.min_periods) & (std_c > 0),
                 (F.col(r.column) - avg_c) / std_c,

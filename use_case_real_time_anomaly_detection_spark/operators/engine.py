@@ -98,9 +98,19 @@ class ValidationEngine:
             window_chunk_size=window_chunk_size,
         )
 
-        # composite-key dedup ≙ dedup_log.pipe:4-6 (FIXTURES.md §3)
-        violations = plan.violations.dropDuplicates(
-            ["partition_key", "clip_id", "detector"]
+        # composite-key dedup ≙ dedup_log.pipe:4-6 (FIXTURES.md §3).
+        # limit_by (row_number over a deterministic order), NOT
+        # dropDuplicates: duplicate clips can carry DIFFERENT observed
+        # values for the same (partition, clip, detector) — e.g. the two
+        # copies of an injected duplicate see different rolling-z frames —
+        # and dropDuplicates would keep an engine-/run-dependent one.
+        from .limit_by import limit_by
+
+        violations = limit_by(
+            plan.violations,
+            ["partition_key", "clip_id", "detector"],
+            [F.col("observed"), F.col("note")],
+            1,
         )
         if persist:
             # Verdicts aggregate the violations; without a persist the
