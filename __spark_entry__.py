@@ -321,14 +321,17 @@ def _q_running_z_score(spark, sf):
 
 
 def _q_clips_profile(spark, sf):
-    """Per-(partition, column) profiling stats of the synthetic clip table
-    (ProfileSpec → functions/stats.py). Rows-only check: long-format stat
-    frame; exact values asserted in tests/test_operators_misc.py."""
-    from use_case_real_time_anomaly_detection_spark.plans.clips import validate_synthetic
-    from use_case_real_time_anomaly_detection_spark.sources.synth import SynthSpec
-
-    res = validate_synthetic(spark, SynthSpec(partitions=4, clips_per_partition=150))
-    return res.profile
+    """Per-(partition, column) profiling stats of the clip metadata
+    (ProfileSpec → functions/stats.py), restricted to the
+    engine-reproducible stats: approx_distinct (HLL) and the
+    approx-percentile quartiles are sketch outputs no other engine
+    reproduces bit-for-bit, so they stay pytest-verified
+    (tests/test_operators_misc.py) while everything else is
+    oracle-checked here."""
+    prof = _clips_meta_result(spark).profile
+    return prof.filter(
+        ~F.col("stat").isin("approx_distinct", "q1", "median", "q3")
+    )
 
 
 def _q_image_features(spark, sf):
@@ -384,23 +387,80 @@ def _q_get_anomalies(spark, sf):
     return get_anomalies(violations_log(ev, f), f, hours=72, anomaly_type="out-of-range")
 
 
-# ---- the graft flagship: clip validation (audio UDF — rows-only check) ----
+# ---- the graft flagship: clip validation --------------------------------
+#
+# Two surfaces:
+# - clips_validate / clips_verdicts / clips_profile: the SQL-expressible
+#   rule set (everything except the audio-decode/SNR rule; exact IQR
+#   quantiles) over the synthetic clip METADATA, which the query
+#   materializes to parquet so the DuckDB oracle reads the identical
+#   table. Fully oracle-checked.
+# - clips_validate_audio: the complete engine including the Arrow
+#   audio-decode rule — not SQL-expressible, rows-only here, exact
+#   oracles in tests/test_clips_engine.py + tests/test_audio.py.
+
+_ORACLE_DIR = "/root/repo/dist/oracle"
+_CLIPS_META = f"{_ORACLE_DIR}/clips_meta.parquet"
+_CLIPS_MAN = f"{_ORACLE_DIR}/manifest.parquet"
+_CLIPS_FRONTIER = 149  # SynthSpec(clips_per_partition=150) → frontier 149
+
+
+def _clips_meta_result(spark):
+    from use_case_real_time_anomaly_detection_spark.operators.rules import IqrRule, ProfileSpec
+    from use_case_real_time_anomaly_detection_spark.plans.clips import default_rules, validate_clips
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        generate_clips,
+        generate_manifest,
+        with_partition_cols,
+    )
+
+    spec = SynthSpec(partitions=4, clips_per_partition=150)
+    meta = with_partition_cols(generate_clips(spark, spec).drop("bytes"))
+    meta.coalesce(1).write.mode("overwrite").parquet(_CLIPS_META)
+    generate_manifest(spark, spec).coalesce(1).write.mode("overwrite").parquet(
+        _CLIPS_MAN
+    )
+    # both engines read the SAME materialized table
+    meta2 = spark.read.parquet(_CLIPS_META)
+    man2 = spark.read.parquet(_CLIPS_MAN)
+    rules = []
+    for r in default_rules(with_audio=False, seed=spec.seed):
+        if isinstance(r, IqrRule):
+            # exact quantiles so DuckDB's quantile_cont is the same math
+            r = IqrRule(column=r.column, multiplier=r.multiplier, exact=True)
+        elif isinstance(r, ProfileSpec):
+            r = ProfileSpec(columns=("dur_ms", "sr_hz", "codec", "transcript"))
+        rules.append(r)
+    from use_case_real_time_anomaly_detection_spark.operators.engine import ValidationEngine
+
+    engine = ValidationEngine(
+        key_col="clip_id", partition_col="partition_key", seq_col="seq"
+    )
+    from use_case_real_time_anomaly_detection_spark.sources.synth import frontier_of
+
+    return engine.run(
+        meta2,
+        rules,
+        frontier=frontier_of(spec),
+        refs={"clip_manifest": man2},
+    )
 
 
 def _q_clips_validate(spark, sf):
+    return _clips_meta_result(spark).violations
+
+
+def _q_clips_verdicts(spark, sf):
+    return _clips_meta_result(spark).verdicts.drop("run_id")  # run_id per-invocation
+
+
+def _q_clips_validate_audio(spark, sf):
     from use_case_real_time_anomaly_detection_spark.plans.clips import validate_synthetic
     from use_case_real_time_anomaly_detection_spark.sources.synth import SynthSpec
 
     res = validate_synthetic(spark, SynthSpec(partitions=4, clips_per_partition=150))
     return res.violations
-
-
-def _q_clips_verdicts(spark, sf):
-    from use_case_real_time_anomaly_detection_spark.plans.clips import validate_synthetic
-    from use_case_real_time_anomaly_detection_spark.sources.synth import SynthSpec
-
-    res = validate_synthetic(spark, SynthSpec(partitions=4, clips_per_partition=150))
-    return res.verdicts.drop("run_id")  # run_id is per-invocation
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -432,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "clips_validate": _q_clips_validate,
         "clips_verdicts": _q_clips_verdicts,
+        "clips_validate_audio": _q_clips_validate_audio,
         "embed_neardup": _q_embed_neardup,
         "simple_z_score": _q_simple_z_score,
         "get_data": _q_get_data,
@@ -1007,6 +1068,472 @@ FROM h4 GROUP BY pk
 """
 
 
+# ---------------------------------------------------------------------------
+# clip-engine oracles: the full rule set (minus audio) re-expressed in SQL
+# over the materialized metadata/manifest parquet (see _clips_meta_result).
+# Every float that reaches the output is produced by the same IEEE op
+# sequence as the Spark side (exact integer/decimal sums → double ops), so
+# strings and values compare bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _fmt_sql(expr: str, d: int = 2) -> str:
+    """≙ compiler._fmt: ROUND(x, d) → string, with Spark's shortest-repr
+    half-up rounding (via _R)."""
+    return f"CAST({_R(expr, d)} AS VARCHAR)"
+
+
+# detectors evaluated by the no-audio clip rule set (set-compared)
+_CLIP_DETECTORS = (
+    "out-of-range",
+    "not-null",
+    "value-set-sr_hz",
+    "value-set-codec",
+    "rate-of-change",
+    "timeout-gap",
+    "z-score",
+    "interquartile-range",
+    "referential",
+    "transcript",
+    "timeout",
+    "unique",
+    "drift-dur_ms",
+    "drift-sr_hz",
+)
+
+_ZMEAN = "(zs1 / zn)"
+_ZSTD = f"sqrt(greatest(zs2 / zn - {_ZMEAN} * {_ZMEAN}, 0.0))"
+_ZVAL = (
+    f"CASE WHEN zn >= 10 AND {_ZSTD} > 0 "
+    f"THEN (CAST(dur_ms AS DOUBLE) - {_ZMEAN}) / {_ZSTD} END"
+)
+_SLOPE = (
+    "CASE WHEN CAST(seq - prev_seq AS DOUBLE) > 0 THEN "
+    "(CAST(dur_ms AS DOUBLE) - CAST(prev_dur AS DOUBLE)) "
+    "/ CAST(seq - prev_seq AS DOUBLE) END"
+)
+
+
+def _sql_drift(column: str, detector: str) -> str:
+    """drift_scores (functions/stats.py) in SQL for one column: fixed
+    20-bin histogram over global [min,max], Laplace smoothing, per-bin
+    median consensus baseline, PSI + KS, thresholds 0.25/0.2."""
+    return f"""
+  SELECT partition_key,
+         CAST(NULL AS VARCHAR) AS clip_id,
+         '{detector}' AS detector,
+         'psi:' || {_fmt_sql("psi", 4)} || '|ks:' || {_fmt_sql("ks", 4)} AS observed,
+         'column:{column} psi_threshold:0.25 ks_threshold:0.2' AS note
+  FROM (
+    WITH dsrc AS (
+      SELECT partition_key AS pk, CAST({column} AS DOUBLE) AS v
+      FROM c WHERE {column} IS NOT NULL
+    ), dmm AS (
+      SELECT CAST(min(v) AS DOUBLE) AS lo,
+             CASE WHEN max(v) <= min(v) THEN CAST(min(v) AS DOUBLE) + 1.0
+                  ELSE CAST(max(v) AS DOUBLE) END AS hi
+      FROM dsrc
+    ), dbinned AS (
+      SELECT pk, least(19, CAST(floor((v - dmm.lo) / ((dmm.hi - dmm.lo) / 20)) AS BIGINT)) AS bin
+      FROM dsrc, dmm
+    ), dpc AS (
+      SELECT pk, bin, count(*) AS pn FROM dbinned GROUP BY pk, bin
+    ), dgrid AS (
+      SELECT pks.pk, b.bin
+      FROM (SELECT DISTINCT pk FROM dpc) pks,
+           (SELECT unnest(generate_series(0, 19)) AS bin) b
+    ), dh1 AS (
+      SELECT g.pk, g.bin, COALESCE(dpc.pn, 0) AS pn,
+             sum(COALESCE(dpc.pn, 0)) OVER (PARTITION BY g.pk) AS pt
+      FROM dgrid g LEFT JOIN dpc ON dpc.pk = g.pk AND dpc.bin = g.bin
+    ), dh2 AS (
+      SELECT pk, bin, (pn + 0.5) / (pt + 10.0) AS p FROM dh1
+    ), dmed AS (
+      SELECT bin, quantile_cont(p, 0.5) AS qraw FROM dh2 GROUP BY bin
+    ), dmedn AS (
+      SELECT bin, qraw / (SELECT sum(qraw) FROM dmed) AS q FROM dmed
+    ), dh4 AS (
+      SELECT dh2.pk, dh2.bin, dh2.p, m.q,
+             sum(dh2.p) OVER (PARTITION BY dh2.pk ORDER BY dh2.bin) AS pcum,
+             sum(m.q)  OVER (PARTITION BY dh2.pk ORDER BY dh2.bin) AS qcum
+      FROM dh2 JOIN dmedn m ON m.bin = dh2.bin
+    )
+    SELECT pk AS partition_key,
+           sum((p - q) * ln(p / q)) AS psi,
+           max(abs(pcum - qcum)) AS ks
+    FROM dh4 GROUP BY pk
+  ) WHERE psi > 0.25 OR ks > 0.2
+"""
+
+
+_CLIPS_CTES = f"""
+c AS (
+  SELECT clip_id, substring(clip_id, 1, 4) AS partition_key,
+         CAST(substring(clip_id, 6, 9) AS BIGINT) AS seq,
+         sr_hz, dur_ms, codec, transcript
+  FROM read_parquet('{_CLIPS_META}/*.parquet')
+),
+man AS (SELECT * FROM read_parquet('{_CLIPS_MAN}/*.parquet')),
+j AS (
+  SELECT c.*, man.clip_id AS ref_key, man.expected_transcript AS exp_t
+  FROM c LEFT JOIN man ON man.clip_id = c.clip_id
+),
+w AS (
+  SELECT *,
+    lag(dur_ms) OVER win AS prev_dur,
+    lag(seq)    OVER win AS prev_seq,
+    CAST(sum(CAST(dur_ms AS DOUBLE)) OVER zwin AS DOUBLE) AS zs1,
+    CAST(sum(CAST(dur_ms AS DOUBLE) * CAST(dur_ms AS DOUBLE)) OVER zwin AS DOUBLE) AS zs2,
+    count(dur_ms) OVER zwin AS zn
+  FROM j
+  WINDOW win AS (PARTITION BY partition_key ORDER BY seq),
+         zwin AS (PARTITION BY partition_key ORDER BY seq
+                  ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+),
+istats AS (
+  SELECT partition_key,
+         quantile_cont(dur_ms, 0.25) AS q1,
+         quantile_cont(dur_ms, 0.75) AS q3
+  FROM c GROUP BY partition_key
+),
+unioned AS (
+  SELECT partition_key, clip_id, 'out-of-range' AS detector,
+         CAST(dur_ms AS VARCHAR) AS observed,
+         'min:200 max:2000' AS note
+  FROM c WHERE dur_ms < 200 OR dur_ms > 2000
+  UNION ALL
+  SELECT partition_key, clip_id, 'not-null',
+         'null',
+         'column:transcript must not be null'
+  FROM c WHERE transcript IS NULL OR CAST(transcript AS VARCHAR) = ''
+  UNION ALL
+  SELECT partition_key, clip_id, 'value-set-sr_hz',
+         CAST(sr_hz AS VARCHAR),
+         'column:sr_hz allowed:8000,16000'
+  FROM c WHERE sr_hz NOT IN (8000, 16000) OR sr_hz IS NULL
+  UNION ALL
+  SELECT partition_key, clip_id, 'value-set-codec',
+         CAST(codec AS VARCHAR),
+         'column:codec allowed:pcm16,mulaw'
+  FROM c WHERE codec NOT IN ('pcm16', 'mulaw') OR codec IS NULL
+  UNION ALL
+  SELECT partition_key, clip_id, 'rate-of-change',
+         {_fmt_sql(_SLOPE, 2)},
+         'slope:' || {_fmt_sql(_SLOPE, 2)} || '| max_slope:3'
+         || '| value_diff: '
+         || {_fmt_sql("CAST(dur_ms AS DOUBLE) - CAST(prev_dur AS DOUBLE)", 2)}
+  FROM w WHERE abs({_SLOPE}) > 3.0
+  UNION ALL
+  SELECT partition_key, clip_id, 'timeout-gap',
+         CAST(seq - prev_seq AS VARCHAR),
+         'gap: previous seq ' || CAST(prev_seq AS VARCHAR) || ' -> '
+         || CAST(seq AS VARCHAR) || ' exceeds max_gap:1'
+  FROM w WHERE seq - prev_seq > 1
+  UNION ALL
+  SELECT partition_key, clip_id, 'z-score',
+         {_fmt_sql(_ZVAL, 4)},
+         'z-score: ' || substring(CAST({_ZVAL} AS VARCHAR), 1, 6)
+         || ' | ' || CASE WHEN {_ZVAL} < -2.0 THEN 'low'
+                          WHEN {_ZVAL} >  2.0 THEN 'high' ELSE 'ok' END
+         || ' | average: ' || {_fmt_sql(_ZMEAN, 2)}
+         || ' | std_dev: ' || {_fmt_sql(_ZSTD, 2)}
+  FROM w WHERE abs({_ZVAL}) > 2.0
+  UNION ALL
+  SELECT c.partition_key, c.clip_id, 'interquartile-range',
+         CAST(c.dur_ms AS VARCHAR),
+         'lower_bound:' || {_fmt_sql("s.q1 - (s.q3 - s.q1) * 1.5", 2)}
+         || '| upper_bound:' || {_fmt_sql("s.q3 + (s.q3 - s.q1) * 1.5", 2)}
+  FROM c JOIN istats s ON s.partition_key = c.partition_key
+  WHERE c.dur_ms > s.q3 + (s.q3 - s.q1) * 1.5
+     OR c.dur_ms < s.q1 - (s.q3 - s.q1) * 1.5
+  UNION ALL
+  SELECT partition_key, clip_id, 'referential',
+         CAST(clip_id AS VARCHAR),
+         'clip_id not present in clip_manifest'
+  FROM j WHERE ref_key IS NULL
+  UNION ALL
+  SELECT partition_key, clip_id, 'transcript',
+         CAST(transcript AS VARCHAR),
+         'expected transcript: ' || exp_t
+  FROM j WHERE exp_t IS NOT NULL
+           AND (transcript IS NULL OR transcript <> exp_t)
+  UNION ALL
+  SELECT partition_key, max_by(clip_id, seq), 'timeout',
+         CAST(max(seq) AS VARCHAR),
+         'seq is last reported seq'
+  FROM c GROUP BY partition_key
+  HAVING max(seq) < {_CLIPS_FRONTIER} - 5
+  UNION ALL
+  SELECT partition_key, clip_id, 'unique',
+         CAST(count(*) AS VARCHAR),
+         'duplicate key (clip_id)'
+  FROM c GROUP BY partition_key, clip_id HAVING count(*) > 1
+  UNION ALL
+{_sql_drift("dur_ms", "drift-dur_ms")}
+  UNION ALL
+{_sql_drift("sr_hz", "drift-sr_hz")}
+),
+deduped AS (
+  SELECT partition_key, clip_id, detector, observed, note
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY partition_key, clip_id, detector
+      ORDER BY observed ASC NULLS FIRST, note ASC NULLS FIRST) AS rn
+    FROM unioned
+  ) WHERE rn = 1
+)
+"""
+
+_SQL_CLIPS_VALIDATE = (
+    "WITH " + _CLIPS_CTES + "\nSELECT partition_key, clip_id, detector, observed, note FROM deduped"
+)
+
+_SQL_CLIPS_VERDICTS = (
+    "WITH "
+    + _CLIPS_CTES
+    + f""",
+rc AS (SELECT partition_key, count(*) AS rows_checked FROM c GROUP BY partition_key),
+det AS (SELECT unnest({list(_CLIP_DETECTORS)!r}) AS detector),
+vc AS (
+  SELECT partition_key, detector, count(*) AS n
+  FROM deduped GROUP BY partition_key, detector
+)
+SELECT rc.partition_key, det.detector,
+       (COALESCE(vc.n, 0) = 0) AS "pass",
+       CAST(COALESCE(vc.n, 0) AS BIGINT) AS violation_count,
+       CAST(rc.rows_checked AS BIGINT) AS rows_checked,
+       CAST({_CLIPS_FRONTIER} AS BIGINT) AS completed_at_seq
+FROM rc CROSS JOIN det
+LEFT JOIN vc ON vc.partition_key = rc.partition_key AND vc.detector = det.detector
+"""
+)
+
+
+def _profile_stats_sql() -> str:
+    """clips_profile oracle: long-format per-(partition, column) stats for
+    the deterministic subset (no HLL / approx quantiles), mirroring
+    functions/stats.py profile_table's exact expressions."""
+    pieces = []
+
+    def add(col: str, stat: str, value_expr: str) -> None:
+        pieces.append(
+            f"SELECT partition_key, '{col}' AS \"column\", '{stat}' AS stat, "
+            f"CAST({value_expr} AS DOUBLE) AS value, count(*) AS rows "
+            f"FROM c GROUP BY partition_key"
+        )
+
+    for col in ("dur_ms", "sr_hz"):
+        mean = f"(CAST(sum(CAST({col} AS DOUBLE)) AS DOUBLE) / count({col}))"
+        add(col, "null_count", f"sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)")
+        add(
+            col,
+            "null_rate",
+            f"CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)"
+            f" / CAST(count(*) AS DOUBLE)",
+        )
+        add(col, "min", f"min({col})")
+        add(col, "max", f"max({col})")
+        add(col, "avg", f"avg({col})")
+        add(
+            col,
+            "stddev_pop",
+            f"sqrt(greatest(CAST(sum(CAST({col} AS DOUBLE) * CAST({col} AS DOUBLE)) AS DOUBLE)"
+            f" / count({col}) - {mean} * {mean}, 0.0))",
+        )
+    for col in ("codec", "transcript"):
+        add(col, "null_count", f"sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)")
+        add(
+            col,
+            "null_rate",
+            f"CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)"
+            f" / CAST(count(*) AS DOUBLE)",
+        )
+        add(col, "min_length", f"min(length({col}))")
+        add(col, "max_length", f"max(length({col}))")
+        add(col, "avg_length", f"avg(length({col}))")
+    return " UNION ALL ".join(pieces)
+
+
+_SQL_CLIPS_PROFILE = (
+    "WITH c AS (\n"
+    "  SELECT clip_id, substring(clip_id, 1, 4) AS partition_key,\n"
+    "         sr_hz, dur_ms, codec, transcript\n"
+    f"  FROM read_parquet('{_CLIPS_META}/*.parquet')\n"
+    ")\n" + _profile_stats_sql()
+)
+
+
+# ---------------------------------------------------------------------------
+# simhash / ann_lsh / ann_ivf / image_features oracles
+# ---------------------------------------------------------------------------
+
+
+def _hex8_sql(hexpr: str) -> str:
+    """Parse the first 8 hex chars of a (md5) hex string to a BIGINT —
+    ≙ Spark conv(substring(md5(x),1,8),16,10) / Python int(md5[:8],16)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substring({hexpr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _simhash_sql() -> str:
+    h32 = _hex8_sql("md5(token)")
+    bit_sums = ",\n         ".join(
+        f"CAST(sum(((h >> {b}) & 1) * 2 - 1) AS BIGINT) AS s{b}" for b in range(32)
+    )
+    packed = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32)
+    )
+    return f"""
+WITH tok AS ({_TOK}),
+th AS (
+  SELECT doc_id, {h32} AS h FROM tok WHERE token <> ''
+),
+bits AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM th GROUP BY doc_id
+),
+sh AS (SELECT doc_id, CAST({packed} AS BIGINT) AS sim FROM bits)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sim, b.sim)) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= 3
+"""
+
+
+# the pigeonhole block-join in functions/dedup.py simhash_near_pairs is
+# EXACT for max_hamming=3 < 4 blocks, so the oracle can be the plain
+# all-pairs Hamming filter — same result set, no blocking needed at
+# oracle scale.
+_SQL_SIMHASH_PAIRS = _simhash_sql()
+
+
+def _ann_lsh_sql(n_planes: int = 6, multi_probe: int = 1, k: int = 10) -> str:
+    hp = _hex8_sql("md5('hp:' || p || ':' || d)")
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings
+),
+pl AS (
+  SELECT p.p, dd.d,
+         ({hp} / 4294967295.0) * 2.0 - 1.0 AS wgt
+  FROM generate_series(0, {n_planes - 1}) p(p),
+       (SELECT DISTINCT d FROM e) dd(d)
+),
+dots AS (
+  SELECT e.vec_id, pl.p, sum(e.x * pl.wgt) AS dot
+  FROM e JOIN pl ON pl.d = e.d GROUP BY e.vec_id, pl.p
+),
+bk AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+),
+qb AS (SELECT bucket AS qbucket FROM bk WHERE vec_id = 0),
+cand AS (
+  SELECT bk.vec_id FROM bk, qb
+  WHERE bit_count(xor(bk.bucket, qb.qbucket)) <= {multi_probe} AND bk.vec_id <> 0
+),
+q AS (
+  SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id = 0
+),
+ev AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id IN (SELECT vec_id FROM cand)
+),
+dsums AS (
+  SELECT ev.vec_id,
+         sum(ev.x * q.qx) AS dot,
+         sum(ev.x * ev.x) AS n2,
+         sum(q.qx * q.qx) AS qn2
+  FROM ev JOIN q ON ev.i = q.i GROUP BY ev.vec_id
+)
+SELECT vec_id, {_R("dot / (sqrt(n2) * sqrt(qn2))", 4)} AS cosine
+FROM dsums
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+_SQL_ANN_LSH = _ann_lsh_sql()
+
+_SQL_ANN_IVF = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS bucket, i, avg(x) AS cx FROM e GROUP BY label, i
+),
+q AS (
+  SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id = 0
+),
+cdots AS (
+  SELECT cent.bucket,
+         sum(cent.cx * q.qx) AS dot,
+         sum(cent.cx * cent.cx) AS n2,
+         sum(q.qx * q.qx) AS qn2
+  FROM cent JOIN q ON cent.i = q.i GROUP BY cent.bucket
+),
+probed AS (
+  SELECT bucket FROM cdots
+  ORDER BY dot / (sqrt(n2) * sqrt(qn2)) DESC, bucket ASC
+  LIMIT 2
+),
+ev AS (
+  SELECT e.vec_id, e.x, e.i FROM e
+  WHERE e.label IN (SELECT bucket FROM probed) AND e.vec_id <> 0
+),
+dsums AS (
+  SELECT ev.vec_id,
+         sum(ev.x * q.qx) AS dot,
+         sum(ev.x * ev.x) AS n2,
+         sum(q.qx * q.qx) AS qn2
+  FROM ev JOIN q ON ev.i = q.i GROUP BY ev.vec_id
+)
+SELECT vec_id, {_R("dot / (sqrt(n2) * sqrt(qn2))", 4)} AS cosine
+FROM dsums
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+# fake:gray8x8 decode = first 64 payload bytes as an 8x8 gray image; the
+# payload is utf-8-encoded document text (pure ASCII in this corpus, so
+# byte i == code point of char i), zero-padded to 64 — mean_luma is then
+# an exact integer sum / 64.
+_SQL_IMAGE_FEATURES = """
+WITH b AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, least(64, length(text)))) AS i
+  FROM documents
+),
+s AS (
+  SELECT doc_id, sum(ascii(substring(text, i, 1))) AS luma_sum
+  FROM b GROUP BY doc_id
+)
+SELECT CAST(doc_id AS VARCHAR) AS item_id,
+       CAST(8 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(luma_sum AS DOUBLE) / 64.0 AS mean_luma,
+       CAST(NULL AS VARCHAR) AS decode_error
+FROM s
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "out_of_range": _SQL_OUT_OF_RANGE,
@@ -1039,12 +1566,14 @@ def oracle_sql() -> dict[str, str]:
         "get_anomalies": _SQL_GET_ANOMALIES,
         "drift_events": _SQL_DRIFT_EVENTS,
         "running_z_score": _SQL_RUNNING_Z_SCORE,
-        # simhash_pairs, ann_lsh, ann_ivf: hash-bit / centroid arithmetic is
-        # engine-specific → rows-only check here, exact pandas oracles in
-        # tests/test_dedup_text.py and tests/test_similarity.py.
-        # clips_validate / clips_verdicts / clips_profile: audio pandas-UDF
-        # path is not SQL-expressible → rows-only here, full oracles in
-        # tests/test_clips_engine.py + tests/test_operators_misc.py.
-        # image_features: mapInPandas binary-decode plumbing → rows-only,
-        # exact oracle in tests/test_operators_misc.py.
+        "simhash_pairs": _SQL_SIMHASH_PAIRS,
+        "ann_lsh": _SQL_ANN_LSH,
+        "ann_ivf": _SQL_ANN_IVF,
+        "clips_validate": _SQL_CLIPS_VALIDATE,
+        "clips_verdicts": _SQL_CLIPS_VERDICTS,
+        "clips_profile": _SQL_CLIPS_PROFILE,
+        "image_features": _SQL_IMAGE_FEATURES,
+        # clips_validate_audio: the Arrow audio-decode/SNR rule is not
+        # SQL-expressible → rows-only here; exact oracles live in
+        # tests/test_clips_engine.py + tests/test_audio.py.
     }
