@@ -367,6 +367,12 @@ def _q_get_data(spark, sf):
     return D.get_data(ev, D.frontier_ts(ev), minutes=1440)
 
 
+def _q_data_hours(spark, sf):
+    """≙ pipes/data.pipe — the hours-granularity twin of get_data."""
+    ev = _events(spark, sf)
+    return D.data(ev, D.frontier_ts(ev), hours=48)
+
+
 def _q_ui_ids(spark, sf):
     return D.ui_ids(_events(spark, sf))
 
@@ -496,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": _q_embed_neardup,
         "simple_z_score": _q_simple_z_score,
         "get_data": _q_get_data,
+        "data_hours": _q_data_hours,
         "ui_ids": _q_ui_ids,
         "monitor_logs": _q_monitor_logs,
         "get_anomalies": _q_get_anomalies,
@@ -878,24 +885,35 @@ _TOK_POS = """
   ) WHERE token <> ''
 """
 
-_MINHASH_SIG = """
-  SELECT doc_id,
-         min(md5('0:' || gram)) AS h0, min(md5('1:' || gram)) AS h1,
-         min(md5('2:' || gram)) AS h2, min(md5('3:' || gram)) AS h3,
-         min(md5('4:' || gram)) AS h4, min(md5('5:' || gram)) AS h5,
-         min(md5('6:' || gram)) AS h6, min(md5('7:' || gram)) AS h7
-  FROM grams GROUP BY doc_id
-"""
+# signature/band SQL generated from the SAME constants as
+# functions/dedup.py (16 hashes, 2 rows per band → 8 bands)
+from use_case_real_time_anomaly_detection_spark.functions.dedup import (  # noqa: E402
+    N_HASHES as _MH_N,
+    ROWS_PER_BAND as _MH_RPB,
+)
+
+_MINHASH_SIG = (
+    "  SELECT doc_id,\n         "
+    + ",\n         ".join(
+        f"min(md5('{i}:' || gram)) AS h{i}" for i in range(_MH_N)
+    )
+    + "\n  FROM grams GROUP BY doc_id"
+)
+
+_MINHASH_BANDS = "\n  UNION ALL ".join(
+    "SELECT doc_id AS doc, {b} AS band, {expr} AS bh FROM sig".format(
+        b=b,
+        expr=" || ".join(f"h{b * _MH_RPB + r}" for r in range(_MH_RPB)),
+    )
+    for b in range(_MH_N // _MH_RPB)
+)
 
 _SQL_MINHASH_LSH = f"""
 WITH t AS ({_TOK_POS}),
 grams AS ({_SHINGLES}),
 sig AS ({_MINHASH_SIG}),
 bands AS (
-  SELECT doc_id AS doc, 0 AS band, h0 || h1 AS bh FROM sig
-  UNION ALL SELECT doc_id, 1, h2 || h3 FROM sig
-  UNION ALL SELECT doc_id, 2, h4 || h5 FROM sig
-  UNION ALL SELECT doc_id, 3, h6 || h7 FROM sig
+  {_MINHASH_BANDS}
 ),
 cand AS (
   SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
@@ -997,6 +1015,12 @@ _SQL_GET_DATA = f"""
 SELECT user_id AS id, ts, value
 FROM events
 WHERE ts > {_FRONTIER} - INTERVAL 1440 MINUTE
+"""
+
+_SQL_DATA_HOURS = f"""
+SELECT user_id AS id, ts, value
+FROM events
+WHERE ts > {_FRONTIER} - INTERVAL 48 HOUR
 """
 
 _SQL_UI_IDS = "SELECT DISTINCT user_id AS id FROM events"
@@ -1561,6 +1585,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_neardup": _SQL_EMBED_NEARDUP,
         "simple_z_score": _SQL_SIMPLE_Z_SCORE,
         "get_data": _SQL_GET_DATA,
+        "data_hours": _SQL_DATA_HOURS,
         "ui_ids": _SQL_UI_IDS,
         "monitor_logs": _SQL_MONITOR_LOGS,
         "get_anomalies": _SQL_GET_ANOMALIES,

@@ -96,3 +96,60 @@ def test_fingerprint_normalizes_whitespace(spark):
     assert fp[1] == fp[2]
     assert fp[1] != fp[3]
     assert len(fp[1]) == 16
+
+
+def test_minhash_recall_vs_exact_jaccard(spark):
+    """Measured recall of the 16-hash / 8-band LSH candidate stage vs the
+    exact all-pairs shingle-Jaccard baseline at threshold 0.5, on a
+    corpus of templated near-duplicates (the realistic dedup workload:
+    many pairs sitting just above the threshold)."""
+    import random
+
+    from use_case_real_time_anomaly_detection_spark.functions.dedup import (
+        set_jaccard,
+        shingles,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(5)
+    vocab = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
+        "nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    ).split()
+    rows = []
+    did = 0
+    for base_i in range(40):
+        base = [rng.choice(vocab) for _ in range(30)]
+        rows.append((did, " ".join(base)))
+        did += 1
+        # a mutated variant: 1-3 token swaps (each swap destroys up to 3
+        # word-3-gram shingles) → shingle Jaccard lands around
+        # [0.45, 0.85], straddling the 0.5 threshold
+        variant = list(base)
+        for _ in range(1 + base_i % 3):
+            variant[rng.randrange(len(variant))] = rng.choice(vocab)
+        rows.append((did, " ".join(variant)))
+        did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # exact baseline: all-pairs shingle Jaccard >= 0.5
+    grams = shingles(docs).cache()
+    ids = grams.select("doc_id").distinct()
+    all_pairs = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in set_jaccard(grams, all_pairs).filter(F.col("jaccard") >= 0.5).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert got <= exact  # verify stage keeps precision exact
+    assert len(exact) >= 15  # the corpus genuinely straddles the threshold
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"minhash LSH recall = {recall} over {len(exact)} pairs"
+    grams.unpersist()

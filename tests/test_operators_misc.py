@@ -272,3 +272,39 @@ def test_violations_log_fused_equals_union(spark):
     }
     assert fused2 == union2
     assert fused2 != fused
+
+
+def test_response_envelope(spark):
+    """≙ the reference endpoint JSON envelope (tutorials/z-score.md:195-225):
+    meta types, data rows with DateTime strings, rows count, statistics."""
+    from use_case_real_time_anomaly_detection_spark.plans import detectors as D
+    from use_case_real_time_anomaly_detection_spark.plans.envelope import response_envelope
+
+    ev = D.events_shape(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    f = D.frontier_ts(ev)
+    out = response_envelope(D.z_score(ev, f), rows_read=ev.count())
+    assert [m["name"] for m in out["meta"]][:4] == ["id", "ts", "value", "zscore"]
+    types = {m["name"]: m["type"] for m in out["meta"]}
+    assert types["id"] == "Int64" and types["value"] == "Float64"
+    assert types["ts"] == "DateTime"
+    assert out["rows"] == len(out["data"]) > 0
+    assert isinstance(out["data"][0]["ts"], str)  # DateTime rendered as string
+    assert out["statistics"]["rows_read"] > 0
+    assert out["statistics"]["elapsed"] >= 0
+
+
+def test_endpoint_output_ordering(spark):
+    """O1/O2: endpoint plans apply the reference's final ORDER BY
+    (timestamp DESC for detectors, id ASC for most_recent)."""
+    from use_case_real_time_anomaly_detection_spark.plans import detectors as D
+
+    ev = D.events_shape(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    f = D.frontier_ts(ev)
+    ts = [r["ts"] for r in D.out_of_range(ev, f).collect()]
+    assert ts == sorted(ts, reverse=True) and len(ts) > 0
+    zts = [r["ts"] for r in D.z_score(ev, f).collect()]
+    assert zts == sorted(zts, reverse=True)
+    ids = [r["id"] for r in D.most_recent(ev).collect()]
+    assert ids == sorted(ids)
+    dts = [r["ts"] for r in D.data(ev, f, hours=48).collect()]
+    assert dts == sorted(dts, reverse=True) and len(dts) > 0

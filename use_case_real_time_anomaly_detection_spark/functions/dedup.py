@@ -25,8 +25,12 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
-N_HASHES = 8
-ROWS_PER_BAND = 2  # 8 hashes → 4 bands of 2
+# 16 hashes in 8 bands of 2: for a pair at Jaccard s the candidate
+# probability is 1-(1-s²)^8 — ≈0.90 at s=0.5, ≈0.9996 at s=0.8 — and the
+# exact-Jaccard verify keeps precision at 1.0. Recall vs the exact
+# all-pairs baseline is MEASURED in tests/test_dedup_text.py.
+N_HASHES = 16
+ROWS_PER_BAND = 2
 
 
 def exact_duplicates(

@@ -79,7 +79,7 @@ def out_of_range(
         "value",
         F.lit(float(min_value)).alias("min_value"),
         F.lit(float(max_value)).alias("max_value"),
-    )
+    ).orderBy(F.desc("ts"), "id")
 
 
 def rate_of_change(
@@ -118,6 +118,8 @@ def rate_of_change(
             & (F.abs(F.col("slope")) > max_slope)
         )
         .select("id", "ts", "value", "prev_value", "slope", "value_diff")
+        # ≙ copy_rate_of_change.pipe:59 ORDER BY timestamp DESC (O1)
+        .orderBy(F.desc("ts"), "id")
     )
 
 
@@ -130,6 +132,8 @@ def most_recent(events: DataFrame) -> DataFrame:
         events.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("id", F.col("ts").alias("last_seen"), "value")
+        # ≙ most_recent.pipe:25 ORDER BY id ASC (O2)
+        .orderBy("id")
     )
 
 
@@ -141,8 +145,13 @@ def timeout(
 ) -> DataFrame:
     """≙ pipes/timeout.pipe:15-40: latest report per id older than
     NOW() - seconds (P10, latest-per-key via W3→row_number)."""
-    return most_recent(events).filter(
-        F.col("last_seen") < F.lit(frontier) - F.expr(f"INTERVAL {seconds} SECOND")
+    return (
+        most_recent(events)
+        .filter(
+            F.col("last_seen") < F.lit(frontier) - F.expr(f"INTERVAL {seconds} SECOND")
+        )
+        # ≙ copy_timeout.pipe:21 ORDER BY timestamp DESC
+        .orderBy(F.desc("last_seen"), "id")
     )
 
 
@@ -204,6 +213,8 @@ def z_score(
             F.round("average", 2).alias("average"),
             F.round("stddev", 2).alias("stddev"),
         )
+        # ≙ z_score.pipe endpoint ORDER BY timestamp DESC (O1)
+        .orderBy(F.desc("ts"), "id")
     )
 
 
@@ -291,7 +302,22 @@ def get_data(
     )
     if sensor_id is not None:
         df = df.filter(F.col("id") == sensor_id)
-    return df.select("id", "ts", "value")
+    # ≙ get_data.pipe:20 / data.pipe:20 ORDER BY timestamp DESC
+    return df.select("id", "ts", "value").orderBy(F.desc("ts"), "id")
+
+
+def data(
+    events: DataFrame,
+    frontier,
+    *,
+    hours: int = 24,
+    sensor_id: int | None = None,
+) -> DataFrame:
+    """≙ pipes/data.pipe:13-20: the hours-granularity twin of get_data —
+    identical plan, the trailing window measured in hours."""
+    return get_data(
+        events, frontier, minutes=hours * 60, sensor_id=sensor_id
+    )
 
 
 def ui_ids(events: DataFrame) -> DataFrame:
@@ -351,4 +377,6 @@ def iqr(
             F.round(F.col("upper_quartile") + F.col("iqr"), 2).alias("upper_bound"),
         )
         .distinct()
+        # ≙ iqr.pipe:54 ORDER BY timestamp DESC (O1)
+        .orderBy(F.desc("ts"), "id")
     )
