@@ -411,22 +411,46 @@ _CLIPS_MAN = f"{_ORACLE_DIR}/manifest.parquet"
 _CLIPS_FRONTIER = 149  # SynthSpec(clips_per_partition=150) → frontier 149
 
 
-def _clips_meta_result(spark):
-    from use_case_real_time_anomaly_detection_spark.operators.rules import IqrRule, ProfileSpec
-    from use_case_real_time_anomaly_detection_spark.plans.clips import default_rules, validate_clips
+def _ensure_clips_oracle_files() -> None:
+    """Materialize the clip metadata + manifest parquet that BOTH engines
+    read. Pure pandas/pyarrow (no SparkSession), so the oracle side can
+    bootstrap the fixture even if the driver evaluates oracle SQL before
+    the Spark query. Deterministic content → written once per process."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     from use_case_real_time_anomaly_detection_spark.sources.synth import (
         SynthSpec,
-        generate_clips,
-        generate_manifest,
-        with_partition_cols,
+        manifest_pandas,
+        metadata_pandas,
     )
 
+    if os.path.exists(f"{_CLIPS_META}/data.parquet") and os.path.exists(
+        f"{_CLIPS_MAN}/data.parquet"
+    ):
+        return
     spec = SynthSpec(partitions=4, clips_per_partition=150)
-    meta = with_partition_cols(generate_clips(spark, spec).drop("bytes"))
-    meta.coalesce(1).write.mode("overwrite").parquet(_CLIPS_META)
-    generate_manifest(spark, spec).coalesce(1).write.mode("overwrite").parquet(
-        _CLIPS_MAN
+    os.makedirs(_CLIPS_META, exist_ok=True)
+    os.makedirs(_CLIPS_MAN, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(metadata_pandas(spec), preserve_index=False),
+        f"{_CLIPS_META}/data.parquet",
     )
+    pq.write_table(
+        pa.Table.from_pandas(manifest_pandas(spec), preserve_index=False),
+        f"{_CLIPS_MAN}/data.parquet",
+    )
+
+
+def _clips_meta_result(spark):
+    from use_case_real_time_anomaly_detection_spark.operators.rules import IqrRule, ProfileSpec
+    from use_case_real_time_anomaly_detection_spark.plans.clips import default_rules
+    from use_case_real_time_anomaly_detection_spark.sources.synth import SynthSpec
+
+    spec = SynthSpec(partitions=4, clips_per_partition=150)
+    _ensure_clips_oracle_files()
     # both engines read the SAME materialized table
     meta2 = spark.read.parquet(_CLIPS_META)
     man2 = spark.read.parquet(_CLIPS_MAN)
@@ -1559,6 +1583,9 @@ FROM s
 
 
 def oracle_sql() -> dict[str, str]:
+    # the clips oracles read the materialized metadata parquet — make sure
+    # it exists even if the harness evaluates oracles before queries
+    _ensure_clips_oracle_files()
     return {
         "out_of_range": _SQL_OUT_OF_RANGE,
         "rate_of_change": _SQL_RATE_OF_CHANGE,

@@ -204,3 +204,29 @@ def test_verdict_grid_consistency(result):
         expected = counts.get((row.partition_key, row.detector), 0)
         assert row.violation_count == expected
         assert row._3 == (expected == 0)  # 'pass' is a keyword → positional
+
+
+def test_metadata_pandas_equals_generated_clips(spark):
+    """The pure-pandas fixture writer (oracle bootstrap path) must equal
+    generate_clips minus the audio payload, row for row."""
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        generate_clips,
+        generate_manifest,
+        manifest_pandas,
+        metadata_pandas,
+        with_partition_cols,
+    )
+
+    spec = SynthSpec(partitions=3, clips_per_partition=90)
+    via_spark = {
+        tuple(r)
+        for r in with_partition_cols(generate_clips(spark, spec).drop("bytes")).collect()
+    }
+    via_pandas = {
+        tuple(r) for r in metadata_pandas(spec).itertuples(index=False)
+    }
+    assert via_spark == via_pandas
+    man_spark = {tuple(r) for r in generate_manifest(spark, spec).collect()}
+    man_pandas = {tuple(r) for r in manifest_pandas(spec).itertuples(index=False)}
+    assert man_spark == man_pandas

@@ -223,6 +223,61 @@ def _render_rows(p: int, spec: SynthSpec) -> pd.DataFrame:
     return pd.DataFrame(out, columns=[f.name for f in CLIPS_SCHEMA.fields])
 
 
+def metadata_pandas(spec: SynthSpec = SynthSpec()) -> pd.DataFrame:
+    """The clip table MINUS the audio payload, as one pandas frame —
+    exactly ``generate_clips(...).drop("bytes")`` plus the derived
+    (partition_key, seq) columns (equality asserted in
+    tests/test_clips_engine.py). Pure pandas so oracle harnesses can
+    materialize the fixture without a SparkSession."""
+    frames = []
+    for p in range(spec.partitions):
+        plan = plan_partition(p, spec)
+        rows = []
+        for row in plan.itertuples(index=False):
+            ts = expected_transcript(row.clip_id, spec.seed)
+            if row.bad_transcript:
+                ts = " ".join(reversed(ts.split())) + " [corrupted]"
+            rec = {
+                "clip_id": row.clip_id,
+                "sr_hz": int(row.sr_hz),
+                "dur_ms": int(row.dur_ms),
+                "codec": row.codec,
+                "transcript": ts,
+                "partition_key": partition_tag(p),
+                "seq": int(row.seq),
+            }
+            rows.append(rec)
+            if row.dup:
+                rows.append(dict(rec))
+        frames.append(pd.DataFrame(rows))
+    out = pd.concat(frames, ignore_index=True)
+    out["sr_hz"] = out["sr_hz"].astype("int32")
+    out["dur_ms"] = out["dur_ms"].astype("int32")
+    out["seq"] = out["seq"].astype("int64")
+    return out
+
+
+def manifest_pandas(spec: SynthSpec = SynthSpec()) -> pd.DataFrame:
+    """``generate_manifest`` as one pandas frame (pure python)."""
+    frames = []
+    for p in range(spec.partitions):
+        plan = plan_partition(p, spec)
+        plan = plan[~plan["orphan"]]
+        frames.append(
+            pd.DataFrame(
+                {
+                    "clip_id": plan["clip_id"],
+                    "expected_codec": plan["codec"],
+                    "expected_sr_hz": plan["sr_hz"].astype("int32"),
+                    "expected_transcript": [
+                        expected_transcript(c, spec.seed) for c in plan["clip_id"]
+                    ],
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
 def generate_clips(spark: SparkSession, spec: SynthSpec = SynthSpec()) -> DataFrame:
     """Distributed clip generation: one task per partition tag.
 
