@@ -48,8 +48,15 @@ def test_out_of_range_filter_reaches_scan(events, frontier):
     # the value-threshold predicates made it into the pushed set
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert "value" in pushed and "ts" in pushed
-    # single stage, no exchange: a pure filter must never shuffle
-    assert "Exchange" not in plan
+    # a pure filter must never shuffle for COMPUTE: the only exchange is
+    # the final presentation ORDER BY (range partitioning ≙ the
+    # reference endpoint's ORDER BY timestamp DESC), never a hash
+    # repartition of the data
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "rangepartitioning" for e in exchanges), exchanges
+    assert len(exchanges) <= 1, exchanges
 
 
 def test_zscore_and_iqr_broadcast_stats(events, frontier):

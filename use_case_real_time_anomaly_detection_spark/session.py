@@ -31,6 +31,14 @@ _DEFAULT_CONFS: dict[str, str] = {
     # where the giant buffers became G1 humongous allocations and GC
     # serialized the whole Arrow exchange.
     "spark.sql.execution.arrow.maxRecordsPerBatch": "256",
+    # parquet columnarReaderBatchSize stays at Spark's default 4096.
+    # Measured both ways on the binary-heavy clip table: 512-row scan
+    # batches are ~2x faster at local[32] on a small (2.3 GB, one task
+    # wave) fixture — 32 concurrent tasks x ~57 MB contiguous `bytes`
+    # vectors thrash G1 there — but ~20% SLOWER on the 20 GB multi-wave
+    # scaling workload, where the allocation churn amortizes and larger
+    # batches win. Default favors the at-scale regime; see
+    # BENCH/BASELINE.md for the numbers.
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
