@@ -909,25 +909,47 @@ _TOK_POS = """
   ) WHERE token <> ''
 """
 
-# signature/band SQL generated from the SAME constants as
-# functions/dedup.py (16 hashes, 2 rows per band → 8 bands)
+# signature/band SQL generated from the SAME constants and the same
+# Kirsch-Mitzenmacher double-hashing arithmetic as functions/dedup.py
+# (one md5 per shingle → two 32-bit hex slices a,b; hash_i = a+i·b mod
+# 2^32; 16 hashes in 8 bands of 2)
 from use_case_real_time_anomaly_detection_spark.functions.dedup import (  # noqa: E402
     N_HASHES as _MH_N,
     ROWS_PER_BAND as _MH_RPB,
 )
 
+
+def _hexslice_sql(hexpr: str, start: int) -> str:
+    """8 hex chars of `hexpr` starting at 1-based `start` → BIGINT."""
+    terms = [
+        f"(strpos('0123456789abcdef', substring({hexpr}, {start + i}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 _MINHASH_SIG = (
     "  SELECT doc_id,\n         "
     + ",\n         ".join(
-        f"min(md5('{i}:' || gram)) AS h{i}" for i in range(_MH_N)
+        f"min((ga + {i} * gb) % 4294967296) AS h{i}" for i in range(_MH_N)
     )
-    + "\n  FROM grams GROUP BY doc_id"
+    + "\n  FROM gh GROUP BY doc_id"
 )
+
+_MINHASH_GH = f"""
+  SELECT doc_id,
+         {_hexslice_sql('md5(gram)', 1)} AS ga,
+         ({_hexslice_sql('md5(gram)', 9)} | 1) AS gb
+  FROM grams
+"""
 
 _MINHASH_BANDS = "\n  UNION ALL ".join(
     "SELECT doc_id AS doc, {b} AS band, {expr} AS bh FROM sig".format(
         b=b,
-        expr=" || ".join(f"h{b * _MH_RPB + r}" for r in range(_MH_RPB)),
+        expr=" || ':' || ".join(
+            f"CAST(h{b * _MH_RPB + r} AS VARCHAR)" for r in range(_MH_RPB)
+        ),
     )
     for b in range(_MH_N // _MH_RPB)
 )
@@ -935,6 +957,7 @@ _MINHASH_BANDS = "\n  UNION ALL ".join(
 _SQL_MINHASH_LSH = f"""
 WITH t AS ({_TOK_POS}),
 grams AS ({_SHINGLES}),
+gh AS ({_MINHASH_GH}),
 sig AS ({_MINHASH_SIG}),
 bands AS (
   {_MINHASH_BANDS}
