@@ -263,6 +263,32 @@ def _q_ngram_jaccard(spark, sf):
     return ngram_jaccard_pairs(_docs(spark, sf), n=2, threshold=0.3)
 
 
+def _q_dup_clusters(spark, sf):
+    """Connected components over the MinHash-LSH near-dup pairs:
+    (doc_id, cluster_id=min id of the component) — iterative min-label
+    propagation; the oracle is a recursive transitive closure."""
+    from use_case_real_time_anomaly_detection_spark.functions.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    return connected_components(minhash_lsh_pairs(_docs(spark, sf), threshold=0.5))
+
+
+def _q_dedup_corpus_ids(spark, sf):
+    """The deduplicated corpus ids: all docs minus non-canonical
+    near-dup cluster members."""
+    from use_case_real_time_anomaly_detection_spark.functions.dedup import (
+        canonical_corpus_ids,
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = _docs(spark, sf)
+    clusters = connected_components(minhash_lsh_pairs(docs, threshold=0.5))
+    return canonical_corpus_ids(docs, clusters)
+
+
 def _q_simhash_pairs(spark, sf):
     from use_case_real_time_anomaly_detection_spark.functions.dedup import simhash_near_pairs
 
@@ -515,6 +541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": _q_langid,
         "dedup_exact": _q_dedup_exact,
         "minhash_lsh": _q_minhash_lsh,
+        "dup_clusters": _q_dup_clusters,
+        "dedup_corpus_ids": _q_dedup_corpus_ids,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_pairs": _q_simhash_pairs,
         "ann_brute": _q_ann_brute,
@@ -981,6 +1009,41 @@ JOIN sizes sa ON sa.doc_id = i.id_a
 JOIN sizes sb ON sb.doc_id = i.id_b
 WHERE {_R("CAST(i.overlap AS DOUBLE) / (sa.n + sb.n - i.overlap)", 4)} >= 0.5
 """
+
+# connected components of the near-dup graph: recursive transitive
+# closure, cluster_id = min reachable id — the exact semantics of the
+# Spark side's min-label propagation fixpoint.
+_CLOSURE = f"""
+mh AS (
+{_SQL_MINHASH_LSH}
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM mh
+  UNION
+  SELECT id_b, id_a FROM mh
+),
+reach (s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d
+),
+clusters AS (
+  SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s
+)
+"""
+
+_SQL_DUP_CLUSTERS = (
+    "WITH RECURSIVE " + _CLOSURE + "\nSELECT doc_id, cluster_id FROM clusters"
+)
+
+_SQL_DEDUP_CORPUS_IDS = (
+    "WITH RECURSIVE "
+    + _CLOSURE
+    + """
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE cluster_id <> doc_id)
+"""
+)
 
 _SQL_NGRAM_JACCARD = f"""
 WITH tok AS (
@@ -1630,6 +1693,8 @@ def oracle_sql() -> dict[str, str]:
         "langid": _SQL_LANGID,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "minhash_lsh": _SQL_MINHASH_LSH,
+        "dup_clusters": _SQL_DUP_CLUSTERS,
+        "dedup_corpus_ids": _SQL_DEDUP_CORPUS_IDS,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "ann_brute": _SQL_ANN_BRUTE,
         "embed_neardup": _SQL_EMBED_NEARDUP,

@@ -153,3 +153,52 @@ def test_minhash_recall_vs_exact_jaccard(spark):
     recall = len(got & exact) / len(exact)
     assert recall >= 0.9, f"minhash LSH recall = {recall} over {len(exact)} pairs"
     grams.unpersist()
+
+
+def _uf_components(pairs):
+    """Union-find oracle: component id = min member id."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Min-label propagation == union-find, including a 12-node path
+    (diameter 11 → forces many propagation iterations) and singletons
+    attached to big ids."""
+    from use_case_real_time_anomaly_detection_spark.functions.dedup import (
+        canonical_corpus_ids,
+        connected_components,
+    )
+    from pyspark.sql import functions as F
+
+    pairs = (
+        [(i, i + 1) for i in range(100, 112)]  # long path
+        + [(1, 2), (2, 3), (1, 3)]             # triangle
+        + [(50, 60), (60, 55)]                 # small star
+        + [(7, 900)]                           # bridge to a big id
+    )
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(pdf).collect()
+    }
+    expected = set(_uf_components(pairs).items())
+    assert got == expected
+    # canonical corpus: all ids 0..999, drop non-canonical members
+    docs = spark.range(1000).select(F.col("id").alias("doc_id"))
+    clusters = connected_components(pdf)
+    kept = {r["doc_id"] for r in canonical_corpus_ids(docs, clusters).collect()}
+    dropped = {d for d, c in expected if c != d}
+    assert kept == set(range(1000)) - dropped

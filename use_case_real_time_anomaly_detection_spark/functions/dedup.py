@@ -243,6 +243,89 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    *,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph via
+    iterative min-label propagation: every node's label converges to the
+    minimum id reachable from it, so cluster_id == min(doc_id) of the
+    component — the canonical-representative convention of corpus dedup.
+
+    Scale shape: each iteration is one equi-join (edges × labels) + one
+    min-aggregation — all shuffles on the node id key; iterations =
+    O(graph diameter), and near-dup graphs are quasi-cliques with tiny
+    diameters (a handful of iterations in practice). Each iteration is
+    localCheckpoint()ed: the plan would otherwise double every round,
+    and the checkpoint also gives the convergence test (a count of
+    changed labels) a materialized frame to reuse. The driver loop is
+    control flow only — no data ever collects to the driver.
+
+    Returns (doc_id, cluster_id) for every id incident to a pair.
+    """
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    edges = fwd.unionByName(rev).distinct().cache()
+
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("dlabel")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dlabel").alias("nlabel"))
+            .select(F.col("src").alias("id"), "nlabel")
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def canonical_corpus_ids(
+    docs: DataFrame,
+    clusters: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The deduplicated corpus: every doc except non-canonical cluster
+    members (cluster members other than the min-id representative).
+    One broadcast-able anti-join — clusters ≪ corpus at scale."""
+    drop = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.select(id_col).join(drop, id_col, "left_anti")
+
+
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:
