@@ -165,3 +165,41 @@ def test_ann_brute_topk_avoids_full_sort(spark):
     q = [float(x) for x in emb.select("embedding").first()[0]]
     plan = _physical(brute_force_topk(emb, q, k=10, exclude_id=0))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_manifest_join_has_no_shuffle(spark):
+    """Co-located join: clips and manifest bucketed identically on
+    clip_id must sort-merge join with ZERO shuffle exchanges — the
+    at-scale shape of the engine's one big join (the parquet analog of
+    Iceberg's storage-partitioned join)."""
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        generate_clips,
+        generate_manifest,
+    )
+    from use_case_real_time_anomaly_detection_spark.sources.tables import write_bucketed
+    from pyspark.sql import functions as F
+
+    spec = SynthSpec(partitions=2, clips_per_partition=60)
+    write_bucketed(
+        generate_clips(spark, spec).drop("bytes"), "bk_clips", n_buckets=4
+    )
+    write_bucketed(generate_manifest(spark, spec), "bk_manifest", n_buckets=4)
+    try:
+        clips = spark.table("bk_clips")
+        man = spark.table("bk_manifest").select(
+            F.col("clip_id").alias("m_clip_id"), "expected_transcript"
+        )
+        # disable auto-broadcast so the co-location (not size) is what
+        # removes the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = clips.join(man, clips["clip_id"] == man["m_clip_id"], "left")
+        plan = _physical(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        n = joined.count()
+        assert n == clips.count() > 0  # left join keeps every clip row
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bk_clips")
+        spark.sql("DROP TABLE IF EXISTS bk_manifest")

@@ -107,6 +107,32 @@ def get_catalog(spark: SparkSession, root: str):
     return ParquetCatalog(spark, root)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_col: str = "clip_id",
+    n_buckets: int = 8,
+) -> None:
+    """Save as a bucketed+sorted managed table (Hive-style bucketing).
+
+    This is the parquet analog of Iceberg's `bucket(N, clip_id)`
+    partition transform for JOIN co-location: two tables bucketed the
+    same way on the join key (clips × manifest on clip_id — the one big
+    join in the engine, operators/compiler.py manifest join) sort-merge
+    join with NO shuffle exchange on either side — at 10^12 rows that
+    removes the only full-table shuffle the validation plan would
+    otherwise pay. Asserted by tests/test_plan_shapes.py.
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def write_clips_layout(df: DataFrame, catalog: ParquetCatalog, name: str = "clips") -> None:
     """Write the clip table in its at-scale layout: partitioned by codec +
     an 8-way clip_id bucket, rows sorted by clip_id within files (so the
