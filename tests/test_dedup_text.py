@@ -202,3 +202,36 @@ def test_connected_components_matches_union_find(spark):
     kept = {r["doc_id"] for r in canonical_corpus_ids(docs, clusters).collect()}
     dropped = {d for d, c in expected if c != d}
     assert kept == set(range(1000)) - dropped
+
+
+def test_ngram_blocking_caps_fanout_keeps_rare_pairs(spark):
+    """max_shingle_df blocks CANDIDATE keys only: pairs sharing a rare
+    shingle are still found with their exact (unblocked) Jaccard; pairs
+    whose only common shingles are corpus-boilerplate are the documented
+    recall trade."""
+    from use_case_real_time_anomaly_detection_spark.functions.dedup import ngram_jaccard_pairs
+
+    boiler = "click here to subscribe now"
+    rows = [
+        (1, boiler + " unique alpha beta gamma delta"),
+        (2, boiler + " unique alpha beta gamma delta"),   # near-dup of 1 via rare shingles
+        (3, boiler + " totally different xi omicron pi rho"),
+        (4, boiler + " else entirely tau upsilon phi chi"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=2, threshold=0.2).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, n=2, threshold=0.2, max_shingle_df=2
+        ).collect()
+    }
+    assert set(capped) <= set(exact)
+    assert (1, 2) in capped                      # rare-shingle pair kept
+    assert capped[(1, 2)] == exact[(1, 2)]       # Jaccard still exact
+    # docs 3/4 share ONLY the df=4 boilerplate shingles -> blocked out
+    boiler_only = {p for p in exact if p[0] in (3, 4) or p[1] in (3, 4)}
+    assert all(p not in capped for p in boiler_only)

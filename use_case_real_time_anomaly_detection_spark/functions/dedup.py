@@ -193,10 +193,24 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 2,
     threshold: float = 0.3,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by word n-gram (shingle) Jaccard. Candidates =
-    pairs sharing ≥1 shingle (pairs sharing none have Jaccard 0 anyway);
-    at scale, rare-shingle blocking bounds the join fan-out."""
+    pairs sharing ≥1 BLOCKING shingle; the exact Jaccard (over ALL
+    shingles) verifies each candidate.
+
+    ``max_shingle_df`` caps the candidate join's fan-out: shingles whose
+    document frequency exceeds the cap are excluded from the CANDIDATE
+    join key set (never from the Jaccard itself), so the self-join's
+    per-key fan-out is bounded by cap² — the difference between a
+    shuffle that finishes and one stop-word shingle producing 10¹⁸
+    candidate rows at corpus scale. Recall caveat, stated honestly: a
+    pair sharing ONLY above-cap shingles is missed; at any realistic
+    threshold such pairs are vanishing (two docs with Jaccard ≥ t share
+    |S∩| ≥ t/(1+t)·|S∪| shingles, and all of them being corpus-frequent
+    means the docs are near-duplicates of a boilerplate that the cap is
+    deliberately blocking on anyway). ``None`` disables blocking
+    (exact candidates — test scale)."""
     # posexplode keeps the token position → deterministic n-gram order
     t = df.select(
         F.col(id_col),
@@ -215,16 +229,36 @@ def ngram_jaccard_pairs(
         grams = grams.filter(F.col(f"_t{i}").isNotNull())
     grams = grams.select(id_col, "gram").distinct()
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        grams.alias("a")
+    block = grams
+    if max_shingle_df is not None:
+        rare = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("gram")
+        )
+        block = grams.join(rare, "gram")
+    cand = (
+        block.alias("a")
         .join(
-            grams.alias("b"),
+            block.alias("b"),
             (F.col("a.gram") == F.col("b.gram"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .groupBy(
+        .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
+        .distinct()
+    )
+    # exact Jaccard over ALL shingles (blocking affects candidates only)
+    inter = (
+        cand.join(grams.alias("ta"), cand["id_a"] == F.col(f"ta.{id_col}"))
+        .join(
+            grams.alias("tb"),
+            (cand["id_b"] == F.col(f"tb.{id_col}"))
+            & (F.col("ta.gram") == F.col("tb.gram")),
+        )
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("overlap"))
     )
     return (
