@@ -335,3 +335,69 @@ def test_running_zscore_multichunk_out_of_order(spark, tmp_path):
     expected = _zscore_oracle(parsed, threshold=4.0, min_periods=50)
     assert got == expected
     assert len(got) >= 2  # both injected spikes flagged
+
+
+def test_stream_clips_validation_two_waves(spark, tmp_path):
+    """Streaming clip validation: two file-arrival waves drain through
+    foreachBatch; each cycle's violations land partition-overwritten and
+    the lineage table accumulates per-cycle verdict history. Wave 2 must
+    process ONLY the new files (file-source checkpoint) yet the store
+    retains wave-1 partitions' violations."""
+    from pyspark.sql import functions as F
+
+    from use_case_real_time_anomaly_detection_spark.plans.clips import default_rules
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        CLIPS_SCHEMA,
+        SynthSpec,
+        generate_clips,
+        generate_manifest,
+    )
+    from use_case_real_time_anomaly_detection_spark.streaming.pipeline import (
+        stream_clips_validation,
+    )
+
+    spec = SynthSpec(partitions=4, clips_per_partition=120)
+    clips = generate_clips(spark, spec).cache()
+    manifest = generate_manifest(spark, spec).cache()
+    src = str(tmp_path / "clip_stream")
+    ckpt = str(tmp_path / "clip_ckpt")
+    cat = ParquetCatalog(spark, str(tmp_path / "clip_wh"))
+    store = CheckpointStore(cat)
+
+    def run_wave():
+        stream = spark.readStream.schema(CLIPS_SCHEMA).parquet(src)
+        q = stream_clips_validation(
+            stream, manifest, store,
+            checkpoint_dir=ckpt, rules=default_rules(with_audio=False),
+        )
+        q.awaitTermination(300)
+
+    # wave 1: partitions c000/c001
+    clips.filter(F.substring("clip_id", 1, 4).isin("c000", "c001")).write.mode(
+        "append"
+    ).parquet(src)
+    run_wave()
+    v1 = store.violations()
+    parts1 = {r["partition_key"] for r in v1.select("partition_key").distinct().collect()}
+    assert parts1 == {"c000", "c001"}
+    assert v1.count() > 0
+
+    # wave 2: partitions c002/c003 arrive as new files
+    clips.filter(F.substring("clip_id", 1, 4).isin("c002", "c003")).write.mode(
+        "append"
+    ).parquet(src)
+    run_wave()
+    v2 = store.violations()
+    parts2 = {r["partition_key"] for r in v2.select("partition_key").distinct().collect()}
+    assert parts2 == {"c000", "c001", "c002", "c003"}
+    # wave-1 violations retained (partition overwrite, not truncate)
+    assert v2.filter(F.col("partition_key") == "c000").count() == v1.filter(
+        F.col("partition_key") == "c000"
+    ).count()
+    # lineage: one verdict row per (cycle, partition, detector)
+    lin = store.lineage()
+    assert {r["run_id"] for r in lin.select("run_id").distinct().collect()} >= {
+        "stream-0"
+    }
+    clips.unpersist()
+    manifest.unpersist()

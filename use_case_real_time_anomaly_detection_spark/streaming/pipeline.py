@@ -38,6 +38,59 @@ def run_copy_cycle(
     sink_append(log)
 
 
+def stream_clips_validation(
+    clip_stream: DataFrame,
+    manifest: DataFrame,
+    store,
+    *,
+    checkpoint_dir: str,
+    rules: list | None = None,
+    available_now: bool = True,
+):
+    """Continuous clip-table validation: each micro-batch of newly landed
+    clips runs the full rule engine and checkpoints its verdicts +
+    violations through the lineage store — the streaming rendition of
+    runner.py's batch resume loop (same engine, same lineage table; the
+    stream's file-source checkpoint replaces the frontier anti-join as
+    the "what's new" mechanism).
+
+    Scope per cycle ≙ the reference's per-minute copy runs: partition
+    statistics (z-window, IQR fences, drift, staleness) are evaluated
+    over the rows THIS batch delivered for each partition — exactly like
+    a copy pipe's trailing-window snapshot — so a partition's verdict
+    history accumulates one row per cycle in the lineage table.
+    """
+    from ..plans.clips import validate_clips
+    from ..sources.synth import with_partition_cols
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        clips = with_partition_cols(batch_df)
+        frontier = clips.agg(F.max("seq")).collect()[0][0]
+        res = validate_clips(
+            clips,
+            manifest,
+            frontier=int(frontier),
+            rules=rules,
+            run_id=f"stream-{batch_id}",
+            persist=True,
+        )
+        store.record_run(res, frontier=int(frontier))
+        res.violations.unpersist()
+
+    writer = (
+        clip_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="1 minute")
+    return writer.start()
+
+
 def stream_violations(
     event_stream: DataFrame,
     sink_append,
