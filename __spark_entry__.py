@@ -380,6 +380,18 @@ def _q_embed_neardup(spark, sf):
     return neardup_pairs(_emb(spark, sf), threshold=0.4)
 
 
+def _q_embed_neardup_lsh(spark, sf):
+    """The 10^9+-vector scale path for near-dup: banded sign-LSH
+    candidates (8 bands × 6 md5-derived hyperplanes — the
+    OR-construction, recall ≥0.95 measured in tests) + exact-cosine
+    verify. Results ⊆ embed_neardup by construction."""
+    from use_case_real_time_anomaly_detection_spark.functions.similarity import (
+        neardup_pairs_lsh,
+    )
+
+    return neardup_pairs_lsh(_emb(spark, sf), threshold=0.4, n_planes=6, bands=8)
+
+
 # ---- reference consumer endpoints ------------------------------------------
 
 
@@ -552,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_verdicts": _q_clips_verdicts,
         "clips_validate_audio": _q_clips_validate_audio,
         "embed_neardup": _q_embed_neardup,
+        "embed_neardup_lsh": _q_embed_neardup_lsh,
         "simple_z_score": _q_simple_z_score,
         "get_data": _q_get_data,
         "data_hours": _q_data_hours,
@@ -1600,6 +1613,61 @@ LIMIT {k}
 
 _SQL_ANN_LSH = _ann_lsh_sql()
 
+
+def _embed_neardup_lsh_sql(n_planes: int = 6, bands: int = 8, threshold: float = 0.4) -> str:
+    """Banded sign-LSH near-dup pairs: global plane index P = band·n+bit
+    (the same md5 family as the Spark side), candidates share
+    (band, bucket) in any band, exact cosine verifies."""
+    total = n_planes * bands
+    hp = _hex8_sql("md5('hp:' || p || ':' || d)")
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings
+),
+pl AS (
+  SELECT p.p, dd.d,
+         ({hp} / 4294967295.0) * 2.0 - 1.0 AS wgt
+  FROM generate_series(0, {total - 1}) p(p),
+       (SELECT DISTINCT d FROM e) dd(d)
+),
+dots AS (
+  SELECT e.vec_id, pl.p, sum(e.x * pl.wgt) AS dot
+  FROM e JOIN pl ON pl.d = e.d GROUP BY e.vec_id, pl.p
+),
+bk AS (
+  SELECT vec_id, p // {n_planes} AS band,
+         CAST(sum(CASE WHEN dot > 0 THEN (1 << (p % {n_planes})) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, p // {n_planes}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bk a JOIN bk b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+ev AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+n2 AS (SELECT vec_id, sum(x * x) AS n2 FROM ev GROUP BY vec_id),
+dd AS (
+  SELECT c.a_id, c.b_id, sum(ea.x * eb.x) AS dot
+  FROM cand c
+  JOIN ev ea ON ea.vec_id = c.a_id
+  JOIN ev eb ON eb.vec_id = c.b_id AND eb.i = ea.i
+  GROUP BY c.a_id, c.b_id
+)
+SELECT d.a_id, d.b_id,
+       {_R("d.dot / (sqrt(na.n2) * sqrt(nb.n2))", 4)} AS cosine
+FROM dd d JOIN n2 na ON na.vec_id = d.a_id JOIN n2 nb ON nb.vec_id = d.b_id
+WHERE {_R("d.dot / (sqrt(na.n2) * sqrt(nb.n2))", 4)} >= {threshold}
+"""
+
+
+_SQL_EMBED_NEARDUP_LSH = _embed_neardup_lsh_sql()
+
 _SQL_ANN_IVF = f"""
 WITH e AS (
   SELECT vec_id, label,
@@ -1698,6 +1766,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "ann_brute": _SQL_ANN_BRUTE,
         "embed_neardup": _SQL_EMBED_NEARDUP,
+        "embed_neardup_lsh": _SQL_EMBED_NEARDUP_LSH,
         "simple_z_score": _SQL_SIMPLE_Z_SCORE,
         "get_data": _SQL_GET_DATA,
         "data_hours": _SQL_DATA_HOURS,

@@ -308,3 +308,56 @@ def test_endpoint_output_ordering(spark):
     assert ids == sorted(ids)
     dts = [r["ts"] for r in D.data(ev, f, hours=48).collect()]
     assert dts == sorted(dts, reverse=True) and len(dts) > 0
+
+
+def test_violations_log_fused_equals_union_property(spark):
+    """Property: on RANDOM event frames (duplicate rows, NULL values,
+    tied timestamps, tiny/huge values) the fused single-scan log equals
+    the five-detector union byte-for-byte. Hypothesis drives the frame
+    shapes; 6 examples keeps the Spark round-trips affordable."""
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from use_case_real_time_anomaly_detection_spark.plans.copylog import (
+        violations_log,
+        violations_log_union,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    row = st.tuples(
+        st.integers(min_value=1, max_value=4),                      # id
+        st.integers(min_value=0, max_value=20 * 86400),             # ts offset s
+        st.one_of(
+            st.none(),
+            st.floats(
+                min_value=-500, max_value=500,
+                allow_nan=False, allow_infinity=False, width=16,
+            ),
+        ),
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(row, min_size=5, max_size=60))
+    def check(rows):
+        data = [
+            (i, t0 + dt.timedelta(seconds=off), float(v) if v is not None else None, k)
+            for k, (i, off, v) in enumerate(rows)
+        ]
+        # inject exact duplicate rows (same event_id) to hit tie paths
+        data += data[:3]
+        ev = spark.createDataFrame(
+            data, "id long, ts timestamp, value double, event_id long"
+        )
+        frontier = max(r[1] for r in data)
+        fused = {tuple(r) for r in violations_log(ev, frontier).collect()}
+        union = {tuple(r) for r in violations_log_union(ev, frontier).collect()}
+        assert fused == union
+
+    check()
