@@ -401,3 +401,31 @@ def test_stream_clips_validation_two_waves(spark, tmp_path):
     }
     clips.unpersist()
     manifest.unpersist()
+
+
+def test_runner_cli_stream_mode(spark, tmp_path, capsys):
+    """runner.main(--stream): drains landed clip files through the
+    streaming validation path and prints the stream summary."""
+    from use_case_real_time_anomaly_detection_spark import runner
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        generate_clips,
+        generate_manifest,
+    )
+
+    spec = SynthSpec(partitions=2, clips_per_partition=80)
+    src = str(tmp_path / "rs_src")
+    man = str(tmp_path / "rs_man")
+    generate_clips(spark, spec).write.mode("append").parquet(src)
+    generate_manifest(spark, spec).write.parquet(man)
+
+    rc = runner.main(
+        ["--stream", src, "--manifest", man,
+         "--checkpoint-dir", str(tmp_path / "rs_ckpt"), "--no-audio"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "stream"
+    assert out["cycles"] >= 1
+    assert out["partitions_validated"] == 2
+    assert out["violations"] > 0

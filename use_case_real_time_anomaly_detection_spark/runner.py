@@ -49,6 +49,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         metavar="PxC",
         help="synthesize a deterministic fixture: P partitions x C clips",
     )
+    src.add_argument(
+        "--stream",
+        metavar="DIR",
+        help="streaming mode: validate clip parquet files as they land in "
+        "DIR (Trigger.AvailableNow drain per invocation; the stream's "
+        "file-source checkpoint under --checkpoint-dir tracks what's new)",
+    )
     p.add_argument("--manifest", help="parquet path of the clip manifest")
     p.add_argument(
         "--checkpoint-dir",
@@ -92,6 +99,41 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(args.master)
     spark.sparkContext.setLogLevel("WARN")
+
+    if args.stream:
+        if not args.manifest:
+            print("--manifest is required with --stream", file=sys.stderr)
+            return 2
+        from .sources.synth import CLIPS_SCHEMA
+        from .streaming.pipeline import stream_clips_validation
+
+        store = CheckpointStore(get_catalog(spark, args.checkpoint_dir))
+        manifest = spark.read.parquet(args.manifest)
+        stream = spark.readStream.schema(CLIPS_SCHEMA).parquet(args.stream)
+        t0 = time.time()
+        q = stream_clips_validation(
+            stream,
+            manifest,
+            store,
+            checkpoint_dir=f"{args.checkpoint_dir}/_stream_ckpt",
+            rules=default_rules(with_audio=not args.no_audio),
+        )
+        q.awaitTermination()
+        lin = store.lineage().filter(F.col("run_id").startswith("stream-"))
+        print(
+            json.dumps(
+                {
+                    "mode": "stream",
+                    "cycles": lin.select("run_id").distinct().count(),
+                    "partitions_validated": lin.select("partition_key")
+                    .distinct()
+                    .count(),
+                    "violations": store.violations().count(),
+                    "seconds": round(time.time() - t0, 2),
+                }
+            )
+        )
+        return 0
 
     if args.synth:
         parts, clips_per = (int(x) for x in args.synth.lower().split("x"))
