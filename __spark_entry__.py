@@ -263,6 +263,27 @@ def _q_ngram_jaccard(spark, sf):
     return ngram_jaccard_pairs(_docs(spark, sf), n=2, threshold=0.3)
 
 
+def _q_corpus_filter(spark, sf):
+    """End-to-end curation pipeline: quality gates × language filter ×
+    near-dup canonicalization → surviving doc ids."""
+    from use_case_real_time_anomaly_detection_spark.functions.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from use_case_real_time_anomaly_detection_spark.functions.text import corpus_filter
+
+    docs = _docs(spark, sf)
+    clusters = connected_components(minhash_lsh_pairs(docs, threshold=0.5))
+    return corpus_filter(
+        docs,
+        min_tokens=30,
+        max_tokens=10_000,
+        max_stopword_ratio=0.8,
+        lang="en",
+        clusters=clusters,
+    )
+
+
 def _q_dup_clusters(spark, sf):
     """Connected components over the MinHash-LSH near-dup pairs:
     (doc_id, cluster_id=min id of the component) — iterative min-label
@@ -555,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "dup_clusters": _q_dup_clusters,
         "dedup_corpus_ids": _q_dedup_corpus_ids,
+        "corpus_filter": _q_corpus_filter,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_pairs": _q_simhash_pairs,
         "ann_brute": _q_ann_brute,
@@ -1047,6 +1069,21 @@ clusters AS (
 
 _SQL_DUP_CLUSTERS = (
     "WITH RECURSIVE " + _CLOSURE + "\nSELECT doc_id, cluster_id FROM clusters"
+)
+
+_SQL_CORPUS_FILTER = (
+    "WITH RECURSIVE "
+    + _CLOSURE
+    + f""",
+q AS ({_SQL_TEXT_QUALITY}),
+lg AS ({_SQL_LANGID})
+SELECT q.doc_id
+FROM q JOIN lg ON lg.doc_id = q.doc_id
+WHERE q.n_tokens >= 30 AND q.n_tokens <= 10000
+  AND q.stopword_ratio <= 0.8
+  AND lg.lang_pred = 'en'
+  AND q.doc_id NOT IN (SELECT doc_id FROM clusters WHERE cluster_id <> doc_id)
+"""
 )
 
 _SQL_DEDUP_CORPUS_IDS = (
@@ -1763,6 +1800,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _SQL_MINHASH_LSH,
         "dup_clusters": _SQL_DUP_CLUSTERS,
         "dedup_corpus_ids": _SQL_DEDUP_CORPUS_IDS,
+        "corpus_filter": _SQL_CORPUS_FILTER,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "ann_brute": _SQL_ANN_BRUTE,
         "embed_neardup": _SQL_EMBED_NEARDUP,

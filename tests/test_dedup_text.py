@@ -235,3 +235,36 @@ def test_ngram_blocking_caps_fanout_keeps_rare_pairs(spark):
     # docs 3/4 share ONLY the df=4 boilerplate shingles -> blocked out
     boiler_only = {p for p in exact if p[0] in (3, 4) or p[1] in (3, 4)}
     assert all(p not in capped for p in boiler_only)
+
+
+def test_corpus_filter_composition(spark):
+    """corpus_filter = quality band ∩ language ∩ canonical-dedup; each
+    gate verified on a corpus with one violator per gate."""
+    from use_case_real_time_anomaly_detection_spark.functions.dedup import connected_components
+    from use_case_real_time_anomaly_detection_spark.functions.text import corpus_filter
+
+    en = "the a of and to in is it " * 5  # 40 tokens, every one a stopword
+    good = (
+        "the quick brown fox jumps over the lazy dog while the data "
+        "pipeline runs a full validation sweep across every partition"
+    )
+    es = "el la de los con por " * 6
+    rows = [
+        (1, good),                    # keeps
+        (2, good),                    # exact dup of 1 → dropped (non-canonical)
+        (3, es),                      # spanish → dropped by lang gate
+        (4, "tiny"),                  # too short → dropped by token band
+        (5, en),                      # stopword ratio 1.0 > 0.8 → dropped
+        (6, good + " extra tail words here"),  # keeps
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    clusters = connected_components(pairs)
+    kept = {
+        r["doc_id"]
+        for r in corpus_filter(
+            docs, min_tokens=10, max_tokens=1000, max_stopword_ratio=0.8,
+            lang="en", clusters=clusters,
+        ).collect()
+    }
+    assert kept == {1, 6}

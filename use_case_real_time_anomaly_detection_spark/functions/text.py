@@ -84,6 +84,47 @@ def language_id(
     return scored.select(F.col(id_col), best.alias("lang_pred"), pred.alias("lang_score"))
 
 
+def corpus_filter(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    max_stopword_ratio: float = 0.8,
+    lang: str | None = "en",
+    clusters: DataFrame | None = None,
+) -> DataFrame:
+    """The composed training-data curation pipeline: keep documents that
+    pass the quality gates (token-count band, stopword-ratio cap), match
+    the target language, and are not non-canonical near-duplicates
+    (``clusters`` = connected_components output; the min-id member of
+    each cluster survives). Returns the surviving ids.
+
+    One plan: the quality and language scores come from the SAME
+    token-explode groupBy (Catalyst shares nothing across the two
+    aggregations here, but each is a single partial-agg pass), the dedup
+    membership is one anti-join. Thresholds compare against the ROUNDED
+    published scores so the filter is engine-reproducible."""
+    q = quality_score(df, id_col, text_col)
+    keep = q.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("stopword_ratio") <= max_stopword_ratio)
+    ).select(id_col)
+    if lang is not None:
+        lid = language_id(df, id_col, text_col)
+        keep = keep.join(
+            lid.filter(F.col("lang_pred") == lang).select(id_col), id_col
+        )
+    if clusters is not None:
+        drop = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select(
+            F.col("doc_id").alias(id_col)
+        )
+        keep = keep.join(drop, id_col, "left_anti")
+    return keep
+
+
 def token_counts(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
