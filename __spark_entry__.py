@@ -4,9 +4,11 @@
 violations log ≙ the reference's copy-pipe + dedup_log architecture) at
 sf0.001. `queries()` exposes every implemented operator from SURVEY.md §2
 plus the graft's training-data ops; `oracle_sql()` gives the DuckDB-
-equivalent ANSI SQL for each (omitted only for genuinely non-SQL ops:
-the audio-UDF clip validation and bit-twiddling simhash, which get
-rows-only checks and full pytest oracles instead).
+equivalent ANSI SQL for each. The ONLY rows-only query is
+`clips_validate_audio` (the Arrow audio-decode/SNR rule is genuinely
+non-SQL; it has exact pytest oracles instead) — everything else,
+including the clip rule engine, simhash bit-twiddling, LSH hyperplanes,
+and the recursive dedup clustering, is value-hash-checked against SQL.
 
 Parameter conventions (shared by Spark + SQL sides):
 - frontier ("NOW()", SURVEY.md §4.3) = max(ts) of the events table;
@@ -237,6 +239,19 @@ def _q_fingerprint(spark, sf):
     from use_case_real_time_anomaly_detection_spark.functions.text import fingerprint
 
     return fingerprint(_docs(spark, sf))
+
+
+def _q_hash_sample(spark, sf):
+    """Deterministic stratified content-hash sample: 20% of docs overall,
+    50% of lang='es' (per-stratum rates, reproducible across engines)."""
+    from use_case_real_time_anomaly_detection_spark.functions.text import hash_sample
+
+    return hash_sample(
+        _docs(spark, sf),
+        fraction=0.2,
+        strata_col="lang",
+        fractions={"es": 0.5},
+    ).select("doc_id", "lang")
 
 
 def _q_langid(spark, sf):
@@ -571,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "token_counts": _q_token_counts,
         "fingerprint": _q_fingerprint,
+        "hash_sample": _q_hash_sample,
         "langid": _q_langid,
         "dedup_exact": _q_dedup_exact,
         "minhash_lsh": _q_minhash_lsh,
@@ -1563,6 +1579,17 @@ def _hex8_sql(hexpr: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+# deterministic content-hash sampling ≙ functions/text.py hash_sample:
+# bucket = first-8-hex-digits(md5('sample:'||id)) mod 10^4; 20% overall,
+# 50% for lang='es'
+_SQL_HASH_SAMPLE = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE ({_hex8_sql("md5('sample:' || CAST(doc_id AS VARCHAR))")} % 10000)
+      < (CASE WHEN lang = 'es' THEN 5000 ELSE 2000 END)
+"""
+
+
 def _simhash_sql() -> str:
     h32 = _hex8_sql("md5(token)")
     bit_sums = ",\n         ".join(
@@ -1795,6 +1822,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _SQL_TEXT_QUALITY,
         "token_counts": _SQL_TOKEN_COUNTS,
         "fingerprint": _SQL_FINGERPRINT,
+        "hash_sample": _SQL_HASH_SAMPLE,
         "langid": _SQL_LANGID,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "minhash_lsh": _SQL_MINHASH_LSH,

@@ -268,3 +268,26 @@ def test_corpus_filter_composition(spark):
         ).collect()
     }
     assert kept == {1, 6}
+
+
+def test_hash_sample_deterministic_and_stratified(spark):
+    """Content-hash sampling: identical selection across repartitionings
+    and runs (the reproducibility contract rand()-sampling lacks), and
+    per-stratum rates near their targets."""
+    from use_case_real_time_anomaly_detection_spark.functions.text import hash_sample
+    from pyspark.sql import functions as F
+
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, "es").otherwise("en").alias("lang"),
+    )
+    kw = dict(fraction=0.2, strata_col="lang", fractions={"es": 0.5})
+    a = {r["doc_id"] for r in hash_sample(docs, **kw).collect()}
+    b = {r["doc_id"] for r in hash_sample(docs.repartition(17), **kw).collect()}
+    assert a == b and len(a) > 0
+    es = docs.filter(F.col("lang") == "es").count()
+    en = docs.filter(F.col("lang") == "en").count()
+    es_kept = len({x for x in a if x % 4 == 0})
+    en_kept = len(a) - es_kept
+    assert abs(es_kept / es - 0.5) < 0.06
+    assert abs(en_kept / en - 0.2) < 0.05

@@ -141,6 +141,42 @@ def token_counts(
     )
 
 
+def hash_sample(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    fraction: float = 0.1,
+    salt: str = "sample",
+    strata_col: str | None = None,
+    fractions: dict | None = None,
+) -> DataFrame:
+    """Deterministic content-hash sampling: keep rows whose
+    md5(salt:id) bucket (0..9999) falls under fraction·10⁴.
+
+    Unlike rand()-based Bernoulli sampling this is REPRODUCIBLE across
+    engines, runs, partitionings, and retries — the property a training
+    pipeline needs so a re-run selects the same corpus (and an oracle
+    can verify the selection). ``strata_col``+``fractions`` gives
+    per-stratum rates (stratified sampling) with the same guarantee;
+    strata absent from ``fractions`` default to ``fraction``.
+    """
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    if strata_col is None:
+        return df.filter(bucket < int(round(fraction * 10000)))
+    fractions = fractions or {}
+    thr = F.lit(int(round(fraction * 10000)))
+    for k, v in fractions.items():
+        thr = F.when(F.col(strata_col) == k, int(round(v * 10000))).otherwise(thr)
+    return df.filter(bucket < thr)
+
+
 def fingerprint(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
