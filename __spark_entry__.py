@@ -241,6 +241,28 @@ def _q_fingerprint(spark, sf):
     return fingerprint(_docs(spark, sf))
 
 
+def _q_pii_scrub(spark, sf):
+    """PII redaction over the documents table. The synthetic corpus has
+    no natural PII, so the query appends a deterministic contact line
+    per doc (email + ipv4 derived from doc_id) — the redaction then has
+    real work to do and the oracle must match the scrubbed bytes."""
+    from use_case_real_time_anomaly_detection_spark.functions.text import pii_scrub
+
+    docs = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" or +1 (555) 010-"),
+            (F.pmod(F.col("doc_id"), 9000) + 1000).cast("string"),
+        ).alias("text"),
+    )
+    return pii_scrub(docs)
+
+
 def _q_hash_sample(spark, sf):
     """Deterministic stratified content-hash sample: 20% of docs overall,
     50% of lang='es' (per-stratum rates, reproducible across engines)."""
@@ -587,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "fingerprint": _q_fingerprint,
         "hash_sample": _q_hash_sample,
+        "pii_scrub": _q_pii_scrub,
         "langid": _q_langid,
         "dedup_exact": _q_dedup_exact,
         "minhash_lsh": _q_minhash_lsh,
@@ -935,6 +958,39 @@ _SQL_FINGERPRINT = """
 SELECT doc_id,
        substring(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16) AS fingerprint
 FROM documents
+"""
+
+# PII scrubbing ≙ functions/text.py pii_scrub: counts measured on the
+# progressively redacted text, redaction order email → phone → ipv4,
+# patterns chosen to mean the same thing in Java regex and RE2.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+_PII_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+_SQL_PII_SCRUB = f"""
+WITH src AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com at 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || ' or +1 (555) 010-' || CAST((doc_id % 9000) + 1000 AS VARCHAR)
+           AS text
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+         regexp_replace(text, '{_PII_EMAIL}', '<email>', 'g') AS t
+  FROM src
+), s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phone,
+         regexp_replace(t, '{_PII_PHONE}', '<phone>', 'g') AS t
+  FROM s1
+)
+SELECT doc_id,
+       regexp_replace(t, '{_PII_IPV4}', '<ipv4>', 'g') AS text_redacted,
+       n_email, n_phone,
+       len(regexp_extract_all(t, '{_PII_IPV4}')) AS n_ipv4
+FROM s2
 """
 
 _LANG_CASE = {
@@ -1823,6 +1879,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _SQL_TOKEN_COUNTS,
         "fingerprint": _SQL_FINGERPRINT,
         "hash_sample": _SQL_HASH_SAMPLE,
+        "pii_scrub": _SQL_PII_SCRUB,
         "langid": _SQL_LANGID,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "minhash_lsh": _SQL_MINHASH_LSH,

@@ -291,3 +291,23 @@ def test_hash_sample_deterministic_and_stratified(spark):
     en_kept = len(a) - es_kept
     assert abs(es_kept / es - 0.5) < 0.06
     assert abs(en_kept / en - 0.2) < 0.05
+
+
+def test_pii_scrub(spark):
+    from use_case_real_time_anomaly_detection_spark.functions.text import pii_scrub
+
+    rows = [
+        (1, "mail me at jane.doe+x@corp.example.org or call +1 (555) 123-4567"),
+        (2, "server at 192.168.001.042 and 10.0.0.7, no contacts"),
+        (3, "nothing sensitive here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_phone"] == 1
+    assert "<email>" in got[1]["text_redacted"]
+    assert "<phone>" in got[1]["text_redacted"]
+    assert "jane.doe" not in got[1]["text_redacted"]
+    assert got[2]["n_ipv4"] == 2
+    assert got[2]["text_redacted"].count("<ipv4>") == 2
+    assert got[3]["text_redacted"] == "nothing sensitive here"
+    assert (got[3]["n_email"], got[3]["n_phone"], got[3]["n_ipv4"]) == (0, 0, 0)

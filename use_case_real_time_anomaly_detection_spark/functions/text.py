@@ -141,6 +141,35 @@ def token_counts(
     )
 
 
+# Redaction patterns chosen to mean the same thing in Java regex (Spark)
+# and RE2 (DuckDB oracle): no backrefs, no lookaround.
+PII_PATTERNS = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone": "\\+?[0-9][0-9()\\- ]{6,}[0-9]",
+    "ipv4": "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+}
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII scrubbing for a pretraining corpus: redact emails / phone
+    numbers / IPv4 addresses to typed placeholders and count the hits
+    per document — all JVM-side regexp_replace/regexp_extract_all, no
+    UDFs; redaction order is fixed (email → phone → ipv4) so outputs
+    are deterministic and engine-reproducible."""
+    out = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS.items():
+        counts.append(
+            F.size(F.regexp_extract_all(out, F.lit(pat), F.lit(0))).alias(
+                f"n_{name}"
+            )
+        )
+        out = F.regexp_replace(out, pat, f"<{name}>")
+    return df.select(F.col(id_col), out.alias("text_redacted"), *counts)
+
+
 def hash_sample(
     df: DataFrame,
     *,
