@@ -18,12 +18,37 @@ Scale shape (10^12 docs):
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Materialize + truncate lineage for a frame that multiple downstream
+    subtrees consume (band self-joins, verify joins). Catalyst does NOT
+    common-subexpression-eliminate across union branches or join sides, so
+    without this every consumer re-derives the tokenize→hash→agg pipeline
+    from the file scan — measured in round 2 as 20 FileScans for one
+    LSH query. localCheckpoint keeps the frame distributed (executor block
+    manager); on a real cluster with executor churn a reliable
+    checkpoint dir or an intermediate table write gives the same plan
+    shape with fault tolerance — the frames pinned here are the SLIM
+    per-doc signature/band relations (O(docs)), never the corpus itself."""
+    return df.localCheckpoint()
+
+
+def _unpersist_pinned(df: DataFrame) -> None:
+    """Deterministically free a localCheckpoint'ed frame's storage blocks.
+
+    Dataset.unpersist() only covers cache-manager entries (it is a no-op
+    for checkpoint RDDs, verified empirically); without this, superseded
+    iteration frames in a long label propagation sit in executor storage
+    until driver GC happens to trigger the ContextCleaner."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort: storage is then freed by the ContextCleaner
 
 # 16 hashes in 8 bands of 2: for a pair at Jaccard s the candidate
 # probability is 1-(1-s²)^8 — ≈0.90 at s=0.5, ≈0.9996 at s=0.8 — and the
@@ -90,6 +115,15 @@ def minhash_signatures(
     Shingles (not unigram tokens) keep the Jaccard space meaningful when
     the vocabulary is small."""
     t = shingles(df, id_col, text_col, shingle_n)
+    return _signatures_from_shingles(t, id_col=id_col, n_hashes=n_hashes)
+
+
+def _signatures_from_shingles(
+    t: DataFrame, *, id_col: str = "doc_id", n_hashes: int = N_HASHES
+) -> DataFrame:
+    """Signature stage over a prebuilt distinct (id, gram) relation —
+    lets callers compute shingles ONCE and share them between the
+    signature and the exact-Jaccard verify (see minhash_lsh_pairs)."""
     m = F.md5(F.col("gram"))
     a = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
     b = F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
@@ -113,27 +147,41 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     n_hashes: int = N_HASHES,
     rows_per_band: int = ROWS_PER_BAND,
+    shingle_n: int = SHINGLE_N,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH banding proposes candidates, exact token
     Jaccard verifies. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Plan shape (the round-2 fix): shingles are computed ONCE and pinned
+    (the signature stage and both sides of the verify join reuse the same
+    materialized frame), and the band hashes are built as ONE array
+    column + posexplode — a single pass over the signature row, not an
+    n_bands-way union of selects that Catalyst would re-derive per
+    branch. The slim (doc, band, bh) frame is pinned before the
+    self-join so neither join side replays the signature pipeline.
+    Round-2 plan: 20 FileScans / 0 reuse; now the corpus is read once.
     """
-    sig = minhash_signatures(df, id_col, text_col, n_hashes)
+    sh = _pin(shingles(df, id_col, text_col, shingle_n))
+    sig = _signatures_from_shingles(sh, id_col=id_col, n_hashes=n_hashes)
     n_bands = n_hashes // rows_per_band
-    bands = [
-        sig.select(
-            F.col(id_col).alias("doc"),
-            F.lit(b).alias("band"),
+    band_arr = F.array(
+        *[
             F.concat_ws(
                 ":",
                 *[
                     F.col(f"h{b * rows_per_band + r}").cast("string")
                     for r in range(rows_per_band)
                 ],
-            ).alias("bh"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = _pin(
+        sig.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(band_arr).alias("band", "bh"),
         )
-        for b in range(n_bands)
-    ]
-    banded = reduce(DataFrame.unionByName, bands)
+    )
     cand = (
         banded.alias("a")
         .join(
@@ -145,8 +193,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .distinct()
     )
-    items = shingles(df, id_col, text_col)
-    return set_jaccard(items, cand, id_col=id_col, item_col="gram").filter(
+    return set_jaccard(sh, cand, id_col=id_col, item_col="gram").filter(
         F.col("jaccard") >= threshold
     )
 
@@ -227,7 +274,9 @@ def ngram_jaccard_pairs(
     )
     for i in range(1, n):
         grams = grams.filter(F.col(f"_t{i}").isNotNull())
-    grams = grams.select(id_col, "gram").distinct()
+    # pinned: consumed by 5 subtrees (sizes, block ×2 join sides, verify
+    # ×2) — without it each re-runs the explode+window pipeline
+    grams = _pin(grams.select(id_col, "gram").distinct())
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     block = grams
     if max_shingle_df is not None:
@@ -308,6 +357,7 @@ def connected_components(
         "id", F.col("id").alias("label")
     ).localCheckpoint()
 
+    changed = -1
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -336,10 +386,22 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # the superseded iteration's checkpoint blocks are dead weight on
+        # executor storage for the rest of a long propagation — free them
+        _unpersist_pinned(labels)
         labels = new_labels
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # an unconverged result is WRONG (labels ≠ min reachable id), not
+        # merely approximate — long boilerplate chains at corpus scale can
+        # exceed any fixed iteration cap, so fail loudly instead of
+        # returning split clusters
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            f"iterations ({changed} labels still changing); raise max_iter"
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
@@ -407,21 +469,27 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on byte-slices (pigeonhole — any
     pair within max_hamming < n_blocks shares ≥1 identical block), then
-    verify exact Hamming distance via bit_count(xor)."""
+    verify exact Hamming distance via bit_count(xor).
+
+    Block values are ONE array column posexploded (single pass over the
+    signature row — no n_blocks-way union re-deriving the simhash agg per
+    branch) and the slim (doc, simhash, blk, bv) frame is pinned before
+    the self-join, so the token pipeline runs exactly once."""
     s = simhash(df, id_col, text_col, bits)
     width = bits // n_blocks
-    blocks = [
+    blk_arr = F.array(
+        *[
+            F.shiftright("simhash", b * width).bitwiseAND(F.lit((1 << width) - 1))
+            for b in range(n_blocks)
+        ]
+    )
+    blocked = _pin(
         s.select(
             F.col(id_col).alias("doc"),
             F.col("simhash"),
-            F.lit(b).alias("blk"),
-            F.shiftright("simhash", b * width)
-            .bitwiseAND(F.lit((1 << width) - 1))
-            .alias("bv"),
+            F.posexplode(blk_arr).alias("blk", "bv"),
         )
-        for b in range(n_blocks)
-    ]
-    blocked = reduce(DataFrame.unionByName, blocks)
+    )
     pairs = (
         blocked.alias("a")
         .join(

@@ -118,27 +118,47 @@ def hyperplane(plane: int, dim: int) -> float:
     return (h / 0xFFFFFFFF) * 2.0 - 1.0
 
 
+def _probe_dim(emb: DataFrame, vec_col: str) -> int | None:
+    """Embedding dimensionality, or None for an empty input. One driver
+    job — callers that already know the dimension pass it explicitly and
+    skip this entirely (array<float> carries no length in the schema)."""
+    rows = emb.select(vec_col).head(1)
+    return len(rows[0][0]) if rows else None
+
+
+def _bucket_col(vec_col: str, n_planes: int, dim: int, plane_offset: int) -> Column:
+    """Sign-bit bucket of ``vec_col`` against planes
+    [plane_offset, plane_offset + n_planes) — a pure Column expression,
+    so any number of band buckets can be computed in ONE pass."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(
+            *[F.lit(hyperplane(plane_offset + p, d)) for d in range(dim)]
+        )
+        bit = (_dot(F.col(vec_col), plane) > 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, p)
+    return bucket
+
+
 def lsh_bucketed(
     emb: DataFrame,
     *,
     n_planes: int = 8,
     vec_col: str = "embedding",
     plane_offset: int = 0,
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket = sign-bit pattern of dot products
     with n_planes fixed hyperplanes. Appends a `bucket` long column; at
     scale this becomes the write-time partition/cluster key so ANN reads
     prune to one bucket. ``plane_offset`` selects an independent plane
-    family (band b uses planes [b·n_planes, (b+1)·n_planes))."""
-    dim_count = len(emb.select(vec_col).first()[0])
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        plane = F.array(
-            *[F.lit(hyperplane(plane_offset + p, d)) for d in range(dim_count)]
-        )
-        bit = (_dot(F.col(vec_col), plane) > 0).cast("long")
-        bucket = bucket + F.shiftleft(bit, p)
-    return emb.withColumn("bucket", bucket)
+    family (band b uses planes [b·n_planes, (b+1)·n_planes)). Pass
+    ``dim`` to avoid the one-row driver probe."""
+    if dim is None:
+        dim = _probe_dim(emb, vec_col)
+        if dim is None:  # empty input: nothing to bucket
+            return emb.withColumn("bucket", F.lit(0).cast("long"))
+    return emb.withColumn("bucket", _bucket_col(vec_col, n_planes, dim, plane_offset))
 
 
 def lsh_topk(
@@ -158,7 +178,8 @@ def lsh_topk(
     cluster structure; probing sign-adjacent buckets is the standard
     fix). The Hamming filter is a JVM bit_count over the bucket column —
     at scale, bucket is the partition key and the filter prunes files."""
-    bucketed = lsh_bucketed(emb, n_planes=n_planes, vec_col=vec_col)
+    # dim = the query's length (table vectors must match it) — no probe
+    bucketed = lsh_bucketed(emb, n_planes=n_planes, vec_col=vec_col, dim=len(qvec))
     qb = 0
     for p in range(n_planes):
         dot = sum(
@@ -289,6 +310,7 @@ def neardup_pairs_lsh(
     bands: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Scale path for near-dup: candidates = pairs sharing a bucket in
     ANY of ``bands`` independent sign-LSH tables (the OR-construction),
@@ -300,15 +322,28 @@ def neardup_pairs_lsh(
     in tests/test_similarity.py. The band join is a single equi-join on
     (band, bucket): no cross product, shuffle volume bands × ids (ids
     only — vectors are re-joined per side for the verify, so the heavy
-    array column never fans out with the bands)."""
-    banded = None
-    for b in range(bands):
-        one = lsh_bucketed(
-            emb, n_planes=n_planes, vec_col=vec_col, plane_offset=b * n_planes
-        ).select(
-            F.lit(b).alias("band"), F.col("bucket"), F.col(id_col).alias("id")
-        )
-        banded = one if banded is None else banded.unionByName(one)
+    array column never fans out with the bands).
+
+    Plan shape (round-2 fix): all ``bands`` bucket values are computed in
+    ONE pass over ``emb`` (one array column + posexplode — no per-band
+    union that re-scans the table per branch), and the slim
+    (band, bucket, id) frame is materialized (localCheckpoint) before the
+    self-join so neither side re-derives it. Pass ``dim`` to skip the
+    one-row dimensionality probe."""
+    if dim is None:
+        dim = _probe_dim(emb, vec_col)
+    if dim is None:  # empty input → no pairs, same schema
+        return emb.select(
+            F.col(id_col).alias("a_id"),
+            F.col(id_col).alias("b_id"),
+            F.lit(0.0).alias("cosine"),
+        ).filter(F.lit(False))
+    bucket_arr = F.array(
+        *[_bucket_col(vec_col, n_planes, dim, b * n_planes) for b in range(bands)]
+    )
+    banded = emb.select(
+        F.col(id_col).alias("id"), F.posexplode(bucket_arr).alias("band", "bucket")
+    ).localCheckpoint()
     a = banded.select("band", "bucket", F.col("id").alias("a_id"))
     b_ = banded.select("band", "bucket", F.col("id").alias("b_id"))
     cand = (
