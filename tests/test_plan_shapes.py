@@ -89,16 +89,39 @@ def test_rate_of_change_single_window_exchange(events, frontier):
 
 def test_violations_log_single_scan_single_exchange(events, frontier):
     """The fused five-detector log reads the fact table ONCE and
-    shuffles ONCE (by id; the dedup window's (ts,id,type) clustering is
-    satisfied by the id partitioning, so no second exchange). This is
-    the whole point of the fused plan vs the reference's five copy
-    pipes — a regression here quintuples the scan cost at 100 TB."""
+    shuffles it ONCE. The per-id stats are a partial-aggregating
+    groupBy over the SAME shuffled subtree (ReuseExchange dedupes it —
+    round 2's unbounded per-id stats window capped parallelism at the
+    key count), broadcast-joined back; the dedup window's (ts,id,type)
+    clustering is satisfied by the id partitioning, so no further
+    exchange. A regression here either quintuples the scan cost or
+    reintroduces the one-task-per-sensor straggler at 100 TB."""
     from use_case_real_time_anomaly_detection_spark.plans.copylog import violations_log
 
-    plan = _physical(violations_log(events, frontier))
+    spark = events.sparkSession
+    # AQE defers stage planning; disable so the reuse shows in the string
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _physical(violations_log(events, frontier))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert plan.count("FileScan") == 1, plan
-    assert plan.count("Exchange") == 1, plan
-    assert "Join" not in plan  # all stats are windows over the one shuffle
+    assert plan.count("ReusedExchange") == 1, plan
+    assert plan.count("BroadcastExchange") == 1, plan
+    # one executed hash exchange: total Exchange mentions = hash + its
+    # reuse reference + the broadcast
+    n_hash = sum(
+        1
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "ReusedExchange" not in l
+    )
+    assert n_hash == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the stats must NOT be per-key unbounded window aggregates: every
+    # Window node carries only the ordered-sequence functions
+    for l in plan.splitlines():
+        if "Window [" in l:
+            assert "percentile" not in l and "sum(" not in l, l
 
 
 def test_violations_log_union_baseline_broadcasts_stats(events, frontier):

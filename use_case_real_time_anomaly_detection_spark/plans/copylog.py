@@ -47,19 +47,26 @@ def violations_log(
     each re-reading events — the fix for the reference's own lament
     about its five-copy-pipes architecture (content/copies-pipes.md:13).
 
-    How: every per-id statistic each detector needs is expressed as a
-    window over the same hash-partitioning by id —
-    - lag(value/ts) for rate-of-change (ordered window),
-    - row_number desc for timeout's latest-row test,
-    - stats-window avg/stddevPop as conditional aggregates over the
-      UNBOUNDED id window (sum(when(in_stats, value))), from exact
-      decimal sums (see plans/detectors.py z_score for the float
-      determinism contract),
-    - exact quartiles as conditional percentile over the same window —
-    then each row evaluates all five predicates and emits an array of
-    matching violation structs, exploded into the log shape. Ids with
-    no stats-window rows yield NULL stats → predicates false, exactly
-    like the inner stats-joins they replace.
+    How: the fact frame is hash-shuffled by id ONCE; every per-id
+    statistic comes off that one exchange —
+    - per-id stats (exact decimal sums for avg/stddevPop — see
+      plans/detectors.py z_score for the float determinism contract —
+      exact conditional percentiles for the IQR fences, and the latest
+      (ts, event_id) for the timeout test) are a groupBy("id") over the
+      shuffled frame: partial aggregation runs map-side, so no sensor's
+      full history ever concentrates in one task the way the round-2
+      UNBOUNDED per-id window did (that shape capped parallelism at the
+      key count and made a hot sensor a straggler at 100×). The tiny
+      per-id result broadcast-joins back.
+    - lag(value/ts) for rate-of-change stays an ordered window over the
+      SAME exchange (sequence semantics genuinely need the order), and
+      the timeout latest-row test is now max(struct(ts, event_id))
+      equality instead of a row_number window.
+    Because the groupBy and the window consume the identical shuffled
+    subtree, Catalyst's ReuseExchange executes the shuffle once: the
+    whole plan is 1 FileScan + 1 hash exchange + 1 broadcast
+    (plan-asserted). Ids with no stats-window rows yield NULL stats →
+    predicates false, exactly like the inner stats-joins they replace.
     """
     from pyspark.sql import Window
 
@@ -72,19 +79,28 @@ def violations_log(
         F.lit(frontier) - sec(3 * D.SECONDS_PER_DAY), F.lit(frontier)
     )
 
-    w_id = Window.partitionBy("id")
+    # ONE shuffle of the fact table; the stats aggregation and the lag
+    # window both hang off this exact frame (same columns — column-parity
+    # matters: a pruning difference would break subtree identity and with
+    # it the exchange reuse)
+    shuffled = events.select("id", "ts", "value", "event_id").repartition("id")
+
     w_seq = Window.partitionBy("id").orderBy("ts", "event_id")
-    w_last = Window.partitionBy("id").orderBy(F.desc("ts"), F.desc("event_id"))
 
     vd = F.col("value").cast("decimal(18,2)")
-    s1 = F.sum(F.when(in_stats, vd)).over(w_id).cast("double")
-    s2 = F.sum(F.when(in_stats, vd * vd)).over(w_id).cast("double")
-    n = F.count(F.when(in_stats, F.col("value"))).over(w_id)
+    stats = shuffled.groupBy("id").agg(
+        F.sum(F.when(in_stats, vd)).cast("double").alias("__s1"),
+        F.sum(F.when(in_stats, vd * vd)).cast("double").alias("__s2"),
+        F.count(F.when(in_stats, F.col("value"))).alias("__n"),
+        F.percentile(F.when(in_stats, F.col("value")), F.lit(0.25)).alias("__q1"),
+        F.percentile(F.when(in_stats, F.col("value")), F.lit(0.75)).alias("__q3"),
+        # lexicographic struct max ≡ the (ts DESC, event_id DESC) top row
+        F.max(F.struct("ts", "event_id")).alias("__last"),
+    )
+
+    s1, s2, n = F.col("__s1"), F.col("__s2"), F.col("__n")
     average = s1 / n
     stddev = F.sqrt(F.greatest(s2 / n - (s1 / n) * (s1 / n), F.lit(0.0)))
-
-    q1 = F.percentile(F.when(in_stats, F.col("value")), F.lit(0.25)).over(w_id)
-    q3 = F.percentile(F.when(in_stats, F.col("value")), F.lit(0.75)).over(w_id)
 
     prev_value = F.lag("value", 1).over(w_seq)
     prev_ts = F.lag("ts", 1).over(w_seq)
@@ -92,27 +108,37 @@ def violations_log(
     vdiff = F.col("value") - prev_value
     slope_w = F.round(F.when(tdiff > 0, vdiff / tdiff), 6)
     value_diff_w = F.round(vdiff, 2)
-    rn_last = F.row_number().over(w_last)
+    is_last = (F.col("ts") == F.col("__last.ts")) & (
+        F.col("event_id") == F.col("__last.event_id")
+    )
 
+    # Null-safe join key, for two load-bearing reasons: (a) a null-id
+    # group keeps its own stats exactly like the per-id window it
+    # replaces (a plain left join would null them out), and (b) a plain
+    # equi-join makes Catalyst infer isnotnull(id) on the stats subtree
+    # only, breaking the subtree identity that ReuseExchange needs.
+    stats = stats.withColumnRenamed("id", "__sid")
     # window expressions can't sit under a generator (explode) in the
     # same projection — materialize them as plain columns first
-    enriched = events.select(
+    enriched = shuffled.join(
+        F.broadcast(stats), F.col("id").eqNullSafe(F.col("__sid")), "left"
+    ).select(
         "id",
         "ts",
         "value",
         average.alias("__avg"),
         stddev.alias("__std"),
-        q1.alias("__q1"),
-        q3.alias("__q3"),
+        F.col("__q1"),
+        F.col("__q3"),
         slope_w.alias("__slope"),
         value_diff_w.alias("__vdiff"),
-        rn_last.alias("__rn"),
+        is_last.alias("__is_last"),
     )
     average, stddev = F.col("__avg"), F.col("__std")
     q1, q3 = F.col("__q1"), F.col("__q3")
     iqr_w = (q3 - q1) * iqr_multiplier
     slope, value_diff = F.col("__slope"), F.col("__vdiff")
-    rn_last = F.col("__rn")
+    is_last = F.col("__is_last")
 
     zscore = F.round((F.col("value") - average) / stddev, 2)
     ztest = (
@@ -145,7 +171,7 @@ def violations_log(
             ),
         ),
         branch(
-            (rn_last == 1)
+            is_last
             & (F.col("ts") < F.lit(frontier) - sec(timeout_seconds)),
             "timeout",
             F.lit("timestamp is time of last report"),
