@@ -964,7 +964,10 @@ FROM documents
 # progressively redacted text, redaction order email → phone → ipv4,
 # patterns chosen to mean the same thing in Java regex and RE2.
 _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-_PII_PHONE = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+_PII_PHONE = (
+    "(\\+[0-9]{1,3}[\\- ]?)?\\(?[0-9]{2,4}\\)?[\\- ][0-9]{2,4}[\\- ][0-9]{3,6}"
+    "|\\+[0-9]{7,15}"
+)
 _PII_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
 _SQL_PII_SCRUB = f"""

@@ -311,3 +311,20 @@ def test_pii_scrub(spark):
     assert got[2]["text_redacted"].count("<ipv4>") == 2
     assert got[3]["text_redacted"] == "nothing sensitive here"
     assert (got[3]["n_email"], got[3]["n_phone"], got[3]["n_ipv4"]) == (0, 0, 0)
+
+
+def test_pii_scrub_leaves_plain_numerics_alone(spark):
+    """The phone pattern must require phone STRUCTURE — bare digit runs
+    (order ids, timestamps) and dashed dates are corpus data, not PII."""
+    from use_case_real_time_anomaly_detection_spark.functions.text import pii_scrub
+
+    rows = [
+        (1, "order 123456789 shipped 20260817 at 093000"),
+        (2, "from 2026-08-17 to 2026-09-01 range 100-200-3"),
+        (3, "dial +14155551234 or (415) 555-1234 today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert got[1]["n_phone"] == 0 and got[1]["text_redacted"] == rows[0][1]
+    assert got[2]["n_phone"] == 0 and got[2]["text_redacted"] == rows[1][1]
+    assert got[3]["n_phone"] == 2 and got[3]["text_redacted"].count("<phone>") == 2

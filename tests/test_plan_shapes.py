@@ -224,6 +224,18 @@ def test_dedup_family_reads_corpus_once(spark):
         assert n <= cap, f"{name}: {n} FileScans (cap {cap}):\n{plan}"
 
 
+def test_corpus_filter_single_token_explode(spark):
+    """Quality gates + language ID consume the SAME token stream: the
+    curation filter must compile to ONE explode (Generate) + one
+    aggregation, not two parallel explode pipelines over the corpus."""
+    from use_case_real_time_anomaly_detection_spark.functions.text import corpus_filter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _physical(corpus_filter(docs, lang="en"))
+    assert plan.count("Generate explode") == 1, plan
+    assert plan.count("FileScan") == 1, plan
+
+
 def test_bucketed_manifest_join_has_no_shuffle(spark):
     """Co-located join: clips and manifest bucketed identically on
     clip_id must sort-merge join with ZERO shuffle exchanges — the

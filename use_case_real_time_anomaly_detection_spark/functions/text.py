@@ -101,22 +101,44 @@ def corpus_filter(
     (``clusters`` = connected_components output; the min-id member of
     each cluster survives). Returns the surviving ids.
 
-    One plan: the quality and language scores come from the SAME
-    token-explode groupBy (Catalyst shares nothing across the two
-    aggregations here, but each is a single partial-agg pass), the dedup
-    membership is one anti-join. Thresholds compare against the ROUNDED
-    published scores so the filter is engine-reproducible."""
-    q = quality_score(df, id_col, text_col)
-    keep = q.filter(
+    One plan, ONE token explode: the quality counters AND the
+    per-language indicator scores are aggregates of the same exploded
+    token stream, so they fuse into a single groupBy (one partial-agg
+    pass over the corpus — round 2 ran two separate explode+agg
+    pipelines here); the dedup membership is one anti-join. Thresholds
+    compare against the ROUNDED published scores (identical expressions
+    to quality_score/language_id) so the filter is engine-reproducible."""
+    t = tokens(df, id_col, text_col)
+    aggs = [
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.sum(F.col("token").isin(*STOPWORDS_EN).cast("long"))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("stopword_ratio"),
+    ]
+    langs = sorted(LANG_PROFILES)
+    if lang is not None:
+        aggs += [
+            F.sum(F.col("token").isin(*words).cast("long")).alias(f"s_{lg}")
+            for lg, words in sorted(LANG_PROFILES.items())
+        ]
+    scored = t.groupBy(id_col).agg(*aggs)
+    cond = (
         (F.col("n_tokens") >= min_tokens)
         & (F.col("n_tokens") <= max_tokens)
         & (F.col("stopword_ratio") <= max_stopword_ratio)
-    ).select(id_col)
+    )
     if lang is not None:
-        lid = language_id(df, id_col, text_col)
-        keep = keep.join(
-            lid.filter(F.col("lang_pred") == lang).select(id_col), id_col
-        )
+        # argmax with alphabetical tie-break — same contract as language_id
+        pred = F.col(f"s_{langs[0]}")
+        best = F.lit(langs[0])
+        for lg in langs[1:]:
+            c = F.col(f"s_{lg}") > pred
+            best = F.when(c, F.lit(lg)).otherwise(best)
+            pred = F.when(c, F.col(f"s_{lg}")).otherwise(pred)
+        cond = cond & (best == lang)
+    keep = scored.filter(cond).select(id_col)
     if clusters is not None:
         drop = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select(
             F.col("doc_id").alias(id_col)
@@ -143,9 +165,22 @@ def token_counts(
 
 # Redaction patterns chosen to mean the same thing in Java regex (Spark)
 # and RE2 (DuckDB oracle): no backrefs, no lookaround.
+#
+# phone: a bare digit run is NOT enough (the round-2 pattern redacted any
+# 8+ digits — order ids, timestamps). A match needs structure: either a
+# separated 3-group local form with optional +country prefix
+# ("(415) 555-1234", "+44 20 7946 0958") — the last group ≥3 digits so
+# dashed dates (2026-08-17) don't trip it — or an unseparated
+# international form with a MANDATORY leading + ("+14155551234").
+# Trade-off stated honestly: 2-group forms ("555-1234") are left alone;
+# for a pretraining corpus, under-redacting those beats scrubbing every
+# numeric range.
 PII_PATTERNS = {
     "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
-    "phone": "\\+?[0-9][0-9()\\- ]{6,}[0-9]",
+    "phone": (
+        "(\\+[0-9]{1,3}[\\- ]?)?\\(?[0-9]{2,4}\\)?[\\- ][0-9]{2,4}[\\- ][0-9]{3,6}"
+        "|\\+[0-9]{7,15}"
+    ),
     "ipv4": "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
 }
 

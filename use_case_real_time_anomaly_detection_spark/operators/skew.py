@@ -48,13 +48,22 @@ def salted_repartition(
     expression, NOT anything derived from the input partition id: a hot
     key concentrated in few input partitions (the typical skew case —
     data already clustered by key) must still spread over all `salt`
-    buckets. With no ``spread_cols`` the spread term is
-    ``monotonically_increasing_id()``, unique per row.
+    buckets.
+
+    ``spread_cols`` should be a STABLE row key (e.g. clip_id, event_id):
+    the salt is then deterministic under recomputation, which matters at
+    scale — a stage retry after a shuffle-fetch failure recomputes map
+    tasks, and a nondeterministic salt would route the recomputed rows
+    to different buckets (the SPARK-23207 class of duplicated/lost
+    rows). With no ``spread_cols`` the fallback spread is
+    xxhash64 over ALL the row's columns — derived from row CONTENT, so
+    it is retry-stable too; fully identical rows share a bucket, which
+    only matters if one duplicated row dominates the key's volume.
     """
     spread = (
         [F.col(c) for c in spread_cols]
         if spread_cols
-        else [F.monotonically_increasing_id()]
+        else [F.xxhash64(*[F.col(c) for c in df.columns])]
     )
     salt_col = F.pmod(F.xxhash64(F.col(key_col), *spread), F.lit(salt))
     if num_partitions is not None:

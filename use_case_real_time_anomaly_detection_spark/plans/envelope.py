@@ -39,17 +39,30 @@ def response_envelope(
     rows_read: int | None = None,
     bytes_read: int | None = None,
 ) -> dict[str, Any]:
-    """Materialize ``df`` as the reference's endpoint response envelope."""
+    """Materialize ``df`` as the reference's endpoint response envelope.
+
+    ``rows_read`` is the SOURCE scan count in the reference's envelope,
+    not the result size — callers that know it pass it; when unknown it
+    is omitted rather than faked from len(data). Boolean columns are
+    labeled UInt8 in meta, so their data values are emitted as 1/0 to
+    match (the reference never serializes true/false under UInt8)."""
     t0 = time.time()
     rows = df.collect()
     elapsed = time.time() - t0
+    bool_cols = {f.name for f in df.schema.fields if f.dataType.simpleString() == "boolean"}
     data = []
     for r in rows:
         d = r.asDict(recursive=True)
         for k, v in d.items():
             if hasattr(v, "isoformat"):  # DateTime → the envelope's string form
                 d[k] = v.isoformat(sep=" ")
+            elif k in bool_cols and v is not None:
+                d[k] = int(v)
         data.append(d)
+    statistics: dict[str, Any] = {"elapsed": elapsed}
+    if rows_read is not None:
+        statistics["rows_read"] = rows_read
+    statistics["bytes_read"] = bytes_read if bytes_read is not None else 0
     return {
         "meta": [
             {
@@ -60,9 +73,5 @@ def response_envelope(
         ],
         "data": data,
         "rows": len(data),
-        "statistics": {
-            "elapsed": elapsed,
-            "rows_read": rows_read if rows_read is not None else len(data),
-            "bytes_read": bytes_read if bytes_read is not None else 0,
-        },
+        "statistics": statistics,
     }
