@@ -504,6 +504,7 @@ def _q_get_anomalies(spark, sf):
 _ORACLE_DIR = "/root/repo/dist/oracle"
 _CLIPS_META = f"{_ORACLE_DIR}/clips_meta.parquet"
 _CLIPS_MAN = f"{_ORACLE_DIR}/manifest.parquet"
+_CLIPS_AUDIO = f"{_ORACLE_DIR}/clips_audio_violations.parquet"
 _CLIPS_FRONTIER = 149  # SynthSpec(clips_per_partition=150) → frontier 149
 
 
@@ -519,17 +520,21 @@ def _ensure_clips_oracle_files() -> None:
 
     from use_case_real_time_anomaly_detection_spark.sources.synth import (
         SynthSpec,
+        audio_violations_pandas,
         manifest_pandas,
         metadata_pandas,
     )
 
-    if os.path.exists(f"{_CLIPS_META}/data.parquet") and os.path.exists(
-        f"{_CLIPS_MAN}/data.parquet"
+    if (
+        os.path.exists(f"{_CLIPS_META}/data.parquet")
+        and os.path.exists(f"{_CLIPS_MAN}/data.parquet")
+        and os.path.exists(f"{_CLIPS_AUDIO}/data.parquet")
     ):
         return
     spec = SynthSpec(partitions=4, clips_per_partition=150)
     os.makedirs(_CLIPS_META, exist_ok=True)
     os.makedirs(_CLIPS_MAN, exist_ok=True)
+    os.makedirs(_CLIPS_AUDIO, exist_ok=True)
     pq.write_table(
         pa.Table.from_pandas(metadata_pandas(spec), preserve_index=False),
         f"{_CLIPS_META}/data.parquet",
@@ -537,6 +542,10 @@ def _ensure_clips_oracle_files() -> None:
     pq.write_table(
         pa.Table.from_pandas(manifest_pandas(spec), preserve_index=False),
         f"{_CLIPS_MAN}/data.parquet",
+    )
+    pq.write_table(
+        pa.Table.from_pandas(audio_violations_pandas(spec), preserve_index=False),
+        f"{_CLIPS_AUDIO}/data.parquet",
     )
 
 
@@ -582,10 +591,37 @@ def _q_clips_verdicts(spark, sf):
 
 
 def _q_clips_validate_audio(spark, sf):
-    from use_case_real_time_anomaly_detection_spark.plans.clips import validate_synthetic
-    from use_case_real_time_anomaly_detection_spark.sources.synth import SynthSpec
+    """The COMPLETE engine including the Arrow audio-decode rule. Oracle:
+    the non-audio detectors are the same SQL as clips_validate (exact
+    IQR, like _clips_meta_result); the audio rows come from the
+    pure-pandas twin materialized to parquet (same numpy decode+SNR over
+    the same rendered bytes → bit-identical doubles and note strings)."""
+    from use_case_real_time_anomaly_detection_spark.operators.rules import IqrRule
+    from use_case_real_time_anomaly_detection_spark.plans.clips import (
+        default_rules,
+        validate_clips,
+    )
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        frontier_of,
+        generate_clips,
+        generate_manifest,
+    )
 
-    res = validate_synthetic(spark, SynthSpec(partitions=4, clips_per_partition=150))
+    spec = SynthSpec(partitions=4, clips_per_partition=150)
+    _ensure_clips_oracle_files()
+    rules = [
+        IqrRule(column=r.column, multiplier=r.multiplier, exact=True)
+        if isinstance(r, IqrRule)
+        else r
+        for r in default_rules(with_audio=True, seed=spec.seed)
+    ]
+    res = validate_clips(
+        generate_clips(spark, spec),
+        generate_manifest(spark, spec),
+        frontier=frontier_of(spec),
+        rules=rules,
+    )
     return res.violations
 
 
@@ -1547,6 +1583,22 @@ _SQL_CLIPS_VALIDATE = (
     "WITH " + _CLIPS_CTES + "\nSELECT partition_key, clip_id, detector, observed, note FROM deduped"
 )
 
+# Full engine incl. the audio rule: non-audio detectors are SQL over the
+# metadata parquet (same CTEs as clips_validate); the audio-decode rows
+# are the pure-pandas numpy twin (sources/synth.audio_violations_pandas)
+# materialized to parquet — decoded-PCM SNR is not SQL-expressible, but
+# its deterministic expected rows are.
+_SQL_CLIPS_VALIDATE_AUDIO = (
+    "WITH "
+    + _CLIPS_CTES
+    + f"""
+SELECT partition_key, clip_id, detector, observed, note FROM deduped
+UNION ALL
+SELECT partition_key, clip_id, detector, observed, note
+FROM read_parquet('{_CLIPS_AUDIO}/*.parquet')
+"""
+)
+
 _SQL_CLIPS_VERDICTS = (
     "WITH "
     + _CLIPS_CTES
@@ -1908,7 +1960,5 @@ def oracle_sql() -> dict[str, str]:
         "clips_verdicts": _SQL_CLIPS_VERDICTS,
         "clips_profile": _SQL_CLIPS_PROFILE,
         "image_features": _SQL_IMAGE_FEATURES,
-        # clips_validate_audio: the Arrow audio-decode/SNR rule is not
-        # SQL-expressible → rows-only here; exact oracles live in
-        # tests/test_clips_engine.py + tests/test_audio.py.
+        "clips_validate_audio": _SQL_CLIPS_VALIDATE_AUDIO,
     }

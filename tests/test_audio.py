@@ -98,3 +98,25 @@ def test_map_in_arrow_equals_pandas_udf(spark):
         or (arrow[k][1] is not None and abs(arrow[k][1] - pandas_side[k][1]) > 1e-9)
     }
     assert not mismatches, list(mismatches.items())[:3]
+
+
+def test_audio_violations_pandas_twin_matches_engine(spark):
+    """The pure-pandas oracle twin of the audio rule (the clips_validate_audio
+    driver oracle) must equal the full engine's audio-decode violation rows
+    BYTE-for-byte — same numpy decode+SNR over the same rendered payloads,
+    plus an exact mirror of the engine's toString(ROUND(x,2)) note idiom."""
+    from use_case_real_time_anomaly_detection_spark.plans.clips import validate_synthetic
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        audio_violations_pandas,
+    )
+
+    spec = SynthSpec(partitions=3, clips_per_partition=130)
+    res = validate_synthetic(spark, spec)
+    got = sorted(
+        tuple(r)
+        for r in res.violations.filter("detector = 'audio-decode'").collect()
+    )
+    exp = sorted(map(tuple, audio_violations_pandas(spec).itertuples(index=False)))
+    assert len(exp) > 0  # the fixture must actually inject audio failures
+    assert got == exp

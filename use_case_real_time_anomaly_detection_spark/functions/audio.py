@@ -154,6 +154,38 @@ _AUDIO_RESULT = StructType(
 )
 
 
+def check_clip(
+    clip_id, payload, codec, sr, dur, *, min_snr_db: float, ref_seed: int
+) -> tuple[bool, float | None, str | None]:
+    """The per-clip decode + SNR verdict: (ok, snr_db, err).
+
+    Single source of truth for the Spark paths (mapInArrow / pandas UDF)
+    AND the pure-pandas oracle twin (sources/synth.audio_violations_pandas)
+    — identical numpy ops on identical inputs give bit-identical doubles,
+    which is what lets the driver hash-compare the audio violations.
+    ``payload`` is any bytes-like (zero-copy memoryview on the Arrow path).
+    """
+    try:
+        dec_fn = DECODERS.get(codec)
+        if dec_fn is None:
+            raise ValueError(f"no decoder for codec {codec!r}")
+        if payload is None or len(payload) == 0:
+            raise ValueError("empty payload")
+        s = int(sr) if sr is not None else 0
+        dec = dec_fn(payload, s)
+        ref = reference_waveform(str(clip_id), s, int(dur or 0), seed=ref_seed)
+        db = snr_db(ref, dec)
+        # length mismatch beyond 1 sample is itself a failure
+        len_ok = abs(len(dec) - len(ref)) <= 1
+        return (
+            bool(len_ok and db >= min_snr_db),
+            db if np.isfinite(db) else None,
+            None if len_ok else "length mismatch",
+        )
+    except Exception as exc:  # decode failures are data, not bugs
+        return False, None, str(exc)[:120]
+
+
 def make_audio_check_udf(min_snr_db: float, ref_seed: int):
     """Build the vectorized (clip_id, bytes, codec, sr, dur) → struct UDF."""
 
@@ -167,26 +199,18 @@ def make_audio_check_udf(min_snr_db: float, ref_seed: int):
     ) -> pd.DataFrame:
         oks, snrs, errs = [], [], []
         for cid, b, c, s, d in zip(clip_id, payload, codec, sr, dur):
-            try:
-                dec_fn = DECODERS.get(c)
-                if dec_fn is None:
-                    raise ValueError(f"no decoder for codec {c!r}")
-                if b is None or len(b) == 0:
-                    raise ValueError("empty payload")
-                dec = dec_fn(bytes(b), int(s) if s is not None else 0)
-                ref = reference_waveform(
-                    str(cid), int(s or 0), int(d or 0), seed=ref_seed
-                )
-                db = snr_db(ref, dec)
-                # length mismatch beyond 1 sample is itself a failure
-                len_ok = abs(len(dec) - len(ref)) <= 1
-                oks.append(bool(len_ok and db >= min_snr_db))
-                snrs.append(db if np.isfinite(db) else None)
-                errs.append(None if len_ok else "length mismatch")
-            except Exception as exc:  # decode failures are data, not bugs
-                oks.append(False)
-                snrs.append(None)
-                errs.append(str(exc)[:120])
+            ok, db, err = check_clip(
+                cid,
+                bytes(b) if b is not None else None,
+                c,
+                s,
+                d,
+                min_snr_db=min_snr_db,
+                ref_seed=ref_seed,
+            )
+            oks.append(ok)
+            snrs.append(db)
+            errs.append(err)
         return pd.DataFrame({"ok": oks, "snr_db": snrs, "err": errs})
 
     return check
@@ -232,30 +256,21 @@ def with_audio_checks(df: DataFrame, rule, *, key_col: str = "clip_id") -> DataF
             n = len(barr)
             oks, snrs, errs = [], [], []
             for i in range(n):
-                try:
-                    dec_fn = DECODERS.get(codecs[i])
-                    if dec_fn is None:
-                        raise ValueError(f"no decoder for codec {codecs[i]!r}")
-                    sc = barr[i]
-                    if not sc.is_valid:
-                        raise ValueError("empty payload")
-                    mv = memoryview(sc.as_buffer())  # zero-copy slice
-                    if len(mv) == 0:
-                        raise ValueError("empty payload")
-                    s = int(srs[i]) if srs[i] is not None else 0
-                    dec = dec_fn(mv, s)
-                    ref = reference_waveform(
-                        str(cids[i]), s, int(durs[i] or 0), seed=ref_seed
-                    )
-                    db = snr_db(ref, dec)
-                    len_ok = abs(len(dec) - len(ref)) <= 1
-                    oks.append(bool(len_ok and db >= min_snr))
-                    snrs.append(db if np.isfinite(db) else None)
-                    errs.append(None if len_ok else "length mismatch")
-                except Exception as exc:  # decode failures are data, not bugs
-                    oks.append(False)
-                    snrs.append(None)
-                    errs.append(str(exc)[:120])
+                sc = barr[i]
+                # zero-copy buffer slice; None for a null payload
+                mv = memoryview(sc.as_buffer()) if sc.is_valid else None
+                ok, db, err = check_clip(
+                    cids[i],
+                    mv,
+                    codecs[i],
+                    srs[i],
+                    durs[i],
+                    min_snr_db=min_snr,
+                    ref_seed=ref_seed,
+                )
+                oks.append(ok)
+                snrs.append(db)
+                errs.append(err)
             arrays = [b.column(names.index(f.name)) for f in passthrough]
             arrays.append(pa.array(oks, type=pa.bool_()))
             arrays.append(pa.array(snrs, type=pa.float64()))

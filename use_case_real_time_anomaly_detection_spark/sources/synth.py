@@ -278,6 +278,76 @@ def manifest_pandas(spec: SynthSpec = SynthSpec()) -> pd.DataFrame:
     return pd.concat(frames, ignore_index=True)
 
 
+def _spark_round_str(x, d: int = 2) -> str | None:
+    """Mirror of the engine's note-number idiom toString(ROUND(x, d)):
+    Spark rounds the double's SHORTEST DECIMAL REPR half-up
+    (BigDecimal.valueOf → setScale(HALF_UP)) and casts via
+    Double.toString. Python's repr is the same shortest-roundtrip
+    decimal, so Decimal(repr(x)) + ROUND_HALF_UP + repr(float) produces
+    the identical bytes for the magnitudes SNR values take."""
+    if x is None:
+        return None
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(repr(float(x))).quantize(Decimal(1).scaleb(-d), rounding=ROUND_HALF_UP)
+    return repr(float(q))
+
+
+def audio_violations_pandas(
+    spec: SynthSpec = SynthSpec(),
+    *,
+    min_snr_db: float = 30.0,
+    detector: str = "audio-decode",
+) -> pd.DataFrame:
+    """Expected audio-decode violation rows, pure pandas/numpy — the
+    oracle twin of the engine's AudioDecodeRule output (VIOLATION_COLUMNS
+    shape). Runs the SAME check_clip numpy path over the SAME rendered
+    payload bytes, so snr_db doubles (and their note strings) are
+    bit-identical to the Spark mapInArrow result; the driver can
+    therefore hash-compare the full audio violation set, closing the one
+    `no_oracle` gap of rounds 1-2. Deduped per (partition, clip,
+    detector) by min (observed, note) — the engine's limit_by order."""
+    from ..functions.audio import check_clip
+
+    rows = []
+    for p in range(spec.partitions):
+        rendered = _render_rows(p, spec)
+        for row in rendered.itertuples(index=False):
+            ok, db, err = check_clip(
+                row.clip_id,
+                row.bytes,
+                row.codec,
+                row.sr_hz,
+                row.dur_ms,
+                min_snr_db=min_snr_db,
+                ref_seed=spec.seed,
+            )
+            if ok:
+                continue
+            snr_s = _spark_round_str(db) or "nan"
+            rows.append(
+                {
+                    "partition_key": partition_tag(p),
+                    "clip_id": row.clip_id,
+                    "detector": detector,
+                    "observed": snr_s,
+                    "note": (
+                        f"snr_db:{snr_s}| min_snr_db:{min_snr_db:g}"
+                        f"| decode_error:{err or ''}"
+                    ),
+                }
+            )
+    out = pd.DataFrame(
+        rows, columns=["partition_key", "clip_id", "detector", "observed", "note"]
+    )
+    return (
+        out.sort_values(["observed", "note"], kind="mergesort")
+        .drop_duplicates(["partition_key", "clip_id", "detector"], keep="first")
+        .sort_values(["partition_key", "clip_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
 def generate_clips(spark: SparkSession, spec: SynthSpec = SynthSpec()) -> DataFrame:
     """Distributed clip generation: one task per partition tag.
 
