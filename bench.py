@@ -98,6 +98,19 @@ def main() -> None:
         generate_manifest(spark, spec).write.mode("overwrite").parquet(
             f"{base}/manifest"
         )
+    # regime-adaptive vectorized-reader batch (one-wave jobs → 512-row
+    # batches, multi-wave → default 4096; session.adaptive_reader_batch)
+    import glob
+
+    from use_case_real_time_anomaly_detection_spark.session import adaptive_reader_batch
+
+    input_bytes = sum(
+        os.path.getsize(f) for f in glob.glob(f"{base}/clips/part-*.parquet")
+    )
+    spark.conf.set(
+        "spark.sql.parquet.columnarReaderBatchSize",
+        str(adaptive_reader_batch(input_bytes, int(cpus))),
+    )
     clips = spark.read.parquet(f"{base}/clips")
     manifest = spark.read.parquet(f"{base}/manifest")
     n_clips = clips.count()

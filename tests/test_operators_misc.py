@@ -361,3 +361,19 @@ def test_violations_log_fused_equals_union_property(spark):
         assert fused == union
 
     check()
+
+
+def test_adaptive_reader_batch_regimes():
+    """One-wave jobs get the small (G1-friendly) scan batches; multi-wave
+    jobs keep Spark's default — the r2-measured regime switch, automated."""
+    from use_case_real_time_anomaly_detection_spark.session import adaptive_reader_batch
+
+    mb = 1 << 20
+    # 450 MB on 32 cores at 128 MB splits: ~4 tasks, one wave -> 512
+    assert adaptive_reader_batch(450 * mb, 32) == 512
+    # 20 GB on 32 cores: ~160 tasks, 5 waves -> default 4096
+    assert adaptive_reader_batch(20 * 1024 * mb, 32) == 4096
+    # same 20 GB on 4 cores at 64 MB splits: deeply multi-wave -> 4096
+    assert adaptive_reader_batch(20 * 1024 * mb, 4, 64 * mb) == 4096
+    # empty input degenerates to the small-job setting, harmlessly
+    assert adaptive_reader_batch(0, 8) == 512

@@ -93,9 +93,25 @@ def worker(cpus: int, data_dir: str, shard: int = 0, nshards: int = 1) -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     if nshards > 1:
-        clips = spark.read.parquet(*shard_files(data_dir, nshards)[shard])
+        my_files = shard_files(data_dir, nshards)[shard]
+        input_bytes = sum(os.path.getsize(f) for f in my_files)
+        clips = spark.read.parquet(*my_files)
     else:
+        import glob
+
+        input_bytes = sum(
+            os.path.getsize(f)
+            for f in glob.glob(f"{data_dir}/clips/part-*.parquet")
+        )
         clips = spark.read.parquet(f"{data_dir}/clips")
+    # regime-adaptive vectorized-reader batch (r2 measured both regimes;
+    # r3 automates the switch — see session.adaptive_reader_batch)
+    from use_case_real_time_anomaly_detection_spark.session import adaptive_reader_batch
+
+    spark.conf.set(
+        "spark.sql.parquet.columnarReaderBatchSize",
+        str(adaptive_reader_batch(input_bytes, cpus, 64 << 20)),
+    )
     manifest = spark.read.parquet(f"{data_dir}/manifest")
     n = clips.count()
 
@@ -320,15 +336,18 @@ re-decoding 20 GB.
 - **maxPartitionBytes 256m — rejected** (18.3 s vs 14.8-20 s base at
   the probe scale: fewer tasks means worse codec-skew smoothing; 64m
   stays).
-- **vectorized-reader batch size — two regimes, default kept.** On a
-  2.3 GB one-wave fixture at local[32], 512-row scan batches are ~2x
-  faster than the default 4096 (10.9 s vs 20.1-25.9 s): 32 concurrent
-  tasks x ~57 MB contiguous `bytes` vectors thrash G1 (GCLocker
-  retries observed). On the 20 GB multi-wave workload the effect
-  inverts (~34 s at 4096 vs ~41-58 s at 512 at local[32]): allocation
-  churn amortizes across waves and the larger batches win. The session
-  default remains 4096 (the at-scale regime); the small-regime lever
-  is documented for operators of one-wave jobs.
+- **vectorized-reader batch size — two regimes, switch now AUTOMATED
+  (round 3).** On a 2.3 GB one-wave fixture at local[32], 512-row scan
+  batches are ~2x faster than the default 4096 (10.9 s vs 20.1-25.9 s):
+  32 concurrent tasks x ~57 MB contiguous `bytes` vectors thrash G1
+  (GCLocker retries observed). On the 20 GB multi-wave workload the
+  effect inverts (~34 s at 4096 vs ~41-58 s at 512 at local[32]):
+  allocation churn amortizes across waves and the larger batches win.
+  `session.adaptive_reader_batch(input_bytes, cores, maxPartitionBytes)`
+  now picks the regime per job (<=1.5 scan waves -> 512, else 4096);
+  both this bench's workers and bench.py's clip job apply it. The 20 GB
+  scaling workload lands in the multi-wave regime at every level, so
+  the level timings are measured at 4096 as before.
 - **Disabling the vectorized reader — rejected** (12.7 s at the probe
   scale: worse than tuned batches).
 - Shared-VM noise is the dominant term at 32 threads: identical

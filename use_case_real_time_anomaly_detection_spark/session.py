@@ -46,6 +46,27 @@ _DEFAULT_CONFS: dict[str, str] = {
 }
 
 
+def adaptive_reader_batch(
+    input_bytes: int, cores: int, max_partition_bytes: int = 128 << 20
+) -> int:
+    """Pick the parquet vectorized-reader batch size from the job's
+    regime (both regimes measured on the binary clip table, see
+    BENCH/BASELINE.md):
+
+    - ONE-WAVE jobs (scan tasks ≲ 1.5× cores — small fixtures, single
+      partitions): every task's columnar batch is live at once, and at
+      4096 rows × ~14 KB payloads the ~57 MB contiguous `bytes` vectors
+      thrash G1 (humongous allocations; GCLocker retries observed) —
+      512-row batches measured ~2× faster at local[32].
+    - MULTI-WAVE jobs (the at-scale shape): allocation churn amortizes
+      across waves and the larger default batches win by ~20%.
+
+    Returns the value for `spark.sql.parquet.columnarReaderBatchSize`
+    (a runtime SQL conf — settable per job before the read)."""
+    waves = (input_bytes / max(max_partition_bytes, 1)) / max(cores, 1)
+    return 512 if waves <= 1.5 else 4096
+
+
 def get_spark(
     master: str | None = None,
     app_name: str = "constraint-validation-engine",
