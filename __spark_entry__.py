@@ -282,6 +282,15 @@ def _q_langid(spark, sf):
     return language_id(_docs(spark, sf))
 
 
+def _q_sensor_matrix(spark, sf):
+    """S7 twin: the reference's wide CSV fixture shape (one row per
+    timestamp, one column per sensor) as a DataFrame — the distributed
+    half of sources/fixture.write_csv_fixture."""
+    from use_case_real_time_anomaly_detection_spark.sources.fixture import sensor_matrix
+
+    return sensor_matrix(_events(spark, sf))
+
+
 def _q_dedup_exact(spark, sf):
     from use_case_real_time_anomaly_detection_spark.functions.dedup import exact_duplicates
 
@@ -647,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": _q_hash_sample,
         "pii_scrub": _q_pii_scrub,
         "langid": _q_langid,
+        "sensor_matrix": _q_sensor_matrix,
         "dedup_exact": _q_dedup_exact,
         "minhash_lsh": _q_minhash_lsh,
         "dup_clusters": _q_dup_clusters,
@@ -1295,6 +1305,13 @@ WHERE ts > {_FRONTIER} - INTERVAL 48 HOUR
 """
 
 _SQL_UI_IDS = "SELECT DISTINCT user_id AS id FROM events"
+
+# DuckDB PIVOT names the generated columns by the id's string form —
+# identical to Spark's pivot naming, so the sorted-column compare aligns.
+_SQL_SENSOR_MATRIX = """
+PIVOT (SELECT ts, user_id AS id, value FROM events)
+ON id USING max(value) GROUP BY ts
+"""
 
 _SQL_MONITOR_LOGS = (
     "WITH log AS (\n" + _SQL_VIOLATIONS_LOG + "\n)\n"
@@ -1949,6 +1966,7 @@ def oracle_sql() -> dict[str, str]:
         "get_data": _SQL_GET_DATA,
         "data_hours": _SQL_DATA_HOURS,
         "ui_ids": _SQL_UI_IDS,
+        "sensor_matrix": _SQL_SENSOR_MATRIX,
         "monitor_logs": _SQL_MONITOR_LOGS,
         "get_anomalies": _SQL_GET_ANOMALIES,
         "drift_events": _SQL_DRIFT_EVENTS,

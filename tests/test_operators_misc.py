@@ -377,3 +377,35 @@ def test_adaptive_reader_batch_regimes():
     assert adaptive_reader_batch(20 * 1024 * mb, 4, 64 * mb) == 4096
     # empty input degenerates to the small-job setting, harmlessly
     assert adaptive_reader_batch(0, 8) == 512
+
+
+def test_csv_fixture_sink(spark, tmp_path):
+    """S7: the wide CSV fixture sink writes the reference generator's
+    file shape (header 'Timestamp, sensor <id>...', one row per ts,
+    sensor values in their columns, ts-ordered)."""
+    import datetime as dt
+    import glob
+
+    import pandas as pd
+
+    from use_case_real_time_anomaly_detection_spark.sources.fixture import (
+        write_csv_fixture,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10.5), (2, t0, 20.0),
+        (1, t0 + dt.timedelta(minutes=1), 11.0),
+        # duplicate (id, ts) report -> max wins deterministically
+        (2, t0 + dt.timedelta(minutes=1), 21.0),
+        (2, t0 + dt.timedelta(minutes=1), 19.0),
+    ]
+    ev = spark.createDataFrame(rows, "id long, ts timestamp, value double")
+    out = str(tmp_path / "fixture_csv")
+    write_csv_fixture(ev, out)
+    (part,) = glob.glob(f"{out}/part-*.csv")
+    df = pd.read_csv(part)
+    assert list(df.columns) == ["Timestamp", "sensor 1", "sensor 2"]
+    assert len(df) == 2  # one row per timestamp, ordered
+    assert df["sensor 1"].tolist() == [10.5, 11.0]
+    assert df["sensor 2"].tolist() == [20.0, 21.0]
