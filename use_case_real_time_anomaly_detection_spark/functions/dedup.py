@@ -415,11 +415,13 @@ def canonical_corpus_ids(
 ) -> DataFrame:
     """The deduplicated corpus: every doc except non-canonical cluster
     members (cluster members other than the min-id representative).
-    One broadcast-able anti-join — clusters ≪ corpus at scale."""
+    One broadcast anti-join — clusters ≪ corpus at scale; the hint is
+    explicit because the cluster frame is checkpoint-backed (no file
+    size stats), which otherwise drops Catalyst to a sort-merge join."""
     drop = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select(
         F.col("doc_id").alias(id_col)
     )
-    return docs.select(id_col).join(drop, id_col, "left_anti")
+    return docs.select(id_col).join(F.broadcast(drop), id_col, "left_anti")
 
 
 def simhash(

@@ -143,7 +143,9 @@ def corpus_filter(
         drop = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select(
             F.col("doc_id").alias(id_col)
         )
-        keep = keep.join(drop, id_col, "left_anti")
+        # explicit hint: the cluster frame is checkpoint-backed (no size
+        # stats) and Catalyst would otherwise pick a sort-merge join
+        keep = keep.join(F.broadcast(drop), id_col, "left_anti")
     return keep
 
 

@@ -79,9 +79,13 @@ class ValidationEngine:
         run_id = run_id or uuid.uuid4().hex[:12]
 
         if skip_partitions is not None:
+            # completed-partition list ≪ data; broadcast the anti-join so
+            # the resume filter never shuffles the fact table
             df = df.join(
-                skip_partitions.select(
-                    F.col("partition_key").alias(self.partition_col)
+                F.broadcast(
+                    skip_partitions.select(
+                        F.col("partition_key").alias(self.partition_col)
+                    )
                 ),
                 self.partition_col,
                 "left_anti",
@@ -155,8 +159,10 @@ class ValidationEngine:
         counts = violations.groupBy("partition_key", "detector").agg(
             F.count(F.lit(1)).alias("violation_count")
         )
+        # both sides are verdict-grid-sized (partitions × detectors);
+        # broadcast the counts so no sort-merge join appears at scale
         return (
-            grid.join(counts, ["partition_key", "detector"], "left")
+            grid.join(F.broadcast(counts), ["partition_key", "detector"], "left")
             .fillna(0, subset=["violation_count"])
             .select(
                 "partition_key",
