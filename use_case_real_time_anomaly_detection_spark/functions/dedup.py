@@ -18,7 +18,7 @@ Scale shape (10^12 docs):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import tokens
@@ -76,25 +76,31 @@ def exact_duplicates(
 SHINGLE_N = 3
 
 
+def _gram_array(text_col: str, n: int):
+    """Per-row array of word n-gram shingles, built entirely with
+    higher-order functions (split → filter empties → slice windows) —
+    NO explode-then-window: the lead()-over-token-stream formulation
+    shuffles and sorts the full exploded token stream (corpus × tokens
+    rows) just to see n-1 tokens ahead, while this is a single
+    narrow projection; the only shuffle left in the shingle stage is
+    the distinct itself."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
+    )
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+
 def shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = SHINGLE_N
 ) -> DataFrame:
-    """Distinct word n-gram shingles per doc: posexplode keeps token
-    order, lead() builds the n-gram within the doc's window."""
-    t = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "token"),
-    ).filter(F.col("token") != "")
-    w = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.lead("token", i).over(w) for i in range(1, n)]
-    g = t.select(
-        F.col(id_col),
-        F.concat_ws(" ", F.col("token"), *leads).alias("gram"),
-        *[lead.alias(f"_t{i}") for i, lead in enumerate(leads, 1)],
-    )
-    for i in range(1, n):
-        g = g.filter(F.col(f"_t{i}").isNotNull())
-    return g.select(id_col, "gram").distinct()
+    """Distinct word n-gram shingles per doc (shuffle-free until the
+    distinct — see _gram_array)."""
+    return df.select(
+        F.col(id_col), F.explode(_gram_array(text_col, n)).alias("gram")
+    ).distinct()
 
 
 _MH_MOD = 1 << 32
@@ -258,25 +264,9 @@ def ngram_jaccard_pairs(
     means the docs are near-duplicates of a boilerplate that the cap is
     deliberately blocking on anyway). ``None`` disables blocking
     (exact candidates — test scale)."""
-    # posexplode keeps the token position → deterministic n-gram order
-    t = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "token"),
-    ).filter(F.col("token") != "")
-    w = Window.partitionBy(id_col).orderBy("pos")
-    # build n-grams via lead() over token order within the doc
-    grams = t.select(
-        F.col(id_col),
-        F.concat_ws(
-            " ", "token", *[F.lead("token", i).over(w) for i in range(1, n)]
-        ).alias("gram"),
-        *[F.lead("token", i).over(w).alias(f"_t{i}") for i in range(1, n)],
-    )
-    for i in range(1, n):
-        grams = grams.filter(F.col(f"_t{i}").isNotNull())
     # pinned: consumed by 5 subtrees (sizes, block ×2 join sides, verify
-    # ×2) — without it each re-runs the explode+window pipeline
-    grams = _pin(grams.select(id_col, "gram").distinct())
+    # ×2) — without it each re-runs the shingle pipeline
+    grams = _pin(shingles(df, id_col, text_col, n))
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     block = grams
     if max_shingle_df is not None:
