@@ -362,6 +362,21 @@ def _q_simhash_pairs(spark, sf):
     return simhash_near_pairs(_docs(spark, sf), max_hamming=3)
 
 
+def _q_ingest_gate(spark, sf):
+    """Incremental dedup-gated ingestion (functions/incremental.py):
+    one batch (doc_id % 4 = 3) gated against the corpus-so-far (the
+    other 75%) — every batch doc annotated with admitted/reason through
+    the four sequential gates (exact-batch, exact-corpus, near-corpus,
+    near-batch). ≙ the reference's dedup-before-visible copy contract
+    (tinybird/pipes/dedup_log.pipe:4-6) lifted to corpus ingestion."""
+    from use_case_real_time_anomaly_detection_spark.functions.incremental import dedup_gate
+
+    docs = _docs(spark, sf)
+    batch = docs.filter(F.col("doc_id") % 4 == 3)
+    corpus = docs.filter(F.col("doc_id") % 4 != 3)
+    return dedup_gate(batch, corpus, threshold=0.5)
+
+
 # ---- embeddings: similarity search -----------------------------------------
 
 
@@ -664,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": _q_corpus_filter,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_pairs": _q_simhash_pairs,
+        "ingest_gate": _q_ingest_gate,
         "ann_brute": _q_ann_brute,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -1138,6 +1154,54 @@ _MINHASH_BANDS = "\n  UNION ALL ".join(
     for b in range(_MH_N // _MH_RPB)
 )
 
+def _mh_chain(sfx: str, src: str) -> str:
+    """CTE chain t{sfx} → grams{sfx} → gh{sfx} → sig{sfx} → bands{sfx}
+    over a (doc_id, text) relation ``src`` — the _SQL_MINHASH_LSH
+    construction parameterized for queries that run the signature
+    pipeline over TWO relations (the ingest gate: batch vs corpus)."""
+    t, g, gh, sig, bands = (f"{n}{sfx}" for n in ("t", "grams", "gh", "sig", "bands"))
+    tok = f"""
+  SELECT doc_id, token, pos FROM (
+    SELECT doc_id,
+           unnest(string_split(lower(text), ' ')) AS token,
+           generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+    FROM {src}
+  ) WHERE token <> ''"""
+    sh = f"""
+  SELECT DISTINCT doc_id,
+         token || ' ' || lead(token)    OVER (PARTITION BY doc_id ORDER BY pos)
+               || ' ' || lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS gram
+  FROM {t}
+  QUALIFY lead(token) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+      AND lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL"""
+    ghs = f"""
+  SELECT doc_id,
+         {_hexslice_sql('md5(gram)', 1)} AS ga,
+         ({_hexslice_sql('md5(gram)', 9)} | 1) AS gb
+  FROM {g}"""
+    sigs = (
+        "  SELECT doc_id,\n         "
+        + ",\n         ".join(
+            f"min((ga + {i} * gb) % 4294967296) AS h{i}" for i in range(_MH_N)
+        )
+        + f"\n  FROM {gh} GROUP BY doc_id"
+    )
+    bnds = "\n  UNION ALL ".join(
+        "SELECT doc_id AS doc, {b} AS band, {expr} AS bh FROM {sig}".format(
+            b=b,
+            sig=sig,
+            expr=" || ':' || ".join(
+                f"CAST(h{b * _MH_RPB + r} AS VARCHAR)" for r in range(_MH_RPB)
+            ),
+        )
+        for b in range(_MH_N // _MH_RPB)
+    )
+    return (
+        f"{t} AS ({tok}),\n{g} AS ({sh}),\n{gh} AS ({ghs}),\n"
+        f"{sig} AS (\n{sigs}\n),\n{bands} AS (\n  {bnds}\n)"
+    )
+
+
 _SQL_MINHASH_LSH = f"""
 WITH t AS ({_TOK_POS}),
 grams AS ({_SHINGLES}),
@@ -1191,6 +1255,84 @@ clusters AS (
 _SQL_DUP_CLUSTERS = (
     "WITH RECURSIVE " + _CLOSURE + "\nSELECT doc_id, cluster_id FROM clusters"
 )
+
+
+def _jacc_ge(ov: str, na: str, nb: str, thr: float) -> str:
+    """Rounded-Jaccard threshold predicate, matching the Spark side's
+    round(j, 4) >= thr filter byte-for-byte."""
+    return f"{_R(f'CAST({ov} AS DOUBLE) / ({na} + {nb} - {ov})', 4)} >= {thr}"
+
+
+# Incremental dedup gate: four SEQUENTIAL gates (each sees the previous
+# gate's survivors), mirrored CTE-by-CTE from functions/incremental.py:
+# eb = within-batch exact (min id per md5 wins), ec = exact vs corpus,
+# nc = verified near-dup vs corpus (LSH candidates from b2's bands ×
+# corpus bands), nb = verified near-dup vs a LOWER-id surviving batch
+# doc (greedy pairwise over b3's bands).
+_SQL_INGEST_GATE = f"""
+WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3),
+corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 3),
+bhh AS (SELECT doc_id, md5(text) AS h FROM batch),
+keep AS (SELECT h, min(doc_id) AS k FROM bhh GROUP BY h),
+eb AS (SELECT a.doc_id FROM bhh a JOIN keep k USING (h) WHERE a.doc_id <> k.k),
+ch AS (SELECT DISTINCT md5(text) AS h FROM corpus),
+ec AS (SELECT a.doc_id FROM bhh a JOIN keep k USING (h)
+       WHERE a.doc_id = k.k AND a.h IN (SELECT h FROM ch)),
+b2 AS (SELECT b.doc_id, b.text FROM batch b
+       WHERE b.doc_id NOT IN (SELECT doc_id FROM eb)
+         AND b.doc_id NOT IN (SELECT doc_id FROM ec)),
+{_mh_chain('_n', 'b2')},
+{_mh_chain('_c', 'corpus')},
+cand_c AS (
+  SELECT DISTINCT n.doc AS id_a, c.doc AS id_b
+  FROM bands_n n JOIN bands_c c ON n.band = c.band AND n.bh = c.bh
+),
+sizes_n AS (SELECT doc_id, count(*) AS n FROM grams_n GROUP BY doc_id),
+sizes_c AS (SELECT doc_id, count(*) AS n FROM grams_c GROUP BY doc_id),
+inter_c AS (
+  SELECT c.id_a, c.id_b, count(*) AS overlap
+  FROM cand_c c
+  JOIN grams_n ta ON ta.doc_id = c.id_a
+  JOIN grams_c tb ON tb.doc_id = c.id_b AND tb.gram = ta.gram
+  GROUP BY c.id_a, c.id_b
+),
+nc AS (
+  SELECT DISTINCT i.id_a AS doc_id
+  FROM inter_c i JOIN sizes_n sa ON sa.doc_id = i.id_a
+                 JOIN sizes_c sb ON sb.doc_id = i.id_b
+  WHERE {_jacc_ge('i.overlap', 'sa.n', 'sb.n', 0.5)}
+),
+b3 AS (SELECT doc_id FROM b2 WHERE doc_id NOT IN (SELECT doc_id FROM nc)),
+bands_3 AS (SELECT * FROM bands_n WHERE doc IN (SELECT doc_id FROM b3)),
+cand_b AS (
+  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+  FROM bands_3 a JOIN bands_3 b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+),
+inter_b AS (
+  SELECT c.id_a, c.id_b, count(*) AS overlap
+  FROM cand_b c
+  JOIN grams_n ta ON ta.doc_id = c.id_a
+  JOIN grams_n tb ON tb.doc_id = c.id_b AND tb.gram = ta.gram
+  GROUP BY c.id_a, c.id_b
+),
+nb AS (
+  SELECT DISTINCT i.id_b AS doc_id
+  FROM inter_b i JOIN sizes_n sa ON sa.doc_id = i.id_a
+                 JOIN sizes_n sb ON sb.doc_id = i.id_b
+  WHERE {_jacc_ge('i.overlap', 'sa.n', 'sb.n', 0.5)}
+),
+reasons AS (
+  SELECT b.doc_id,
+         CASE WHEN b.doc_id IN (SELECT doc_id FROM eb) THEN 'exact-batch'
+              WHEN b.doc_id IN (SELECT doc_id FROM ec) THEN 'exact-corpus'
+              WHEN b.doc_id IN (SELECT doc_id FROM nc) THEN 'near-corpus'
+              WHEN b.doc_id IN (SELECT doc_id FROM nb) THEN 'near-batch'
+              ELSE 'admitted' END AS reason
+  FROM batch b
+)
+SELECT doc_id, reason = 'admitted' AS admitted, reason FROM reasons
+"""
 
 _SQL_CORPUS_FILTER = (
     "WITH RECURSIVE "
@@ -1972,6 +2114,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_events": _SQL_DRIFT_EVENTS,
         "running_z_score": _SQL_RUNNING_Z_SCORE,
         "simhash_pairs": _SQL_SIMHASH_PAIRS,
+        "ingest_gate": _SQL_INGEST_GATE,
         "ann_lsh": _SQL_ANN_LSH,
         "ann_ivf": _SQL_ANN_IVF,
         "clips_validate": _SQL_CLIPS_VALIDATE,

@@ -145,6 +145,37 @@ def _signatures_from_shingles(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def band_frame(
+    sig: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    n_hashes: int = N_HASHES,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """(doc, band, bh) LSH band relation from a minhash signature frame:
+    the n_bands band keys are built as ONE array column + posexplode — a
+    single pass over the signature row, not an n_bands-way union of
+    selects that Catalyst would re-derive per branch (the round-2
+    20-FileScan regression class)."""
+    n_bands = n_hashes // rows_per_band
+    band_arr = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                *[
+                    F.col(f"h{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(band_arr).alias("band", "bh"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,
@@ -169,23 +200,9 @@ def minhash_lsh_pairs(
     """
     sh = _pin(shingles(df, id_col, text_col, shingle_n))
     sig = _signatures_from_shingles(sh, id_col=id_col, n_hashes=n_hashes)
-    n_bands = n_hashes // rows_per_band
-    band_arr = F.array(
-        *[
-            F.concat_ws(
-                ":",
-                *[
-                    F.col(f"h{b * rows_per_band + r}").cast("string")
-                    for r in range(rows_per_band)
-                ],
-            )
-            for b in range(n_bands)
-        ]
-    )
     banded = _pin(
-        sig.select(
-            F.col(id_col).alias("doc"),
-            F.posexplode(band_arr).alias("band", "bh"),
+        band_frame(
+            sig, id_col=id_col, n_hashes=n_hashes, rows_per_band=rows_per_band
         )
     )
     cand = (
@@ -213,11 +230,39 @@ def set_jaccard(
 ) -> DataFrame:
     """Exact set Jaccard for candidate pairs (id_a, id_b) over a distinct
     (id, item) relation — verification stage of LSH dedup."""
-    sizes = items.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    return set_jaccard2(items, items, pairs, id_col=id_col, item_col=item_col)
+
+
+def set_jaccard2(
+    items_a: DataFrame,
+    items_b: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    item_col: str = "gram",
+    broadcast_items: bool = False,
+) -> DataFrame:
+    """Exact set Jaccard for candidate pairs (id_a, id_b) where the two
+    sides draw from DIFFERENT distinct (id, item) relations — the
+    cross-relation verify of the incremental dedup gate (batch shingles
+    vs corpus-candidate shingles). ``set_jaccard`` is the one-relation
+    special case.
+
+    ``broadcast_items=True`` hints every item/size relation as the
+    broadcast build side — for callers whose item relations are KNOWN
+    small (the ingest gate: batch shingles + candidate-only corpus
+    shingles are O(batch), but they sit behind joins whose inflated
+    size estimates otherwise push Catalyst to sort-merge joins).
+    Corpus-wide callers (minhash_lsh_pairs) must leave this off."""
+    hint = F.broadcast if broadcast_items else (lambda d: d)
+    items_a = hint(items_a)
+    items_b = hint(items_b)
+    sizes_a = hint(items_a.groupBy(id_col).agg(F.count(F.lit(1)).alias("n")))
+    sizes_b = hint(items_b.groupBy(id_col).agg(F.count(F.lit(1)).alias("n")))
     inter = (
-        pairs.join(items.alias("ta"), pairs["id_a"] == F.col(f"ta.{id_col}"))
+        pairs.join(items_a.alias("ta"), pairs["id_a"] == F.col(f"ta.{id_col}"))
         .join(
-            items.alias("tb"),
+            items_b.alias("tb"),
             (pairs["id_b"] == F.col(f"tb.{id_col}"))
             & (F.col(f"ta.{item_col}") == F.col(f"tb.{item_col}")),
         )
@@ -225,8 +270,8 @@ def set_jaccard(
         .agg(F.count(F.lit(1)).alias("overlap"))
     )
     return (
-        inter.join(sizes.alias("sa"), inter["id_a"] == F.col(f"sa.{id_col}"))
-        .join(sizes.alias("sb"), inter["id_b"] == F.col(f"sb.{id_col}"))
+        inter.join(sizes_a.alias("sa"), inter["id_a"] == F.col(f"sa.{id_col}"))
+        .join(sizes_b.alias("sb"), inter["id_b"] == F.col(f"sb.{id_col}"))
         .select(
             "id_a",
             "id_b",
