@@ -203,12 +203,33 @@ def test_dedup_family_reads_corpus_once(spark):
         ngram_jaccard_pairs,
         simhash_near_pairs,
     )
+    from use_case_real_time_anomaly_detection_spark.functions.incremental import (
+        dedup_gate,
+    )
     from use_case_real_time_anomaly_detection_spark.functions.similarity import (
         neardup_pairs_lsh,
     )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    batch = docs.filter(F.col("doc_id") % 4 == 3)
+    corpus = docs.filter(F.col("doc_id") % 4 != 3)
+    # InjectRuntimeFilter adds ONE shared bloom-build scan of the batch
+    # ids (same exchange plan_id printed under every consumer join) —
+    # beneficial at scale but it quadruple-counts in a textual FileScan
+    # tally; compile the gate plan without it so the assertion measures
+    # the plan shape this engine controls. The conf must cover the
+    # _physical() call (planning is lazy), hence the eager compile here.
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    try:
+        gate_plan = _physical(dedup_gate(batch, corpus, threshold=0.5))
+    finally:
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+    # the final annotation join re-reads the batch ids only
+    n_gate = gate_plan.count("FileScan")
+    assert n_gate <= 1, f"dedup_gate: {n_gate} FileScans (cap 1):\n{gate_plan}"
     for name, df, cap in [
         ("minhash_lsh_pairs", minhash_lsh_pairs(docs, threshold=0.5), 0),
         ("simhash_near_pairs", simhash_near_pairs(docs, max_hamming=3), 0),
