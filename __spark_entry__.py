@@ -649,6 +649,94 @@ def _q_clips_validate_audio(spark, sf):
     return res.violations
 
 
+_AUDIO_FEATS = f"{_ORACLE_DIR}/audio_features.parquet"
+
+
+def _ensure_audio_features_oracle() -> None:
+    """Materialize the audio-features twin parquet (pure pandas/numpy —
+    sources/synth.audio_features_pandas) that the DuckDB oracle reads.
+    Deterministic content → written once per process."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        audio_features_pandas,
+    )
+
+    if os.path.exists(f"{_AUDIO_FEATS}/data.parquet"):
+        return
+    os.makedirs(_AUDIO_FEATS, exist_ok=True)
+    spec = SynthSpec(partitions=4, clips_per_partition=150)
+    pq.write_table(
+        pa.Table.from_pandas(audio_features_pandas(spec), preserve_index=False),
+        f"{_AUDIO_FEATS}/data.parquet",
+    )
+
+
+def _audio_features_frame(spark):
+    """Shared input of audio_features / audio_dup: per-clip features over
+    base corpus + μ-law transcoded twins ('<clip_id>~re' — built by the
+    reencode_clips operator over the REENCODE_MOD subset, exactly what
+    sources/synth.reencoded_subset_pandas mirrors)."""
+    from use_case_real_time_anomaly_detection_spark.functions.audio_features import (
+        reencode_clips,
+        with_audio_features,
+    )
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        REENCODE_MOD,
+        SynthSpec,
+        generate_clips,
+    )
+
+    spec = SynthSpec(partitions=4, clips_per_partition=150)
+    _ensure_audio_features_oracle()
+    clips = generate_clips(spark, spec)
+    seq = F.substring("clip_id", 6, 9).cast("long")
+    re_src = clips.where(
+        (F.col("codec") == "pcm16") & (seq % REENCODE_MOD[0] == REENCODE_MOD[1])
+    )
+    variants = reencode_clips(re_src).withColumn(
+        "clip_id", F.concat("clip_id", F.lit("~re"))
+    )
+    return with_audio_features(clips.unionByName(variants)).dropDuplicates(
+        ["clip_id"]
+    )
+
+
+_AUDIO_FEATURE_SCALARS = [
+    "clip_id", "codec", "sr_hz", "dur_ms", "ok", "err", "n_samples", "rms",
+    "peak", "zcr", "silence_ratio", "clip_ratio", "centroid_hz",
+    "fingerprint", "peak_band", "rms_bucket",
+]
+
+
+def _q_audio_features(spark, sf):
+    """Decoded-PCM QC features per clip (scalar subset; the bands vector
+    and probe buckets stay internal to audio_dup). Oracle: the pandas
+    twin parquet — same clip_features numpy over the same rendered
+    bytes ⇒ bit-identical doubles."""
+    return (
+        _audio_features_frame(spark)
+        .select(*_AUDIO_FEATURE_SCALARS)
+        .orderBy("clip_id")
+    )
+
+
+def _q_audio_dup(spark, sf):
+    """Audio near-dup pairs: every transcoded twin must pair with its
+    source; blocking keys + verify gates are integer/ratio ops the
+    DuckDB oracle reproduces over the twin parquet."""
+    from use_case_real_time_anomaly_detection_spark.functions.audio_features import (
+        audio_dup_pairs,
+    )
+
+    pairs = audio_dup_pairs(_audio_features_frame(spark))
+    return pairs.orderBy("clip_id_a", "clip_id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "out_of_range": _q_out_of_range,
@@ -698,6 +786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": _q_image_features,
         "drift_events": _q_drift_events,
         "running_z_score": _q_running_z_score,
+        "audio_features": _q_audio_features,
+        "audio_dup": _q_audio_dup,
     }
 
 
@@ -1758,6 +1848,58 @@ FROM read_parquet('{_CLIPS_AUDIO}/*.parquet')
 """
 )
 
+# Decoded-PCM features: the oracle is the pandas twin parquet (same
+# clip_features numpy over the same rendered bytes — bit-identical
+# doubles, the clips_audio_violations discipline).
+_SQL_AUDIO_FEATURES = f"""
+SELECT clip_id, codec, sr_hz, dur_ms, ok, err, n_samples, rms, peak, zcr,
+       silence_ratio, clip_ratio, centroid_hz, fingerprint, peak_band,
+       rms_bucket
+FROM read_parquet('{_AUDIO_FEATS}/*.parquet')
+ORDER BY clip_id
+"""
+
+# Audio near-dup: the SAME multi-probe blocking + verify pipeline as
+# functions/audio_features.audio_dup_pairs, in SQL over the twin
+# parquet. Block keys are pure integer arithmetic (quantization happened
+# once, in numpy, at extraction) so both engines derive identical
+# candidates; verify thresholds sit far from any float boundary, so the
+# cosine's differing summation order cannot flip a verdict.
+_SQL_AUDIO_DUP = f"""
+WITH f AS (
+  SELECT clip_id, fingerprint, peak_band, rms_bucket, rms_bucket_hi,
+         n_samples, rms, centroid_hz,
+         -- COALESCE rewrite defeats a DuckDB 1.0 quirk: post-join list
+         -- vectors can carry stale null masks on filtered-out slots and
+         -- list_cosine_similarity validates the whole vector, erroring
+         -- on rows that no longer exist. No live element is ever NULL.
+         list_transform(bands, x -> COALESCE(x, 0.0)) AS bands
+  FROM read_parquet('{_AUDIO_FEATS}/*.parquet')
+  WHERE fingerprint IS NOT NULL
+),
+keyed AS (
+  SELECT clip_id, fingerprint,
+         unnest(list_distinct([
+           (peak_band * 2097152 + (rms_bucket + 1048576)) * 2097152 + n_samples,
+           (peak_band * 2097152 + (rms_bucket_hi + 1048576)) * 2097152 + n_samples
+         ])) AS bkey
+  FROM f
+),
+cand AS (
+  SELECT DISTINCT a.clip_id AS clip_id_a, b.clip_id AS clip_id_b,
+         CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INTEGER) AS hamming
+  FROM keyed a JOIN keyed b ON a.bkey = b.bkey AND a.clip_id < b.clip_id
+)
+SELECT c.clip_id_a, c.clip_id_b, c.hamming
+FROM cand c
+JOIN f fa ON fa.clip_id = c.clip_id_a
+JOIN f fb ON fb.clip_id = c.clip_id_b
+WHERE list_cosine_similarity(fa.bands, fb.bands) >= 0.99
+  AND abs(fa.centroid_hz / fb.centroid_hz - 1.0) <= 0.005
+  AND abs(fa.rms / fb.rms - 1.0) <= 0.02
+ORDER BY clip_id_a, clip_id_b
+"""
+
 _SQL_CLIPS_VERDICTS = (
     "WITH "
     + _CLIPS_CTES
@@ -2122,4 +2264,6 @@ def oracle_sql() -> dict[str, str]:
         "clips_profile": _SQL_CLIPS_PROFILE,
         "image_features": _SQL_IMAGE_FEATURES,
         "clips_validate_audio": _SQL_CLIPS_VALIDATE_AUDIO,
+        "audio_features": _SQL_AUDIO_FEATURES,
+        "audio_dup": _SQL_AUDIO_DUP,
     }

@@ -44,6 +44,7 @@ HEADLINE = [
     "drift_events",
     "embed_neardup",
     "monitor_logs",
+    "audio_dup",           # decoded-PCM features -> blocked near-dup pairs
 ]
 
 CLIPS_SPEC = dict(partitions=32, clips_per_partition=1000, sr_hz=8000)

@@ -1,0 +1,182 @@
+"""Audio feature extraction, transcoding, and audio near-dup invariants.
+
+The audio twin of the text dedup guarantees (SURVEY.md §2 LLM-pipeline
+block): features are bit-identical between the Spark mapInArrow path and
+the pure-pandas oracle twin; the spectral fingerprint and block keys are
+transcode-stable (μ-law re-encode ⇒ same blocking bucket, hamming 0);
+and audio_dup_pairs recovers every planted transcoded twin.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from use_case_real_time_anomaly_detection_spark.functions.audio import (
+    DECODERS,
+    mulaw_decode,
+    reference_waveform,
+    snr_db,
+)
+from use_case_real_time_anomaly_detection_spark.functions.audio_features import (
+    audio_dup_pairs,
+    clip_features,
+    reencode_clips,
+    with_audio_features,
+)
+from use_case_real_time_anomaly_detection_spark.sources.synth import (
+    REENCODE_MOD,
+    SynthSpec,
+    audio_features_pandas,
+    generate_clips,
+)
+
+SPEC = SynthSpec(partitions=3, clips_per_partition=120)
+
+
+def _spark_features(spark, spec=SPEC):
+    from pyspark.sql import functions as F
+
+    clips = generate_clips(spark, spec)
+    seq = F.substring("clip_id", 6, 9).cast("long")
+    re_src = clips.where(
+        (F.col("codec") == "pcm16") & (seq % REENCODE_MOD[0] == REENCODE_MOD[1])
+    )
+    variants = reencode_clips(re_src).withColumn(
+        "clip_id", F.concat("clip_id", F.lit("~re"))
+    )
+    return with_audio_features(clips.unionByName(variants)).dropDuplicates(
+        ["clip_id"]
+    )
+
+
+def test_spark_features_match_pandas_twin_bit_exact(spark):
+    """mapInArrow features == pure-pandas twin, doubles compared exactly
+    (same numpy ops over the same rendered bytes — no tolerance)."""
+    exp = audio_features_pandas(SPEC).set_index("clip_id")
+    got_rows = _spark_features(spark).collect()
+    assert len(got_rows) == len(exp)
+    for r in got_rows:
+        e = exp.loc[r["clip_id"]]
+        assert r["ok"] == bool(e["ok"]), r["clip_id"]
+        if not r["ok"]:
+            assert r["err"] == e["err"]
+            continue
+        for c in (
+            "n_samples", "rms", "peak", "zcr", "silence_ratio", "clip_ratio",
+            "centroid_hz", "fingerprint", "peak_band", "rms_bucket",
+            "rms_bucket_hi",
+        ):
+            assert r[c] == e[c], (r["clip_id"], c, r[c], e[c])
+        assert r["bands"] == list(e["bands"]), r["clip_id"]
+
+
+def test_reencode_roundtrip_and_passthrough(spark):
+    """pcm16 → μ-law transcode keeps the waveform (SNR ≥ 30 dB, G.711
+    floor) and the schema; undecodable rows pass through unchanged."""
+    from pyspark.sql import functions as F
+
+    clips = generate_clips(spark, SynthSpec(partitions=2, clips_per_partition=60))
+    src = clips.where(F.col("codec") == "pcm16").limit(20)
+    out = {r["clip_id"]: r for r in reencode_clips(src).collect()}
+    orig = {r["clip_id"]: r for r in src.collect()}
+    assert out.keys() == orig.keys() and len(out) > 0
+    for cid, r in out.items():
+        assert r["codec"] == "mulaw"
+        sig0 = DECODERS["pcm16"](orig[cid]["bytes"], orig[cid]["sr_hz"])
+        sig1 = mulaw_decode(r["bytes"])
+        assert len(sig0) == len(sig1)
+        assert snr_db(sig0, sig1) >= 30.0
+        assert r["transcript"] == orig[cid]["transcript"]
+
+    bad = clips.where(F.col("codec") == "pcm16").limit(3).withColumn(
+        "bytes", F.expr("substring(bytes, 1, 4)")
+    )
+    kept = reencode_clips(bad).collect()
+    assert len(kept) == 3
+    assert all(r["codec"] == "pcm16" and len(r["bytes"]) == 4 for r in kept)
+
+
+def test_fingerprint_and_block_keys_transcode_stable():
+    """The support fingerprint and both block keys survive μ-law
+    quantization (noise ~30 dB below signal can't cross the 10 dB
+    support margin or move the argmax band)."""
+    from use_case_real_time_anomaly_detection_spark.functions.audio import (
+        mulaw_encode,
+        pcm16_wav_encode,
+    )
+
+    for cid in ("c000-000000011", "c001-000000207", "c002-000000350"):
+        sig = reference_waveform(cid, 16000, 900)
+        a = clip_features(pcm16_wav_encode(sig, 16000), "pcm16", 16000, 900)
+        b = clip_features(mulaw_encode(sig), "mulaw", 16000, 900)
+        assert a["ok"] and b["ok"]
+        assert a["fingerprint"] == b["fingerprint"], cid
+        assert a["peak_band"] == b["peak_band"], cid
+        # multi-probe: the two probe sets must intersect
+        assert {a["rms_bucket"], a["rms_bucket_hi"]} & {
+            b["rms_bucket"], b["rms_bucket_hi"]
+        }, cid
+        assert math.isclose(a["centroid_hz"], b["centroid_hz"], rel_tol=5e-3)
+
+
+def test_clip_features_failure_is_data_not_exception():
+    out = clip_features(b"\x00\x01", "pcm16", 16000, 100)
+    assert out["ok"] is False and out["err"]
+    assert out["fingerprint"] is None and out["bands"] is None
+    out2 = clip_features(b"abc", "flac", 16000, 100)
+    assert out2["ok"] is False and "flac" in out2["err"]
+
+
+def test_audio_dup_recovers_every_planted_transcode_pair(spark):
+    """Recall 1.0 on the planted μ-law twins: every '<id>~re' row pairs
+    with its pcm16 source, at hamming 0 (support bits unmoved)."""
+    feats = _spark_features(spark)
+    pairs = audio_dup_pairs(feats).collect()
+    planted = {
+        r["clip_id"]
+        for r in feats.select("clip_id").collect()
+        if r["clip_id"].endswith("~re")
+    }
+    assert len(planted) > 0
+    found = {
+        (p["clip_id_a"], p["clip_id_b"]): p["hamming"] for p in pairs
+    }
+    for twin in planted:
+        src = twin[: -len("~re")]
+        key = (min(src, twin), max(src, twin))
+        assert key in found, f"missing planted pair {key}"
+        assert found[key] == 0, (key, found[key])
+
+
+def test_audio_dup_no_false_positives_on_distinct_content(spark):
+    """Clips with different reference waveforms must not pair: every
+    reported pair is either a planted twin or shares identical rendered
+    content (the synth MOD_DUP twin collision)."""
+    feats = _spark_features(spark)
+    pairs = audio_dup_pairs(feats).collect()
+    sig_of = {}
+    for r in generate_clips(spark, SPEC).dropDuplicates(["clip_id"]).collect():
+        sig_of[r["clip_id"]] = r["bytes"]
+    for p in pairs:
+        a, b = p["clip_id_a"], p["clip_id_b"]
+        if a.replace("~re", "") == b.replace("~re", ""):
+            continue  # planted twin
+        ba, bb = sig_of.get(a.replace("~re", "")), sig_of.get(b.replace("~re", ""))
+        assert ba is not None and bb is not None
+        assert ba == bb, f"false positive: {a} vs {b}"
+
+
+def test_audio_dup_plan_payload_never_shuffles(spark):
+    """The candidate join and verify run over pinned slim frames: the
+    feature extraction (and thus the payload bytes) appears in NO
+    exchange, and the final plan contains no FileScan (both sides read
+    the localCheckpointed feature frame) and no per-row Python."""
+    feats = _spark_features(spark)
+    plan = audio_dup_pairs(feats)._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "bytes" not in plan  # payload column gone before any exchange
+    assert "CartesianProduct" not in plan

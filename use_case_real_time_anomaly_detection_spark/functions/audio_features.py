@@ -1,0 +1,413 @@
+"""Decoded-PCM feature extraction, spectral fingerprinting, transcoding,
+and audio near-duplicate detection — the training-data-pipeline surface
+for the audio payload (graft cell: pyspark × audio).
+
+A 100 TB audio corpus needs exactly what a text corpus needs — QC
+features, dedup, drift — but computed from the decoded waveform, not the
+string column. This module keeps the reference engine's discipline
+(reference repo has zero UDFs — SURVEY.md §2.10): Python appears only as
+vectorized numpy inside `mapInArrow` (zero-copy payload buffers, same
+mechanics as functions/audio.with_audio_checks), and everything after
+feature extraction — blocking joins, Hamming distance, cosine verify —
+is JVM-side DataFrame ops on slim (id, long, array<double>) frames. The
+payload bytes never cross an exchange.
+
+Per-clip features (float64, deterministic — the same numpy ops drive the
+pure-pandas oracle twin in sources/synth.audio_features_pandas, so the
+driver hash-compares them exactly):
+
+- n_samples, rms, peak            — level / integrity QC
+- zcr                             — zero-crossing rate (spectral proxy)
+- silence_ratio, clip_ratio       — dead-air and hard-clipping fractions
+- centroid_hz                     — spectral centroid from the rfft
+- fingerprint (int64)             — spectral-support hash: bit b set iff
+  log-band b's energy DENSITY stands 10 dB above the clip's flat
+  average. Sparse and transcode-stable: mu-law quantization noise sits
+  ~30 dB below signal and cannot push a band across a 10 dB margin,
+  while clips with different spectral support differ in their support
+  bits.
+- peak_band / rms_bucket(+_hi)    — exactly-stable discrete block keys:
+  the argmax-density band (a ~20 dB spectral peak cannot move under
+  30 dB-down quantization noise) and a numpy-quantized log-RMS bucket
+  emitted at TWO probe offsets (floor(k) and floor(k+1/2)) so a true
+  pair straddling a bucket edge still shares a key — standard LSH
+  multi-probe; quantization cliffs therefore cost recall 0.
+- bands (array<double>, 64)       — the raw band-energy vector backing
+  the exact verify of candidate pairs
+
+Near-dup shape at scale: candidates = equi-join on the packed
+(peak_band, rms_bucket, n_samples) probe keys — ids + int64s only; the
+64-double band vectors stay out of the candidate shuffle and join back
+for the verify (band cosine + centroid/RMS ratio gates) — the
+embed_neardup_lsh discipline (ids-only shuffle, exact verify). All
+quantization happens ONCE in numpy at extraction; blocking and probing
+are pure integer ops, so the DuckDB oracle reproduces them exactly
+(no cross-engine libm boundary to disagree on).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .audio import DECODERS, mulaw_encode, pcm16_wav_encode
+
+# ---------------------------------------------------------------------------
+# band grid + per-clip feature math (shared with the pandas oracle twin)
+# ---------------------------------------------------------------------------
+
+N_BANDS = 64
+# log-spaced edges, capped below the 8 kHz Nyquist so one grid serves
+# every sr the corpus carries (8000/16000/44100)
+BAND_EDGES = np.geomspace(50.0, 3800.0, N_BANDS + 1)
+_BAND_WIDTHS = BAND_EDGES[1:] - BAND_EDGES[:-1]
+_GRID_WIDTH = float(BAND_EDGES[-1] - BAND_EDGES[0])
+
+SILENCE_ABS = 0.01  # |x| below ⇒ silent sample
+CLIP_ABS = 0.999  # |x| at/above ⇒ hard-clipped sample
+SUPPORT_MARGIN = 10.0  # fingerprint bit ⇔ band density > 10x flat average
+RMS_BUCKETS_PER_DECADE = 50  # log-RMS block-key quantization
+
+FEATURE_FIELDS = [
+    StructField("n_samples", LongType()),
+    StructField("rms", DoubleType()),
+    StructField("peak", DoubleType()),
+    StructField("zcr", DoubleType()),
+    StructField("silence_ratio", DoubleType()),
+    StructField("clip_ratio", DoubleType()),
+    StructField("centroid_hz", DoubleType()),
+    StructField("fingerprint", LongType()),
+    StructField("peak_band", LongType()),
+    StructField("rms_bucket", LongType()),
+    StructField("rms_bucket_hi", LongType()),
+    StructField("bands", ArrayType(DoubleType())),
+]
+
+
+def band_energies(sig: np.ndarray, sr_hz: int) -> tuple[np.ndarray, float]:
+    """(64 log-band energies, spectral centroid in Hz) from one rfft.
+
+    Deterministic: fixed float64 op order, fixed edges; a band narrower
+    than the clip's frequency resolution contributes energy 0.0.
+    """
+    x = sig.astype(np.float64)
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    n = len(x)
+    freqs = np.arange(len(spec), dtype=np.float64) * (float(sr_hz) / max(n, 1))
+    total = float(np.sum(spec))
+    centroid = float(np.sum(freqs * spec) / total) if total > 0.0 else 0.0
+    idx = np.searchsorted(freqs, BAND_EDGES, side="left")
+    csum = np.concatenate(([0.0], np.cumsum(spec)))
+    e = csum[np.minimum(idx[1:], len(spec))] - csum[np.minimum(idx[:-1], len(spec))]
+    return e, centroid
+
+
+def pack_fingerprint(e: np.ndarray) -> int:
+    """Spectral-support hash → signed int64: bit b set iff band b's
+    energy density exceeds SUPPORT_MARGIN x the clip's flat average
+    density. Sparse (only bands carrying real signal), and stable under
+    transcoding because quantization noise is ~30 dB below the margin.
+    """
+    density = e / _BAND_WIDTHS
+    avg = float(np.sum(e)) / _GRID_WIDTH
+    bits = (density > SUPPORT_MARGIN * avg).astype(np.uint64)
+    fp = int(np.sum(bits << np.arange(N_BANDS, dtype=np.uint64)))
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+def clip_features(payload, codec, sr_hz, dur_ms) -> dict:
+    """All features for one clip; decode failures yield ok=False + nulls.
+
+    Single source of truth for the Spark mapInArrow path AND the
+    pure-pandas oracle twin — identical numpy on identical bytes gives
+    bit-identical doubles, which is what lets the driver hash-compare.
+    """
+    out = {"ok": False, "err": None}
+    out.update({f.name: None for f in FEATURE_FIELDS})
+    try:
+        dec_fn = DECODERS.get(codec)
+        if dec_fn is None:
+            raise ValueError(f"no decoder for codec {codec!r}")
+        if payload is None or len(payload) == 0:
+            raise ValueError("empty payload")
+        sr = int(sr_hz) if sr_hz is not None else 0
+        sig = dec_fn(payload, sr)
+        n = len(sig)
+        if n == 0:
+            raise ValueError("decoded to zero samples")
+        x = sig.astype(np.float64)
+        ax = np.abs(x)
+        e, centroid = band_energies(sig, sr)
+        rms = float(np.sqrt(np.mean(x * x)))
+        if rms > 0.0:
+            k = float(np.log10(rms)) * RMS_BUCKETS_PER_DECADE
+            b_lo, b_hi = int(np.floor(k)), int(np.floor(k + 0.5))
+        else:
+            b_lo = b_hi = -(1 << 20)  # all-silence sentinel bucket
+        out.update(
+            ok=True,
+            n_samples=int(n),
+            rms=rms,
+            peak=float(np.max(ax)),
+            zcr=float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+            if n > 1
+            else 0.0,
+            silence_ratio=float(np.mean(ax < SILENCE_ABS)),
+            clip_ratio=float(np.mean(ax >= CLIP_ABS)),
+            centroid_hz=centroid,
+            fingerprint=pack_fingerprint(e),
+            peak_band=int(np.argmax(e / _BAND_WIDTHS)),
+            rms_bucket=b_lo,
+            rms_bucket_hi=b_hi,
+            bands=e.tolist(),
+        )
+    except Exception as exc:  # decode failures are data, not bugs
+        out["err"] = str(exc)[:120]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+
+def with_audio_features(
+    df: DataFrame,
+    *,
+    key_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    sr_col: str = "sr_hz",
+    dur_col: str = "dur_ms",
+) -> DataFrame:
+    """clips → per-clip feature frame; the payload column is DROPPED
+    (nothing downstream needs `bytes`, and dropping it here is what
+    keeps every later exchange slim).
+
+    mapInArrow with zero-copy payload buffer slices — the pandas-UDF
+    formulation materializes every payload as Python bytes and caps the
+    pipeline ~1.2 GB/s (measured; see functions/audio.with_audio_checks).
+    """
+    import pyarrow as pa
+
+    passthrough = [f for f in df.schema.fields if f.name != bytes_col]
+    out_schema = StructType(
+        list(passthrough)
+        + [StructField("ok", BooleanType()), StructField("err", StringType())]
+        + FEATURE_FIELDS
+    )
+    feat_names = [f.name for f in FEATURE_FIELDS]
+    feat_types = {
+        "n_samples": pa.int64(),
+        "rms": pa.float64(),
+        "peak": pa.float64(),
+        "zcr": pa.float64(),
+        "silence_ratio": pa.float64(),
+        "clip_ratio": pa.float64(),
+        "centroid_hz": pa.float64(),
+        "fingerprint": pa.int64(),
+        "peak_band": pa.int64(),
+        "rms_bucket": pa.int64(),
+        "rms_bucket_hi": pa.int64(),
+        "bands": pa.list_(pa.float64()),
+    }
+
+    def run(batches):
+        for b in batches:
+            names = b.schema.names
+            barr = b.column(names.index(bytes_col))
+            codecs = b.column(names.index(codec_col)).to_pylist()
+            srs = b.column(names.index(sr_col)).to_pylist()
+            durs = b.column(names.index(dur_col)).to_pylist()
+            cols: dict[str, list] = {k: [] for k in ("ok", "err", *feat_names)}
+            for i in range(len(barr)):
+                sc = barr[i]
+                mv = memoryview(sc.as_buffer()) if sc.is_valid else None
+                row = clip_features(mv, codecs[i], srs[i], durs[i])
+                for k in cols:
+                    cols[k].append(row[k])
+            arrays = [b.column(names.index(f.name)) for f in passthrough]
+            arrays.append(pa.array(cols["ok"], type=pa.bool_()))
+            arrays.append(pa.array(cols["err"], type=pa.string()))
+            arrays.extend(pa.array(cols[k], type=feat_types[k]) for k in feat_names)
+            yield pa.RecordBatch.from_arrays(
+                arrays,
+                names=[f.name for f in passthrough] + ["ok", "err"] + feat_names,
+            )
+
+    return df.mapInArrow(run, out_schema)
+
+
+def reencode_clips(df: DataFrame, *, to_codec: str = "mulaw") -> DataFrame:
+    """Transcode: decode each payload and re-encode it as `to_codec`,
+    replacing (bytes, codec) in place. Undecodable rows pass through
+    unchanged — a transcoding pipeline must not drop its rejects.
+
+    Same-schema-out means the operator composes with every clip consumer
+    (validation, features, ingest gate) with no plan changes.
+    """
+    import pyarrow as pa
+
+    encoders = {
+        "mulaw": lambda sig, sr: mulaw_encode(sig),
+        "pcm16": lambda sig, sr: pcm16_wav_encode(sig, sr),
+    }
+    if to_codec not in encoders:
+        raise ValueError(f"no encoder for codec {to_codec!r}")
+    enc = encoders[to_codec]
+    schema = df.schema
+    names_out = [f.name for f in schema.fields]
+
+    def run(batches):
+        for b in batches:
+            names = b.schema.names
+            barr = b.column(names.index("bytes"))
+            codecs = b.column(names.index("codec")).to_pylist()
+            srs = b.column(names.index("sr_hz")).to_pylist()
+            new_payloads, new_codecs = [], []
+            for i in range(len(barr)):
+                sc = barr[i]
+                mv = memoryview(sc.as_buffer()) if sc.is_valid else None
+                dec_fn = DECODERS.get(codecs[i])
+                try:
+                    if dec_fn is None or mv is None or len(mv) == 0:
+                        raise ValueError("undecodable")
+                    sr = int(srs[i] or 0)
+                    sig = dec_fn(mv, sr)
+                    new_payloads.append(enc(sig, sr))
+                    new_codecs.append(to_codec)
+                except Exception:
+                    new_payloads.append(bytes(mv) if mv is not None else None)
+                    new_codecs.append(codecs[i])
+            arrays = []
+            for f in schema.fields:
+                if f.name == "bytes":
+                    arrays.append(pa.array(new_payloads, type=pa.binary()))
+                elif f.name == "codec":
+                    arrays.append(pa.array(new_codecs, type=pa.string()))
+                else:
+                    arrays.append(b.column(names.index(f.name)))
+            yield pa.RecordBatch.from_arrays(arrays, names=names_out)
+
+    return df.mapInArrow(run, schema)
+
+
+# block-key packing constants (shared with the DuckDB oracle SQL):
+# key = (peak_band * 2^21 + (rms_bucket + 2^20)) * 2^21 + n_samples.
+# n_samples < 2^21 holds for dur <= 2 s at 44.1 kHz with headroom x10.
+_KEY_SHIFT = 1 << 21
+_BUCKET_OFFSET = 1 << 20
+
+
+def audio_dup_pairs(
+    features: DataFrame,
+    *,
+    id_col: str = "clip_id",
+    min_cosine: float = 0.99,
+    max_centroid_ratio: float = 0.005,
+    max_rms_ratio: float = 0.02,
+) -> DataFrame:
+    """Audio near-duplicate pairs from the feature frame: multi-probe
+    blocking on packed (peak_band, rms_bucket, n_samples) keys → exact
+    verify (band-energy cosine + centroid and RMS ratio gates). Returns
+    (clip_id_a, clip_id_b, hamming) with hamming = support-fingerprint
+    distance (reported, not filtered — the verify is exact already).
+
+    Scale shape: the blocked frame carries (id, key, fingerprint) only —
+    int64s; the 64-double band vectors stay out of the candidate shuffle
+    and join back for the verify on the (tiny) candidate set. The slim
+    frames are pinned (localCheckpoint) so the Arrow feature extraction
+    runs exactly once (the dedup-family discipline — functions/dedup._pin).
+
+    Fan-out honesty: candidates collide only on identical
+    (peak-spectral-band, ~2 % RMS bucket, exact sample count) — a
+    degenerate corpus (all clips same tone/level/length) blocks into one
+    bucket and degrades toward all-pairs; the same caveat ngram_jaccard
+    documents for its frequency cap, and the reason verify is mandatory.
+    """
+    from .dedup import _pin
+
+    f = features.where(F.col("fingerprint").isNotNull())
+    slim = _pin(
+        f.select(
+            F.col(id_col).alias("doc"),
+            "fingerprint",
+            "peak_band",
+            "rms_bucket",
+            "rms_bucket_hi",
+            "n_samples",
+            "rms",
+            "centroid_hz",
+            "bands",
+        )
+    )
+    key = lambda bucket: (  # noqa: E731
+        F.col("peak_band") * F.lit(_KEY_SHIFT)
+        + (F.col(bucket) + F.lit(_BUCKET_OFFSET))
+    ) * F.lit(_KEY_SHIFT) + F.col("n_samples")
+    blocked = slim.select(
+        "doc",
+        "fingerprint",
+        F.explode(F.array_distinct(F.array(key("rms_bucket"), key("rms_bucket_hi")))).alias(
+            "bkey"
+        ),
+    )
+    cand = (
+        blocked.alias("a")
+        .join(
+            blocked.alias("b"),
+            (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.bit_count(
+                F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    side = lambda tag: slim.select(  # noqa: E731
+        F.col("doc").alias(f"id_{tag}"),
+        F.col("rms").alias(f"rms_{tag}"),
+        F.col("centroid_hz").alias(f"cent_{tag}"),
+        F.col("bands").alias(f"bands_{tag}"),
+    )
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+    verified = (
+        cand.join(side("a"), "id_a")
+        .join(side("b"), "id_b")
+        .withColumn(
+            "cosine",
+            dot(F.col("bands_a"), F.col("bands_b"))
+            / (
+                F.sqrt(dot(F.col("bands_a"), F.col("bands_a")))
+                * F.sqrt(dot(F.col("bands_b"), F.col("bands_b")))
+            ),
+        )
+        .where(
+            (F.col("cosine") >= F.lit(min_cosine))
+            & (
+                F.abs(F.col("cent_a") / F.col("cent_b") - 1.0)
+                <= F.lit(max_centroid_ratio)
+            )
+            & (F.abs(F.col("rms_a") / F.col("rms_b") - 1.0) <= F.lit(max_rms_ratio))
+        )
+    )
+    return verified.select(
+        F.col("id_a").alias("clip_id_a"),
+        F.col("id_b").alias("clip_id_b"),
+        "hamming",
+    )

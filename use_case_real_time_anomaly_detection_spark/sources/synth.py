@@ -348,6 +348,68 @@ def audio_violations_pandas(
     )
 
 
+REENCODE_MOD = (50, 3)  # seq arithmetic picking the transcoded-twin subset
+
+
+def reencoded_subset_pandas(rendered: pd.DataFrame) -> pd.DataFrame:
+    """μ-law transcoded twins of the pcm16 clips hit by REENCODE_MOD —
+    the pandas mirror of `reencode_clips(clips.filter(...))` with
+    clip_id suffixed '~re'. Decode→re-encode runs on the RENDERED bytes
+    (decode(encode(sig)) ≠ sig), exactly like the Spark operator."""
+    from ..functions.audio import DECODERS
+
+    out = []
+    for row in rendered.itertuples(index=False):
+        seq = int(row.clip_id.split("-")[1])
+        if row.codec != "pcm16" or seq % REENCODE_MOD[0] != REENCODE_MOD[1]:
+            continue
+        sig = DECODERS["pcm16"](row.bytes, int(row.sr_hz))
+        rec = {
+            "clip_id": row.clip_id + "~re",
+            "bytes": mulaw_encode(sig),
+            "sr_hz": int(row.sr_hz),
+            "dur_ms": int(row.dur_ms),
+            "codec": "mulaw",
+            "transcript": row.transcript,
+        }
+        out.append(rec)
+    return pd.DataFrame(out, columns=[f.name for f in CLIPS_SCHEMA.fields])
+
+
+def audio_features_pandas(spec: SynthSpec = SynthSpec()) -> pd.DataFrame:
+    """Oracle twin of the `audio_features` query: per-clip decoded-PCM
+    features over base corpus + transcoded twins, pure pandas/numpy.
+    Same clip_features numpy path over the same rendered bytes ⇒
+    bit-identical doubles (the clips_audio_violations discipline)."""
+    from ..functions.audio_features import FEATURE_FIELDS, clip_features
+
+    rows = []
+    for p in range(spec.partitions):
+        rendered = _render_rows(p, spec)
+        rendered = pd.concat(
+            [rendered, reencoded_subset_pandas(rendered)], ignore_index=True
+        )
+        for row in rendered.itertuples(index=False):
+            rec = {
+                "clip_id": row.clip_id,
+                "codec": row.codec,
+                "sr_hz": int(row.sr_hz),
+                "dur_ms": int(row.dur_ms),
+            }
+            rec.update(clip_features(row.bytes, row.codec, row.sr_hz, row.dur_ms))
+            rows.append(rec)
+    cols = ["clip_id", "codec", "sr_hz", "dur_ms", "ok", "err"] + [
+        f.name for f in FEATURE_FIELDS
+    ]
+    out = pd.DataFrame(rows, columns=cols)
+    out = out.drop_duplicates(["clip_id"], keep="first")  # MOD_DUP twin rows
+    out["sr_hz"] = out["sr_hz"].astype("int32")
+    out["dur_ms"] = out["dur_ms"].astype("int32")
+    out["n_samples"] = out["n_samples"].astype("Int64")
+    out["fingerprint"] = out["fingerprint"].astype("Int64")
+    return out.sort_values("clip_id", kind="mergesort").reset_index(drop=True)
+
+
 def generate_clips(spark: SparkSession, spec: SynthSpec = SynthSpec()) -> DataFrame:
     """Distributed clip generation: one task per partition tag.
 
