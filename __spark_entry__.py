@@ -737,6 +737,29 @@ def _q_audio_dup(spark, sf):
     return pairs.orderBy("clip_id_a", "clip_id_b")
 
 
+def _q_audio_drift(spark, sf):
+    """KS/PSI drift of DECODED features (rms, centroid_hz, n_samples)
+    per corpus partition — must flag c001 (dur shift ⇒ n_samples) and
+    c002 (sr flip ⇒ n_samples) against a quiet background. Transcoded
+    twins excluded: drift scores the base corpus. Oracle: the same
+    binning/median-baseline chain in SQL over the twin parquet."""
+    from use_case_real_time_anomaly_detection_spark.functions.audio_features import (
+        audio_drift,
+    )
+
+    feats = _audio_features_frame(spark).where(~F.col("clip_id").endswith("~re"))
+    return (
+        audio_drift(feats)
+        .select(
+            "feature",
+            "partition_key",
+            F.round("psi", 4).alias("psi"),
+            F.round("ks", 4).alias("ks"),
+        )
+        .orderBy("feature", "partition_key")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "out_of_range": _q_out_of_range,
@@ -788,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_z_score": _q_running_z_score,
         "audio_features": _q_audio_features,
         "audio_dup": _q_audio_dup,
+        "audio_drift": _q_audio_drift,
     }
 
 
@@ -1900,6 +1924,60 @@ WHERE list_cosine_similarity(fa.bands, fb.bands) >= 0.99
 ORDER BY clip_id_a, clip_id_b
 """
 
+# Decoded-feature drift: the _SQL_DRIFT_EVENTS chain instantiated per
+# feature over the twin parquet (base corpus only — '~re' twins and
+# decode failures excluded), UNION ALL across features. Same fixed-bin /
+# Laplace / per-bin-median arithmetic, same _R(…,4) rounding.
+def _sql_audio_drift_one(col: str) -> str:
+    return f"""
+SELECT feature, partition_key, psi, ks FROM (
+WITH src AS (
+  SELECT split_part(clip_id, '-', 1) AS pk, CAST({col} AS DOUBLE) AS v
+  FROM read_parquet('{_AUDIO_FEATS}/*.parquet')
+  WHERE ok AND clip_id NOT LIKE '%~re' AND {col} IS NOT NULL
+), mm AS (
+  SELECT min(v) AS lo, max(v) AS hi FROM src
+), binned AS (
+  SELECT pk,
+         least(19, CAST(floor((v - mm.lo) / ((mm.hi - mm.lo) / 20)) AS BIGINT)) AS bin
+  FROM src, mm
+), pc AS (
+  SELECT pk, bin, count(*) AS pn FROM binned GROUP BY pk, bin
+), grid AS (
+  SELECT pks.pk, b.bin
+  FROM (SELECT DISTINCT pk FROM pc) pks,
+       (SELECT unnest(generate_series(0, 19)) AS bin) b
+), h1 AS (
+  SELECT g.pk, g.bin, COALESCE(pc.pn, 0) AS pn,
+         sum(COALESCE(pc.pn, 0)) OVER (PARTITION BY g.pk) AS pt
+  FROM grid g LEFT JOIN pc ON pc.pk = g.pk AND pc.bin = g.bin
+), h2 AS (
+  SELECT pk, bin, (pn + 0.5) / (pt + 10.0) AS p FROM h1
+), med AS (
+  SELECT bin, quantile_cont(p, 0.5) AS qraw FROM h2 GROUP BY bin
+), medn AS (
+  SELECT bin, qraw / (SELECT sum(qraw) FROM med) AS q FROM med
+), h4 AS (
+  SELECT h2.pk, h2.bin, h2.p, m.q,
+         sum(h2.p) OVER (PARTITION BY h2.pk ORDER BY h2.bin) AS pcum,
+         sum(m.q)  OVER (PARTITION BY h2.pk ORDER BY h2.bin) AS qcum
+  FROM h2 JOIN medn m ON m.bin = h2.bin
+)
+SELECT '{col}' AS feature, pk AS partition_key,
+       {_R("sum((p - q) * ln(p / q))", 4)} AS psi,
+       {_R("max(abs(pcum - qcum))", 4)} AS ks
+FROM h4 GROUP BY pk
+)
+"""
+
+
+_SQL_AUDIO_DRIFT = (
+    "\nUNION ALL\n".join(
+        _sql_audio_drift_one(c) for c in ("rms", "centroid_hz", "n_samples")
+    )
+    + "\nORDER BY feature, partition_key"
+)
+
 _SQL_CLIPS_VERDICTS = (
     "WITH "
     + _CLIPS_CTES
@@ -2266,4 +2344,5 @@ def oracle_sql() -> dict[str, str]:
         "clips_validate_audio": _SQL_CLIPS_VALIDATE_AUDIO,
         "audio_features": _SQL_AUDIO_FEATURES,
         "audio_dup": _SQL_AUDIO_DUP,
+        "audio_drift": _SQL_AUDIO_DRIFT,
     }

@@ -180,3 +180,31 @@ def test_audio_dup_plan_payload_never_shuffles(spark):
     assert "BatchEvalPython" not in plan
     assert "bytes" not in plan  # payload column gone before any exchange
     assert "CartesianProduct" not in plan
+
+
+def test_audio_drift_flags_injected_partitions(spark):
+    """n_samples drift must single out the dur-shifted partition (c001:
+    +300 ms ⇒ every clip longer) and the sr-flipped partition (c002:
+    half the clips at the other rate ⇒ bimodal sample count); rms and
+    centroid stay near the background (negative control)."""
+    from use_case_real_time_anomaly_detection_spark.functions.audio_features import (
+        audio_drift,
+    )
+
+    spec = SynthSpec(partitions=6, clips_per_partition=150)
+    feats = with_audio_features(
+        generate_clips(spark, spec).dropDuplicates(["clip_id"])
+    )
+    scores = {
+        (r["feature"], r["partition_key"]): r["psi"]
+        for r in audio_drift(feats).collect()
+    }
+    assert len(scores) == 3 * 6
+    ns = {pk: psi for (f, pk), psi in scores.items() if f == "n_samples"}
+    quiet = [psi for pk, psi in ns.items() if pk not in ("c001", "c002")]
+    assert ns["c001"] > 1.0 and ns["c002"] > 1.0
+    assert all(psi < 0.1 for psi in quiet), ns
+    # negative control: no rms/centroid partition stands 10x above 1.0
+    for f in ("rms", "centroid_hz"):
+        vals = [psi for (ff, _), psi in scores.items() if ff == f]
+        assert max(vals) < 1.0, (f, vals)

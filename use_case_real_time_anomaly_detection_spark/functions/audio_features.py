@@ -411,3 +411,50 @@ def audio_dup_pairs(
         F.col("id_b").alias("clip_id_b"),
         "hamming",
     )
+
+
+def audio_drift(
+    features: DataFrame,
+    *,
+    feature_cols: tuple[str, ...] = ("rms", "centroid_hz", "n_samples"),
+    partition_col: str = "partition_key",
+    id_col: str = "clip_id",
+    bins: int = 20,
+) -> DataFrame:
+    """KS/PSI distribution drift of DECODED-PCM features per corpus
+    partition — the audio-domain extension of the metadata drift rule
+    (north rule: KS/PSI on dur_ms/sr_hz per partition; a corrupted
+    encoder or a mis-set capture chain shifts rms/centroid/n_samples
+    even when the metadata columns still look plausible).
+
+    Composes functions/stats.drift_scores (same binning, Laplace
+    smoothing, robust per-bin-median baseline) once per feature over ONE
+    pinned slim (pk, features...) frame, so the Arrow decode pass runs
+    exactly once no matter how many features are scored. If `features`
+    lacks `partition_col` it is derived as the clip_id's partition tag
+    (chars before the '-', the synth/partition layout key).
+
+    Returns (feature, partition_key, psi, ks) for every partition ×
+    feature; thresholding is the caller's policy (DriftRule's contract).
+    """
+    from .dedup import _pin
+    from .stats import drift_scores
+
+    f = features.where(F.col("ok"))
+    if partition_col not in f.columns:
+        f = f.withColumn(
+            partition_col, F.substring_index(F.col(id_col), "-", 1)
+        )
+    slim = _pin(
+        f.select(
+            F.col(partition_col).alias("pk"),
+            *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        )
+    )
+    scored = None
+    for c in feature_cols:
+        s = drift_scores(slim, c, partition_col="pk", bins=bins).select(
+            F.lit(c).alias("feature"), "partition_key", "psi", "ks"
+        )
+        scored = s if scored is None else scored.unionByName(s)
+    return scored
