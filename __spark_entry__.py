@@ -737,6 +737,56 @@ def _q_audio_dup(spark, sf):
     return pairs.orderBy("clip_id_a", "clip_id_b")
 
 
+_AUDIO_RESAMPLED = f"{_ORACLE_DIR}/audio_resample.parquet"
+
+
+def _ensure_audio_resample_oracle() -> None:
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        audio_resample_features_pandas,
+    )
+
+    if os.path.exists(f"{_AUDIO_RESAMPLED}/data.parquet"):
+        return
+    os.makedirs(_AUDIO_RESAMPLED, exist_ok=True)
+    spec = SynthSpec(partitions=4, clips_per_partition=150)
+    pq.write_table(
+        pa.Table.from_pandas(
+            audio_resample_features_pandas(spec, to_sr=8000), preserve_index=False
+        ),
+        f"{_AUDIO_RESAMPLED}/data.parquet",
+    )
+
+
+def _q_audio_resample(spark, sf):
+    """Features of the sr-normalized corpus (resample_clips → 8 kHz,
+    duration-preserving linear interp, same-codec re-encode). Oracle:
+    the exact operator chain in pure pandas over the same rendered
+    bytes ⇒ bit-identical doubles."""
+    from use_case_real_time_anomaly_detection_spark.functions.audio_features import (
+        resample_clips,
+        with_audio_features,
+    )
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        generate_clips,
+    )
+
+    _ensure_audio_resample_oracle()
+    spec = SynthSpec(partitions=4, clips_per_partition=150)
+    clips = generate_clips(spark, spec).dropDuplicates(["clip_id"])
+    return (
+        with_audio_features(resample_clips(clips, to_sr=8000))
+        .select(*_AUDIO_FEATURE_SCALARS)
+        .orderBy("clip_id")
+    )
+
+
 def _q_audio_drift(spark, sf):
     """KS/PSI drift of DECODED features (rms, centroid_hz, n_samples)
     per corpus partition — must flag c001 (dur shift ⇒ n_samples) and
@@ -812,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": _q_audio_features,
         "audio_dup": _q_audio_dup,
         "audio_drift": _q_audio_drift,
+        "audio_resample": _q_audio_resample,
     }
 
 
@@ -1978,6 +2029,14 @@ _SQL_AUDIO_DRIFT = (
     + "\nORDER BY feature, partition_key"
 )
 
+_SQL_AUDIO_RESAMPLE = f"""
+SELECT clip_id, codec, sr_hz, dur_ms, ok, err, n_samples, rms, peak, zcr,
+       silence_ratio, clip_ratio, centroid_hz, fingerprint, peak_band,
+       rms_bucket
+FROM read_parquet('{_AUDIO_RESAMPLED}/*.parquet')
+ORDER BY clip_id
+"""
+
 _SQL_CLIPS_VERDICTS = (
     "WITH "
     + _CLIPS_CTES
@@ -2345,4 +2404,5 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": _SQL_AUDIO_FEATURES,
         "audio_dup": _SQL_AUDIO_DUP,
         "audio_drift": _SQL_AUDIO_DRIFT,
+        "audio_resample": _SQL_AUDIO_RESAMPLE,
     }

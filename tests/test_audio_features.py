@@ -208,3 +208,86 @@ def test_audio_drift_flags_injected_partitions(spark):
     for f in ("rms", "centroid_hz"):
         vals = [psi for (ff, _), psi in scores.items() if ff == f]
         assert max(vals) < 1.0, (f, vals)
+
+
+def test_resample_mechanics_and_passthrough(spark):
+    """16 k→8 k: sample count halves, decoded result equals np.interp of
+    the source within pcm16 quantization; rows already at the target
+    rate are byte-identical pass-throughs; undecodable rows keep their
+    payload and sr."""
+    from pyspark.sql import functions as F
+
+    from use_case_real_time_anomaly_detection_spark.functions.audio_features import (
+        resample_clips,
+        resample_signal,
+    )
+
+    clips = generate_clips(spark, SynthSpec(partitions=2, clips_per_partition=80))
+    out = {r["clip_id"]: r for r in resample_clips(clips, to_sr=8000).collect()}
+    orig = {r["clip_id"]: r for r in clips.dropDuplicates(["clip_id"]).collect()}
+    n_resampled = 0
+    for cid, o in orig.items():
+        r = out[cid]
+        dec = DECODERS.get(o["codec"])
+        if o["sr_hz"] == 8000:
+            assert r["bytes"] == o["bytes"] and r["sr_hz"] == 8000
+            continue
+        if dec is None:  # opus injection: undecodable pass-through
+            assert r["bytes"] == o["bytes"] and r["sr_hz"] == o["sr_hz"]
+            continue
+        try:
+            sig0 = dec(o["bytes"], o["sr_hz"])
+        except Exception:
+            assert r["bytes"] == o["bytes"] and r["sr_hz"] == o["sr_hz"]
+            continue
+        n_resampled += 1
+        assert r["sr_hz"] == 8000 and r["codec"] == o["codec"]
+        sig1 = DECODERS[r["codec"]](r["bytes"], 8000)
+        exp = resample_signal(sig0, o["sr_hz"], 8000)
+        assert len(sig1) == len(exp)
+        tol = 1.5 / 32768 if o["codec"] == "pcm16" else 0.02  # codec LSB
+        assert float(np.max(np.abs(sig1.astype(np.float64) - exp))) <= tol
+    assert n_resampled > 0
+
+
+def test_resample_preserves_content_snr(spark):
+    """A 16 kHz clip resampled to 8 kHz still matches the 8 kHz golden
+    rendering of the same clip_id at ≥ 25 dB (sub-Nyquist sine carries
+    through linear interp; only the sample-indexed noise term differs)."""
+    from use_case_real_time_anomaly_detection_spark.functions.audio import (
+        pcm16_wav_encode,
+    )
+    from use_case_real_time_anomaly_detection_spark.functions.audio_features import (
+        resample_signal,
+    )
+
+    for cid in ("c000-000000001", "c001-000000042"):
+        hi = reference_waveform(cid, 16000, 1000)
+        lo_ref = reference_waveform(cid, 8000, 1000)
+        lo = resample_signal(
+            DECODERS["pcm16"](pcm16_wav_encode(hi, 16000), 16000), 16000, 8000
+        )
+        assert len(lo) == len(lo_ref)
+        assert snr_db(lo_ref, lo) >= 25.0, cid
+
+
+def test_resample_normalization_removes_sr_drift_keeps_dur_drift(spark):
+    """End-to-end: sr-normalizing the corpus erases the c002 sr-flip
+    drift (metadata-level skew) while the c001 duration shift — a REAL
+    content difference — still flags. The drift detector is measuring
+    content, not capture-chain artifacts, once the normalizer runs."""
+    from use_case_real_time_anomaly_detection_spark.functions.audio_features import (
+        audio_drift,
+        resample_clips,
+    )
+
+    spec = SynthSpec(partitions=6, clips_per_partition=150)
+    clips = generate_clips(spark, spec).dropDuplicates(["clip_id"])
+    feats = with_audio_features(resample_clips(clips, to_sr=8000))
+    ns = {
+        r["partition_key"]: r["psi"]
+        for r in audio_drift(feats, feature_cols=("n_samples",)).collect()
+    }
+    assert ns["c001"] > 1.0  # duration shift survives normalization
+    assert ns["c002"] < 0.1, ns  # sr flip is gone
+    assert all(psi < 0.1 for pk, psi in ns.items() if pk != "c001"), ns

@@ -176,6 +176,30 @@ def clip_features(payload, codec, sr_hz, dur_ms) -> dict:
     return out
 
 
+ENCODERS = {
+    "mulaw": lambda sig, sr: mulaw_encode(sig),
+    "pcm16": lambda sig, sr: pcm16_wav_encode(sig, sr),
+}
+
+
+def resample_signal(sig: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
+    """Linear-interpolation resample (float32 out), duration-preserving:
+    n_out = round(n * sr_to / sr_from). Deterministic fixed-op-order
+    numpy — the same function drives the Spark operator AND the pandas
+    oracle twin. Linear interp is exact enough for this corpus's
+    sub-Nyquist content (error ~(πf/sr)²/8 of amplitude); a production
+    deployment would swap in a windowed-sinc/polyphase kernel behind the
+    same signature without touching the operator plumbing.
+    """
+    if sr_from == sr_to:
+        return sig.astype(np.float32)
+    n = len(sig)
+    n_out = max(1, int(round(n * sr_to / sr_from)))
+    pos = np.arange(n_out, dtype=np.float64) * (float(sr_from) / float(sr_to))
+    out = np.interp(pos, np.arange(n, dtype=np.float64), sig.astype(np.float64))
+    return np.clip(out, -1.0, 1.0).astype(np.float32)
+
+
 # ---------------------------------------------------------------------------
 # Spark operators
 # ---------------------------------------------------------------------------
@@ -258,13 +282,9 @@ def reencode_clips(df: DataFrame, *, to_codec: str = "mulaw") -> DataFrame:
     """
     import pyarrow as pa
 
-    encoders = {
-        "mulaw": lambda sig, sr: mulaw_encode(sig),
-        "pcm16": lambda sig, sr: pcm16_wav_encode(sig, sr),
-    }
-    if to_codec not in encoders:
+    if to_codec not in ENCODERS:
         raise ValueError(f"no encoder for codec {to_codec!r}")
-    enc = encoders[to_codec]
+    enc = ENCODERS[to_codec]
     schema = df.schema
     names_out = [f.name for f in schema.fields]
 
@@ -295,6 +315,63 @@ def reencode_clips(df: DataFrame, *, to_codec: str = "mulaw") -> DataFrame:
                     arrays.append(pa.array(new_payloads, type=pa.binary()))
                 elif f.name == "codec":
                     arrays.append(pa.array(new_codecs, type=pa.string()))
+                else:
+                    arrays.append(b.column(names.index(f.name)))
+            yield pa.RecordBatch.from_arrays(arrays, names=names_out)
+
+    return df.mapInArrow(run, schema)
+
+
+def resample_clips(df: DataFrame, to_sr: int) -> DataFrame:
+    """Normalize the corpus sample rate: decode each payload, linear-interp
+    resample to `to_sr` (duration-preserving), re-encode with the SAME
+    codec, and update sr_hz. Rows already at `to_sr` are re-emitted
+    untouched (no decode cost beyond the batch scan); undecodable rows
+    pass through unchanged with their original sr_hz.
+
+    This is the sr_hz-skew normalizer the north rule's drift checks pair
+    with: a mixed-rate corpus (the c002 sr-flip injection) collapses to
+    one rate, so downstream n_samples/rate-derived drift reflects real
+    content shifts only (tested end-to-end in tests/test_audio_features).
+    Same-schema-out ⇒ composes with every clip consumer unchanged.
+    """
+    import pyarrow as pa
+
+    schema = df.schema
+    names_out = [f.name for f in schema.fields]
+
+    def run(batches):
+        for b in batches:
+            names = b.schema.names
+            barr = b.column(names.index("bytes"))
+            codecs = b.column(names.index("codec")).to_pylist()
+            srs = b.column(names.index("sr_hz")).to_pylist()
+            new_payloads, new_srs = [], []
+            for i in range(len(barr)):
+                sc = barr[i]
+                mv = memoryview(sc.as_buffer()) if sc.is_valid else None
+                sr = int(srs[i] or 0)
+                if sr == to_sr:
+                    new_payloads.append(bytes(mv) if mv is not None else None)
+                    new_srs.append(sr)
+                    continue
+                dec_fn = DECODERS.get(codecs[i])
+                enc_fn = ENCODERS.get(codecs[i])
+                try:
+                    if dec_fn is None or enc_fn is None or mv is None or len(mv) == 0:
+                        raise ValueError("undecodable")
+                    sig = dec_fn(mv, sr)
+                    new_payloads.append(enc_fn(resample_signal(sig, sr, to_sr), to_sr))
+                    new_srs.append(to_sr)
+                except Exception:
+                    new_payloads.append(bytes(mv) if mv is not None else None)
+                    new_srs.append(sr)
+            arrays = []
+            for f in schema.fields:
+                if f.name == "bytes":
+                    arrays.append(pa.array(new_payloads, type=pa.binary()))
+                elif f.name == "sr_hz":
+                    arrays.append(pa.array(new_srs, type=pa.int32()))
                 else:
                     arrays.append(b.column(names.index(f.name)))
             yield pa.RecordBatch.from_arrays(arrays, names=names_out)

@@ -376,6 +376,56 @@ def reencoded_subset_pandas(rendered: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out, columns=[f.name for f in CLIPS_SCHEMA.fields])
 
 
+def audio_resample_features_pandas(
+    spec: SynthSpec = SynthSpec(), to_sr: int = 8000
+) -> pd.DataFrame:
+    """Oracle twin of the `audio_resample` query: features of the base
+    corpus AFTER sr normalization — the exact operator chain
+    (decode → resample_signal → re-encode → clip_features) in pure
+    pandas, so every double is bit-identical to the Spark path."""
+    from ..functions.audio import DECODERS
+    from ..functions.audio_features import (
+        ENCODERS,
+        FEATURE_FIELDS,
+        clip_features,
+        resample_signal,
+    )
+
+    rows = []
+    for p in range(spec.partitions):
+        for row in _render_rows(p, spec).itertuples(index=False):
+            sr = int(row.sr_hz)
+            payload, out_sr = row.bytes, sr
+            if sr != to_sr:
+                dec_fn, enc_fn = DECODERS.get(row.codec), ENCODERS.get(row.codec)
+                try:
+                    if dec_fn is None or enc_fn is None or not payload:
+                        raise ValueError("undecodable")
+                    sig = dec_fn(payload, sr)
+                    payload = enc_fn(resample_signal(sig, sr, to_sr), to_sr)
+                    out_sr = to_sr
+                except Exception:
+                    pass  # pass-through, original sr kept
+            rec = {
+                "clip_id": row.clip_id,
+                "codec": row.codec,
+                "sr_hz": out_sr,
+                "dur_ms": int(row.dur_ms),
+            }
+            rec.update(clip_features(payload, row.codec, out_sr, row.dur_ms))
+            rows.append(rec)
+    cols = ["clip_id", "codec", "sr_hz", "dur_ms", "ok", "err"] + [
+        f.name for f in FEATURE_FIELDS
+    ]
+    out = pd.DataFrame(rows, columns=cols)
+    out = out.drop_duplicates(["clip_id"], keep="first")  # MOD_DUP twin rows
+    out["sr_hz"] = out["sr_hz"].astype("int32")
+    out["dur_ms"] = out["dur_ms"].astype("int32")
+    out["n_samples"] = out["n_samples"].astype("Int64")
+    out["fingerprint"] = out["fingerprint"].astype("Int64")
+    return out.sort_values("clip_id", kind="mergesort").reset_index(drop=True)
+
+
 def audio_features_pandas(spec: SynthSpec = SynthSpec()) -> pd.DataFrame:
     """Oracle twin of the `audio_features` query: per-clip decoded-PCM
     features over base corpus + transcoded twins, pure pandas/numpy.
