@@ -787,6 +787,58 @@ def _q_audio_resample(spark, sf):
     )
 
 
+_AUDIO_TRIMMED = f"{_ORACLE_DIR}/audio_trim.parquet"
+
+
+def _ensure_audio_trim_oracle() -> None:
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        audio_trim_features_pandas,
+    )
+
+    if os.path.exists(f"{_AUDIO_TRIMMED}/data.parquet"):
+        return
+    os.makedirs(_AUDIO_TRIMMED, exist_ok=True)
+    spec = SynthSpec(partitions=4, clips_per_partition=150)
+    pq.write_table(
+        pa.Table.from_pandas(
+            audio_trim_features_pandas(spec), preserve_index=False
+        ),
+        f"{_AUDIO_TRIMMED}/data.parquet",
+    )
+
+
+def _q_audio_trim(spark, sf):
+    """Features of the dead-air-trimmed corpus (trim_silence_clips:
+    strip |x| < 0.01 lead-in/out, recompute dur_ms). Oracle: the exact
+    operator chain in pure pandas => bit-identical doubles. Trimming is
+    non-trivial on this corpus: the golden sine starts at 0 and the
+    noise floor sits below the threshold, so most clips shed a few
+    samples and every downstream double moves."""
+    from use_case_real_time_anomaly_detection_spark.functions.audio_features import (
+        trim_silence_clips,
+        with_audio_features,
+    )
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        generate_clips,
+    )
+
+    _ensure_audio_trim_oracle()
+    spec = SynthSpec(partitions=4, clips_per_partition=150)
+    clips = generate_clips(spark, spec).dropDuplicates(["clip_id"])
+    return (
+        with_audio_features(trim_silence_clips(clips))
+        .select(*_AUDIO_FEATURE_SCALARS)
+        .orderBy("clip_id")
+    )
+
+
 def _q_audio_drift(spark, sf):
     """KS/PSI drift of DECODED features (rms, centroid_hz, n_samples)
     per corpus partition — must flag c001 (dur shift ⇒ n_samples) and
@@ -863,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dup": _q_audio_dup,
         "audio_drift": _q_audio_drift,
         "audio_resample": _q_audio_resample,
+        "audio_trim": _q_audio_trim,
     }
 
 
@@ -2037,6 +2090,14 @@ FROM read_parquet('{_AUDIO_RESAMPLED}/*.parquet')
 ORDER BY clip_id
 """
 
+_SQL_AUDIO_TRIM = f"""
+SELECT clip_id, codec, sr_hz, dur_ms, ok, err, n_samples, rms, peak, zcr,
+       silence_ratio, clip_ratio, centroid_hz, fingerprint, peak_band,
+       rms_bucket
+FROM read_parquet('{_AUDIO_TRIMMED}/*.parquet')
+ORDER BY clip_id
+"""
+
 _SQL_CLIPS_VERDICTS = (
     "WITH "
     + _CLIPS_CTES
@@ -2405,4 +2466,5 @@ def oracle_sql() -> dict[str, str]:
         "audio_dup": _SQL_AUDIO_DUP,
         "audio_drift": _SQL_AUDIO_DRIFT,
         "audio_resample": _SQL_AUDIO_RESAMPLE,
+        "audio_trim": _SQL_AUDIO_TRIM,
     }

@@ -291,3 +291,67 @@ def test_resample_normalization_removes_sr_drift_keeps_dur_drift(spark):
     assert ns["c001"] > 1.0  # duration shift survives normalization
     assert ns["c002"] < 0.1, ns  # sr flip is gone
     assert all(psi < 0.1 for pk, psi in ns.items() if pk != "c001"), ns
+
+
+def test_trim_invariant_pad_then_trim_equals_trim(spark):
+    """trim(pad_with_silence(x)) == trim(x) EXACTLY (byte-equal payloads
+    and dur_ms): padding differences between capture chains vanish, so
+    padded re-recordings collide in exact dedup after trim."""
+    from pyspark.sql import functions as F
+
+    from use_case_real_time_anomaly_detection_spark.functions.audio import (
+        pcm16_wav_encode,
+    )
+    from use_case_real_time_anomaly_detection_spark.functions.audio_features import (
+        trim_silence_clips,
+    )
+
+    clips = generate_clips(
+        spark, SynthSpec(partitions=2, clips_per_partition=60)
+    ).where((F.col("codec") == "pcm16") & (F.col("sr_hz") == 16000)).limit(12)
+    rows = clips.collect()
+    assert rows
+    padded = []
+    for r in rows:
+        sig = DECODERS["pcm16"](r["bytes"], r["sr_hz"])
+        pad = np.zeros(1600, dtype=np.float32)  # 100 ms dead air each side
+        psig = np.concatenate([pad, sig, pad])
+        padded.append(
+            (r["clip_id"], pcm16_wav_encode(psig, r["sr_hz"]), r["sr_hz"],
+             int(r["dur_ms"]) + 200, r["codec"], r["transcript"])
+        )
+    pdf = spark.createDataFrame(
+        padded, "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string"
+    )
+    t_orig = {r["clip_id"]: r for r in trim_silence_clips(clips.select(pdf.columns)).collect()}
+    t_pad = {r["clip_id"]: r for r in trim_silence_clips(pdf).collect()}
+    assert t_orig.keys() == t_pad.keys()
+    for cid in t_orig:
+        assert t_pad[cid]["bytes"] == t_orig[cid]["bytes"], cid
+        assert t_pad[cid]["dur_ms"] == t_orig[cid]["dur_ms"], cid
+
+
+def test_trim_handles_all_silence_and_undecodable(spark):
+    from use_case_real_time_anomaly_detection_spark.functions.audio import (
+        pcm16_wav_encode,
+    )
+    from use_case_real_time_anomaly_detection_spark.functions.audio_features import (
+        trim_silence_clips,
+    )
+
+    silent = pcm16_wav_encode(np.zeros(8000, dtype=np.float32), 8000)
+    df = spark.createDataFrame(
+        [
+            ("all-silence", silent, 8000, 1000, "pcm16", "t"),
+            ("garbage", b"\x01\x02\x03", 8000, 1000, "pcm16", "t"),
+            ("no-codec", silent, 8000, 1000, "opus", "t"),
+        ],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string",
+    )
+    out = {r["clip_id"]: r for r in trim_silence_clips(df).collect()}
+    assert out["all-silence"]["dur_ms"] == 0
+    dec, sr = DECODERS["pcm16"](out["all-silence"]["bytes"], 8000), 8000
+    assert len(dec) == 0
+    assert out["garbage"]["bytes"] == b"\x01\x02\x03"
+    assert out["garbage"]["dur_ms"] == 1000
+    assert out["no-codec"]["bytes"] == silent  # passthrough: no encoder

@@ -379,6 +379,75 @@ def resample_clips(df: DataFrame, to_sr: int) -> DataFrame:
     return df.mapInArrow(run, schema)
 
 
+def trim_signal(sig: np.ndarray, thresh: float = SILENCE_ABS) -> np.ndarray:
+    """Strip leading/trailing samples with |x| < thresh (dead air). The
+    interior is untouched, so trim(pad_with_zeros(x)) == trim(x) exactly
+    — the invariant tests/test_audio_features pins. An all-silent signal
+    trims to length 0."""
+    idx = np.nonzero(np.abs(sig) >= thresh)[0]
+    if len(idx) == 0:
+        return sig[:0]
+    return sig[idx[0] : idx[-1] + 1]
+
+
+def trim_silence_clips(
+    df: DataFrame, *, thresh: float = SILENCE_ABS
+) -> DataFrame:
+    """Dead-air trim: decode, strip leading/trailing silence, re-encode
+    with the same codec, and recompute dur_ms from the trimmed length.
+    Fully-silent clips become 0-length payloads with dur_ms 0 (they are
+    data for the validation rules, not errors); undecodable rows pass
+    through unchanged. Same-schema-out.
+
+    The corpus-prep counterpart of the text pipeline's whitespace
+    normalization: padding differences between capture chains otherwise
+    defeat exact and near-dup detection (two recordings of the same
+    content with different lead-in silence hash and block differently;
+    after trim they collide exactly).
+    """
+    import pyarrow as pa
+
+    schema = df.schema
+    names_out = [f.name for f in schema.fields]
+
+    def run(batches):
+        for b in batches:
+            names = b.schema.names
+            barr = b.column(names.index("bytes"))
+            codecs = b.column(names.index("codec")).to_pylist()
+            srs = b.column(names.index("sr_hz")).to_pylist()
+            durs = b.column(names.index("dur_ms")).to_pylist()
+            new_payloads, new_durs = [], []
+            for i in range(len(barr)):
+                sc = barr[i]
+                mv = memoryview(sc.as_buffer()) if sc.is_valid else None
+                dec_fn = DECODERS.get(codecs[i])
+                enc_fn = ENCODERS.get(codecs[i])
+                sr = int(srs[i] or 0)
+                try:
+                    if dec_fn is None or enc_fn is None or mv is None or len(mv) == 0:
+                        raise ValueError("undecodable")
+                    trimmed = trim_signal(dec_fn(mv, sr), thresh)
+                    new_payloads.append(enc_fn(trimmed, sr))
+                    new_durs.append(
+                        int(round(len(trimmed) * 1000.0 / sr)) if sr > 0 else 0
+                    )
+                except Exception:
+                    new_payloads.append(bytes(mv) if mv is not None else None)
+                    new_durs.append(durs[i])
+            arrays = []
+            for f in schema.fields:
+                if f.name == "bytes":
+                    arrays.append(pa.array(new_payloads, type=pa.binary()))
+                elif f.name == "dur_ms":
+                    arrays.append(pa.array(new_durs, type=pa.int32()))
+                else:
+                    arrays.append(b.column(names.index(f.name)))
+            yield pa.RecordBatch.from_arrays(arrays, names=names_out)
+
+    return df.mapInArrow(run, schema)
+
+
 # block-key packing constants (shared with the DuckDB oracle SQL):
 # key = (peak_band * 2^21 + (rms_bucket + 2^20)) * 2^21 + n_samples.
 # n_samples < 2^21 holds for dur <= 2 s at 44.1 kHz with headroom x10.

@@ -426,6 +426,53 @@ def audio_resample_features_pandas(
     return out.sort_values("clip_id", kind="mergesort").reset_index(drop=True)
 
 
+def audio_trim_features_pandas(spec: SynthSpec = SynthSpec()) -> pd.DataFrame:
+    """Oracle twin of the `audio_trim` query: features of the base corpus
+    AFTER dead-air trimming — the exact operator chain
+    (decode → trim_signal → re-encode → recompute dur_ms → clip_features)
+    in pure pandas, bit-identical to the Spark path."""
+    from ..functions.audio import DECODERS
+    from ..functions.audio_features import (
+        ENCODERS,
+        FEATURE_FIELDS,
+        clip_features,
+        trim_signal,
+    )
+
+    rows = []
+    for p in range(spec.partitions):
+        for row in _render_rows(p, spec).itertuples(index=False):
+            sr = int(row.sr_hz)
+            payload, dur = row.bytes, int(row.dur_ms)
+            dec_fn, enc_fn = DECODERS.get(row.codec), ENCODERS.get(row.codec)
+            try:
+                if dec_fn is None or enc_fn is None or not payload:
+                    raise ValueError("undecodable")
+                trimmed = trim_signal(dec_fn(payload, sr))
+                payload = enc_fn(trimmed, sr)
+                dur = int(round(len(trimmed) * 1000.0 / sr)) if sr > 0 else 0
+            except Exception:
+                pass  # pass-through, original dur kept
+            rec = {
+                "clip_id": row.clip_id,
+                "codec": row.codec,
+                "sr_hz": sr,
+                "dur_ms": dur,
+            }
+            rec.update(clip_features(payload, row.codec, sr, dur))
+            rows.append(rec)
+    cols = ["clip_id", "codec", "sr_hz", "dur_ms", "ok", "err"] + [
+        f.name for f in FEATURE_FIELDS
+    ]
+    out = pd.DataFrame(rows, columns=cols)
+    out = out.drop_duplicates(["clip_id"], keep="first")  # MOD_DUP twin rows
+    out["sr_hz"] = out["sr_hz"].astype("int32")
+    out["dur_ms"] = out["dur_ms"].astype("int32")
+    out["n_samples"] = out["n_samples"].astype("Int64")
+    out["fingerprint"] = out["fingerprint"].astype("Int64")
+    return out.sort_values("clip_id", kind="mergesort").reset_index(drop=True)
+
+
 def audio_features_pandas(spec: SynthSpec = SynthSpec()) -> pd.DataFrame:
     """Oracle twin of the `audio_features` query: per-clip decoded-PCM
     features over base corpus + transcoded twins, pure pandas/numpy.
