@@ -839,6 +839,34 @@ def _q_audio_trim(spark, sf):
     )
 
 
+def _q_speech_rate(spark, sf):
+    """Transcript↔duration consistency through the FULL rule engine
+    (ValidationEngine + compiler fusion, not ad-hoc expressions): one
+    SpeechRateRule over the materialized clip metadata. Oracle: the same
+    cps arithmetic + note idiom in SQL over the same parquet."""
+    from use_case_real_time_anomaly_detection_spark.operators.engine import (
+        ValidationEngine,
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        SpeechRateRule,
+    )
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        frontier_of,
+    )
+
+    _ensure_clips_oracle_files()
+    spec = SynthSpec(partitions=4, clips_per_partition=150)
+    meta2 = spark.read.parquet(_CLIPS_META)
+    engine = ValidationEngine(
+        key_col="clip_id", partition_col="partition_key", seq_col="seq"
+    )
+    res = engine.run(
+        meta2, [SpeechRateRule()], frontier=frontier_of(spec)
+    )
+    return res.violations
+
+
 def _q_audio_drift(spark, sf):
     """KS/PSI drift of DECODED features (rms, centroid_hz, n_samples)
     per corpus partition — must flag c001 (dur shift ⇒ n_samples) and
@@ -916,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_drift": _q_audio_drift,
         "audio_resample": _q_audio_resample,
         "audio_trim": _q_audio_trim,
+        "speech_rate": _q_speech_rate,
     }
 
 
@@ -2098,6 +2127,23 @@ FROM read_parquet('{_AUDIO_TRIMMED}/*.parquet')
 ORDER BY clip_id
 """
 
+# SpeechRateRule through the full engine: same cps arithmetic + the
+# toString(ROUND(x,2)) note idiom (_fmt_sql) over the clip metadata
+# parquet. dur_ms <= 0 rows are not evaluated (RangeRule owns those).
+_SQL_SPEECH_RATE = f"""
+WITH cps AS (
+  SELECT partition_key, clip_id,
+         length(transcript) * 1000.0 / CAST(dur_ms AS DOUBLE) AS v
+  FROM read_parquet('{_CLIPS_META}/*.parquet')
+  WHERE dur_ms > 0
+)
+SELECT partition_key, clip_id, 'speech-rate' AS detector,
+       {_fmt_sql("v")} AS observed,
+       'cps:' || {_fmt_sql("v")} || '| min_cps:12| max_cps:120' AS note
+FROM cps
+WHERE v < 12 OR v > 120
+"""
+
 _SQL_CLIPS_VERDICTS = (
     "WITH "
     + _CLIPS_CTES
@@ -2467,4 +2513,5 @@ def oracle_sql() -> dict[str, str]:
         "audio_drift": _SQL_AUDIO_DRIFT,
         "audio_resample": _SQL_AUDIO_RESAMPLE,
         "audio_trim": _SQL_AUDIO_TRIM,
+        "speech_rate": _SQL_SPEECH_RATE,
     }

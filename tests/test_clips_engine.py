@@ -230,3 +230,50 @@ def test_metadata_pandas_equals_generated_clips(spark):
     man_spark = {tuple(r) for r in generate_manifest(spark, spec).collect()}
     man_pandas = {tuple(r) for r in manifest_pandas(spec).itertuples(index=False)}
     assert man_spark == man_pandas
+
+
+def test_speech_rate_rule_exact(spark):
+    """SpeechRateRule through the full engine equals the pandas oracle:
+    chars-per-second outside [12, 120] on dur_ms > 0 rows — the
+    injected out-of-range durations produce inconsistent pairings."""
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        SpeechRateRule,
+    )
+    from use_case_real_time_anomaly_detection_spark.plans.clips import validate_clips
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        _render_rows,
+        generate_clips,
+        generate_manifest,
+    )
+
+    clips = generate_clips(spark, SPEC)
+    manifest = generate_manifest(spark, SPEC)
+    res = validate_clips(
+        clips, manifest, frontier=frontier_of(SPEC), rules=[SpeechRateRule()]
+    )
+    flagged = _flagged(res.violations.toPandas(), "speech-rate")
+
+    expected = set()
+    for p in range(SPEC.partitions):
+        rows = _render_rows(p, SPEC)
+        dur = rows["dur_ms"].to_numpy(dtype=float)
+        nch = rows["transcript"].str.len().to_numpy(dtype=float)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cps = np.where(dur > 0, nch * 1000.0 / dur, np.nan)
+        hit = (dur > 0) & ((cps < 12.0) | (cps > 120.0))
+        expected |= set(rows["clip_id"][hit])
+    assert flagged == expected
+    assert expected  # injections actually produce inconsistent pairings
+
+
+def test_speech_rate_rule_validates_bounds():
+    import pytest as _pytest
+
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        SpeechRateRule,
+    )
+
+    with _pytest.raises(ValueError):
+        SpeechRateRule(min_cps=10, max_cps=10)
+    with _pytest.raises(ValueError):
+        SpeechRateRule(min_cps=-1, max_cps=5)

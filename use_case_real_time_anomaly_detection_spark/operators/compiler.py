@@ -51,6 +51,7 @@ from .rules import (
     RateOfChangeRule,
     RefIntegrityRule,
     Rule,
+    SpeechRateRule,
     TranscriptRule,
     UniqueRule,
     ValueSetRule,
@@ -285,6 +286,21 @@ def compile_rules(
                 F.col(r.column),
                 F.lit(f"column:{r.column} allowed:" + ",".join(map(str, r.allowed))),
             )
+
+        elif isinstance(r, SpeechRateRule):
+            cps = F.when(
+                F.col(r.dur_col) > 0,
+                F.length(F.col(r.column)).cast("double")
+                * 1000.0
+                / F.col(r.dur_col).cast("double"),
+            )
+            cond = (cps < F.lit(r.min_cps)) | (cps > F.lit(r.max_cps))
+            note = F.concat(
+                F.lit("cps:"),
+                _fmt(cps),
+                F.lit(f"| min_cps:{r.min_cps:g}| max_cps:{r.max_cps:g}"),
+            )
+            _entry(r.detector, cond, _fmt(cps), note)
 
         elif isinstance(r, RateOfChangeRule):
             prev_v = F.col(f"__prev_{r.column}")

@@ -254,6 +254,36 @@ class TranscriptRule(Rule):
     detector: str = "transcript"
 
 
+@dataclass(frozen=True)
+class SpeechRateRule(Rule):
+    """Transcript↔audio duration consistency: characters-per-second
+    outside [min_cps, max_cps] → violation.
+
+    Graft addition in the reference's out-of-range idiom
+    (tinybird/pipes/out_of_range.pipe:19-29: optional bounds, error()
+    on an impossible configuration): a transcript far too long or short
+    for its clip duration means the pairing is wrong — truncated audio,
+    a mis-joined transcript, or a bad duration field — exactly the rows
+    a training pipeline must quarantine before ASR-style supervision.
+    Row-local (no shuffle), fused into the single validation scan.
+    Rows with ``dur_col`` ≤ 0 are not evaluated (RangeRule owns those).
+    """
+
+    column: str = "transcript"
+    dur_col: str = "dur_ms"
+    min_cps: float = 12.0
+    max_cps: float = 120.0
+    detector: str = "speech-rate"
+
+    def __post_init__(self) -> None:
+        if self.min_cps < 0 or self.max_cps <= self.min_cps:
+            # ≙ {{ error('...') }} on an impossible bound configuration
+            raise ValueError(
+                f"SpeechRateRule: need 0 <= min_cps < max_cps, "
+                f"got [{self.min_cps}, {self.max_cps}]"
+            )
+
+
 # --------------------------------------------------------------------------
 # Profiling — emits metrics, not violations.
 # --------------------------------------------------------------------------
