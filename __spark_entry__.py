@@ -867,6 +867,56 @@ def _q_speech_rate(spark, sf):
     return res.violations
 
 
+_AUDIO_NORM = f"{_ORACLE_DIR}/audio_normalize.parquet"
+
+
+def _ensure_audio_normalize_oracle() -> None:
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        audio_normalize_features_pandas,
+    )
+
+    if os.path.exists(f"{_AUDIO_NORM}/data.parquet"):
+        return
+    os.makedirs(_AUDIO_NORM, exist_ok=True)
+    spec = SynthSpec(partitions=4, clips_per_partition=150)
+    pq.write_table(
+        pa.Table.from_pandas(
+            audio_normalize_features_pandas(spec), preserve_index=False
+        ),
+        f"{_AUDIO_NORM}/data.parquet",
+    )
+
+
+def _q_audio_normalize(spark, sf):
+    """Features of the loudness-normalized corpus (peak-safe RMS gain to
+    0.45). Oracle: exact operator chain in pure pandas => bit-identical
+    doubles. The spectral fingerprint is invariant under the gain
+    (density RATIOS), so near-dup structure survives normalization."""
+    from use_case_real_time_anomaly_detection_spark.functions.audio_features import (
+        normalize_loudness_clips,
+        with_audio_features,
+    )
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        generate_clips,
+    )
+
+    _ensure_audio_normalize_oracle()
+    spec = SynthSpec(partitions=4, clips_per_partition=150)
+    clips = generate_clips(spark, spec).dropDuplicates(["clip_id"])
+    return (
+        with_audio_features(normalize_loudness_clips(clips))
+        .select(*_AUDIO_FEATURE_SCALARS)
+        .orderBy("clip_id")
+    )
+
+
 def _q_audio_drift(spark, sf):
     """KS/PSI drift of DECODED features (rms, centroid_hz, n_samples)
     per corpus partition — must flag c001 (dur shift ⇒ n_samples) and
@@ -944,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_drift": _q_audio_drift,
         "audio_resample": _q_audio_resample,
         "audio_trim": _q_audio_trim,
+        "audio_normalize": _q_audio_normalize,
         "speech_rate": _q_speech_rate,
     }
 
@@ -2144,6 +2195,14 @@ FROM cps
 WHERE v < 12 OR v > 120
 """
 
+_SQL_AUDIO_NORMALIZE = f"""
+SELECT clip_id, codec, sr_hz, dur_ms, ok, err, n_samples, rms, peak, zcr,
+       silence_ratio, clip_ratio, centroid_hz, fingerprint, peak_band,
+       rms_bucket
+FROM read_parquet('{_AUDIO_NORM}/*.parquet')
+ORDER BY clip_id
+"""
+
 _SQL_CLIPS_VERDICTS = (
     "WITH "
     + _CLIPS_CTES
@@ -2513,5 +2572,6 @@ def oracle_sql() -> dict[str, str]:
         "audio_drift": _SQL_AUDIO_DRIFT,
         "audio_resample": _SQL_AUDIO_RESAMPLE,
         "audio_trim": _SQL_AUDIO_TRIM,
+        "audio_normalize": _SQL_AUDIO_NORMALIZE,
         "speech_rate": _SQL_SPEECH_RATE,
     }

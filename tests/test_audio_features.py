@@ -355,3 +355,57 @@ def test_trim_handles_all_silence_and_undecodable(spark):
     assert out["garbage"]["bytes"] == b"\x01\x02\x03"
     assert out["garbage"]["dur_ms"] == 1000
     assert out["no-codec"]["bytes"] == silent  # passthrough: no encoder
+
+
+def test_normalize_loudness_rms_and_fingerprint_invariance(spark):
+    """Every decodable non-silent clip lands at rms ≈ target (within
+    codec quantization) unless peak-limited — and the spectral-support
+    fingerprint + peak_band are INVARIANT under the gain (density
+    ratios), so normalization cannot perturb near-dup structure."""
+    from pyspark.sql import functions as F
+
+    from use_case_real_time_anomaly_detection_spark.functions.audio_features import (
+        normalize_gain,
+        normalize_loudness_clips,
+    )
+
+    spec = SynthSpec(partitions=2, clips_per_partition=80)
+    clips = generate_clips(spark, spec).dropDuplicates(["clip_id"])
+    before = {r["clip_id"]: r for r in with_audio_features(clips).collect()}
+    after = {
+        r["clip_id"]: r
+        for r in with_audio_features(
+            normalize_loudness_clips(clips, target_rms=0.45)
+        ).collect()
+    }
+    assert before.keys() == after.keys()
+    checked = 0
+    for cid, b in before.items():
+        a = after[cid]
+        if not b["ok"]:
+            assert not a["ok"]
+            continue
+        assert a["ok"], cid
+        assert a["fingerprint"] == b["fingerprint"], cid
+        assert a["peak_band"] == b["peak_band"], cid
+        tol = 0.02 if b["codec"] == "mulaw" else 0.002
+        if b["peak"] * (0.45 / b["rms"]) <= 0.999:  # gain not peak-limited
+            assert abs(a["rms"] - 0.45) <= tol, (cid, a["rms"])
+            checked += 1
+    assert checked > 50
+
+
+def test_normalize_gain_peak_limited_never_clips():
+    """High-crest signal: the peak ceiling binds before the RMS target,
+    and no output sample exceeds it."""
+    from use_case_real_time_anomaly_detection_spark.functions.audio_features import (
+        normalize_gain,
+    )
+
+    sig = np.zeros(8000, dtype=np.float32)
+    sig[::400] = 0.9  # sparse impulses: rms tiny, peak large
+    g = normalize_gain(sig, target_rms=0.45, peak_ceiling=0.999)
+    peak = float(np.max(np.abs(sig.astype(np.float64))))
+    assert g == 0.999 / peak  # ceiling binds (rms gain would be far larger)
+    assert float(np.max(np.abs(sig.astype(np.float64) * g))) <= 0.999
+    assert normalize_gain(np.zeros(100, dtype=np.float32), 0.45, 0.999) == 1.0

@@ -448,6 +448,71 @@ def trim_silence_clips(
     return df.mapInArrow(run, schema)
 
 
+def normalize_gain(sig: np.ndarray, target_rms: float, peak_ceiling: float) -> float:
+    """Peak-safe RMS gain: min(target_rms / rms, peak_ceiling / peak).
+    Never clips (the ceiling binds first on high-crest signals); an
+    all-silent signal gets gain 1.0 (nothing to normalize). Fixed float64
+    op order — shared by the Spark operator and the pandas oracle twin."""
+    x = sig.astype(np.float64)
+    rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+    if rms <= 0.0:
+        return 1.0
+    peak = float(np.max(np.abs(x)))
+    return min(target_rms / rms, peak_ceiling / peak)
+
+
+def normalize_loudness_clips(
+    df: DataFrame, *, target_rms: float = 0.45, peak_ceiling: float = 0.999
+) -> DataFrame:
+    """Loudness normalization: scale each clip toward `target_rms`,
+    peak-limited so no sample ever clips, re-encoded with the same
+    codec. All-silent and undecodable rows pass through unchanged.
+    Same-schema-out.
+
+    A uniform gain scales every band energy by g² — the spectral-support
+    fingerprint and peak_band compare DENSITY RATIOS, so they are
+    invariant under normalization (pinned by test): level-normalizing a
+    corpus does not perturb its near-dup structure, while making
+    rms-based QC comparable across capture chains.
+    """
+    import pyarrow as pa
+
+    schema = df.schema
+    names_out = [f.name for f in schema.fields]
+
+    def run(batches):
+        for b in batches:
+            names = b.schema.names
+            barr = b.column(names.index("bytes"))
+            codecs = b.column(names.index("codec")).to_pylist()
+            srs = b.column(names.index("sr_hz")).to_pylist()
+            new_payloads = []
+            for i in range(len(barr)):
+                sc = barr[i]
+                mv = memoryview(sc.as_buffer()) if sc.is_valid else None
+                dec_fn = DECODERS.get(codecs[i])
+                enc_fn = ENCODERS.get(codecs[i])
+                sr = int(srs[i] or 0)
+                try:
+                    if dec_fn is None or enc_fn is None or mv is None or len(mv) == 0:
+                        raise ValueError("undecodable")
+                    sig = dec_fn(mv, sr)
+                    g = normalize_gain(sig, target_rms, peak_ceiling)
+                    out = (sig.astype(np.float64) * g).astype(np.float32)
+                    new_payloads.append(enc_fn(out, sr))
+                except Exception:
+                    new_payloads.append(bytes(mv) if mv is not None else None)
+            arrays = []
+            for f in schema.fields:
+                if f.name == "bytes":
+                    arrays.append(pa.array(new_payloads, type=pa.binary()))
+                else:
+                    arrays.append(b.column(names.index(f.name)))
+            yield pa.RecordBatch.from_arrays(arrays, names=names_out)
+
+    return df.mapInArrow(run, schema)
+
+
 # block-key packing constants (shared with the DuckDB oracle SQL):
 # key = (peak_band * 2^21 + (rms_bucket + 2^20)) * 2^21 + n_samples.
 # n_samples < 2^21 holds for dur <= 2 s at 44.1 kHz with headroom x10.

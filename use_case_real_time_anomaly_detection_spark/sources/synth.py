@@ -376,83 +376,22 @@ def reencoded_subset_pandas(rendered: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out, columns=[f.name for f in CLIPS_SCHEMA.fields])
 
 
-def audio_resample_features_pandas(
-    spec: SynthSpec = SynthSpec(), to_sr: int = 8000
-) -> pd.DataFrame:
-    """Oracle twin of the `audio_resample` query: features of the base
-    corpus AFTER sr normalization — the exact operator chain
-    (decode → resample_signal → re-encode → clip_features) in pure
-    pandas, so every double is bit-identical to the Spark path."""
-    from ..functions.audio import DECODERS
-    from ..functions.audio_features import (
-        ENCODERS,
-        FEATURE_FIELDS,
-        clip_features,
-        resample_signal,
-    )
+def _transformed_features_pandas(spec: SynthSpec, transform) -> pd.DataFrame:
+    """Shared oracle-twin loop: render the base corpus, apply
+    ``transform(payload, codec, sr, dur) -> (payload, sr, dur)`` (the
+    pure-pandas mirror of a clip transform operator; raise inside to
+    pass the row through unchanged), then clip_features — every double
+    bit-identical to the Spark operator chain."""
+    from ..functions.audio_features import FEATURE_FIELDS, clip_features
 
     rows = []
     for p in range(spec.partitions):
         for row in _render_rows(p, spec).itertuples(index=False):
-            sr = int(row.sr_hz)
-            payload, out_sr = row.bytes, sr
-            if sr != to_sr:
-                dec_fn, enc_fn = DECODERS.get(row.codec), ENCODERS.get(row.codec)
-                try:
-                    if dec_fn is None or enc_fn is None or not payload:
-                        raise ValueError("undecodable")
-                    sig = dec_fn(payload, sr)
-                    payload = enc_fn(resample_signal(sig, sr, to_sr), to_sr)
-                    out_sr = to_sr
-                except Exception:
-                    pass  # pass-through, original sr kept
-            rec = {
-                "clip_id": row.clip_id,
-                "codec": row.codec,
-                "sr_hz": out_sr,
-                "dur_ms": int(row.dur_ms),
-            }
-            rec.update(clip_features(payload, row.codec, out_sr, row.dur_ms))
-            rows.append(rec)
-    cols = ["clip_id", "codec", "sr_hz", "dur_ms", "ok", "err"] + [
-        f.name for f in FEATURE_FIELDS
-    ]
-    out = pd.DataFrame(rows, columns=cols)
-    out = out.drop_duplicates(["clip_id"], keep="first")  # MOD_DUP twin rows
-    out["sr_hz"] = out["sr_hz"].astype("int32")
-    out["dur_ms"] = out["dur_ms"].astype("int32")
-    out["n_samples"] = out["n_samples"].astype("Int64")
-    out["fingerprint"] = out["fingerprint"].astype("Int64")
-    return out.sort_values("clip_id", kind="mergesort").reset_index(drop=True)
-
-
-def audio_trim_features_pandas(spec: SynthSpec = SynthSpec()) -> pd.DataFrame:
-    """Oracle twin of the `audio_trim` query: features of the base corpus
-    AFTER dead-air trimming — the exact operator chain
-    (decode → trim_signal → re-encode → recompute dur_ms → clip_features)
-    in pure pandas, bit-identical to the Spark path."""
-    from ..functions.audio import DECODERS
-    from ..functions.audio_features import (
-        ENCODERS,
-        FEATURE_FIELDS,
-        clip_features,
-        trim_signal,
-    )
-
-    rows = []
-    for p in range(spec.partitions):
-        for row in _render_rows(p, spec).itertuples(index=False):
-            sr = int(row.sr_hz)
-            payload, dur = row.bytes, int(row.dur_ms)
-            dec_fn, enc_fn = DECODERS.get(row.codec), ENCODERS.get(row.codec)
+            sr, payload, dur = int(row.sr_hz), row.bytes, int(row.dur_ms)
             try:
-                if dec_fn is None or enc_fn is None or not payload:
-                    raise ValueError("undecodable")
-                trimmed = trim_signal(dec_fn(payload, sr))
-                payload = enc_fn(trimmed, sr)
-                dur = int(round(len(trimmed) * 1000.0 / sr)) if sr > 0 else 0
+                payload, sr, dur = transform(payload, row.codec, sr, dur)
             except Exception:
-                pass  # pass-through, original dur kept
+                pass  # pass-through, original payload/sr/dur kept
             rec = {
                 "clip_id": row.clip_id,
                 "codec": row.codec,
@@ -471,6 +410,71 @@ def audio_trim_features_pandas(spec: SynthSpec = SynthSpec()) -> pd.DataFrame:
     out["n_samples"] = out["n_samples"].astype("Int64")
     out["fingerprint"] = out["fingerprint"].astype("Int64")
     return out.sort_values("clip_id", kind="mergesort").reset_index(drop=True)
+
+
+def audio_resample_features_pandas(
+    spec: SynthSpec = SynthSpec(), to_sr: int = 8000
+) -> pd.DataFrame:
+    """Oracle twin of the `audio_resample` query: features of the base
+    corpus AFTER sr normalization — the exact operator chain
+    (decode → resample_signal → re-encode → clip_features) in pure
+    pandas, so every double is bit-identical to the Spark path."""
+    from ..functions.audio import DECODERS
+    from ..functions.audio_features import ENCODERS, resample_signal
+
+    def transform(payload, codec, sr, dur):
+        if sr == to_sr:
+            return payload, sr, dur
+        dec_fn, enc_fn = DECODERS.get(codec), ENCODERS.get(codec)
+        if dec_fn is None or enc_fn is None or not payload:
+            raise ValueError("undecodable")
+        sig = dec_fn(payload, sr)
+        return enc_fn(resample_signal(sig, sr, to_sr), to_sr), to_sr, dur
+
+    return _transformed_features_pandas(spec, transform)
+
+
+def audio_trim_features_pandas(spec: SynthSpec = SynthSpec()) -> pd.DataFrame:
+    """Oracle twin of the `audio_trim` query: features of the base corpus
+    AFTER dead-air trimming — the exact operator chain
+    (decode → trim_signal → re-encode → recompute dur_ms → clip_features)
+    in pure pandas, bit-identical to the Spark path."""
+    from ..functions.audio import DECODERS
+    from ..functions.audio_features import ENCODERS, trim_signal
+
+    def transform(payload, codec, sr, dur):
+        dec_fn, enc_fn = DECODERS.get(codec), ENCODERS.get(codec)
+        if dec_fn is None or enc_fn is None or not payload:
+            raise ValueError("undecodable")
+        trimmed = trim_signal(dec_fn(payload, sr))
+        new_dur = int(round(len(trimmed) * 1000.0 / sr)) if sr > 0 else 0
+        return enc_fn(trimmed, sr), sr, new_dur
+
+    return _transformed_features_pandas(spec, transform)
+
+
+def audio_normalize_features_pandas(
+    spec: SynthSpec = SynthSpec(),
+    target_rms: float = 0.45,
+    peak_ceiling: float = 0.999,
+) -> pd.DataFrame:
+    """Oracle twin of the `audio_normalize` query: features after
+    peak-safe loudness normalization — exact operator chain in pure
+    pandas, bit-identical to the Spark path."""
+    import numpy as np
+
+    from ..functions.audio import DECODERS
+    from ..functions.audio_features import ENCODERS, normalize_gain
+
+    def transform(payload, codec, sr, dur):
+        dec_fn, enc_fn = DECODERS.get(codec), ENCODERS.get(codec)
+        if dec_fn is None or enc_fn is None or not payload:
+            raise ValueError("undecodable")
+        sig = dec_fn(payload, sr)
+        g = normalize_gain(sig, target_rms, peak_ceiling)
+        return enc_fn((sig.astype(np.float64) * g).astype(np.float32), sr), sr, dur
+
+    return _transformed_features_pandas(spec, transform)
 
 
 def audio_features_pandas(spec: SynthSpec = SynthSpec()) -> pd.DataFrame:
