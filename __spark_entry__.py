@@ -917,6 +917,56 @@ def _q_audio_normalize(spark, sf):
     )
 
 
+_AUDIO_PIPE = f"{_ORACLE_DIR}/audio_pipeline.parquet"
+
+
+def _ensure_audio_pipeline_oracle() -> None:
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        audio_pipeline_features_pandas,
+    )
+
+    if os.path.exists(f"{_AUDIO_PIPE}/data.parquet"):
+        return
+    os.makedirs(_AUDIO_PIPE, exist_ok=True)
+    spec = SynthSpec(partitions=4, clips_per_partition=150)
+    pq.write_table(
+        pa.Table.from_pandas(
+            audio_pipeline_features_pandas(spec), preserve_index=False
+        ),
+        f"{_AUDIO_PIPE}/data.parquet",
+    )
+
+
+def _q_audio_pipeline(spark, sf):
+    """FUSED corpus-prep chain: trim -> resample(8k) -> normalize ->
+    features in ONE mapInArrow pass (one decode, zero intermediate
+    encodes, payload never re-materialized). The scale path for
+    multi-stage prep: the chained standalone operators pay ~Nx the codec
+    bill. Oracle: identical chain in pure pandas => bit-identical."""
+    from use_case_real_time_anomaly_detection_spark.functions.audio_features import (
+        clip_pipeline,
+    )
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        generate_clips,
+    )
+
+    _ensure_audio_pipeline_oracle()
+    spec = SynthSpec(partitions=4, clips_per_partition=150)
+    clips = generate_clips(spark, spec).dropDuplicates(["clip_id"])
+    piped = clip_pipeline(
+        clips,
+        [("trim", {}), ("resample", {"to_sr": 8000}), ("normalize", {})],
+    )
+    return piped.drop("transcript", "bands").orderBy("clip_id")
+
+
 def _q_audio_drift(spark, sf):
     """KS/PSI drift of DECODED features (rms, centroid_hz, n_samples)
     per corpus partition — must flag c001 (dur shift ⇒ n_samples) and
@@ -995,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_resample": _q_audio_resample,
         "audio_trim": _q_audio_trim,
         "audio_normalize": _q_audio_normalize,
+        "audio_pipeline": _q_audio_pipeline,
         "speech_rate": _q_speech_rate,
     }
 
@@ -2203,6 +2254,14 @@ FROM read_parquet('{_AUDIO_NORM}/*.parquet')
 ORDER BY clip_id
 """
 
+_SQL_AUDIO_PIPELINE = f"""
+SELECT clip_id, codec, sr_hz, dur_ms, ok, err, n_samples, rms, peak, zcr,
+       silence_ratio, clip_ratio, centroid_hz, fingerprint, peak_band,
+       rms_bucket, rms_bucket_hi
+FROM read_parquet('{_AUDIO_PIPE}/*.parquet')
+ORDER BY clip_id
+"""
+
 _SQL_CLIPS_VERDICTS = (
     "WITH "
     + _CLIPS_CTES
@@ -2573,5 +2632,6 @@ def oracle_sql() -> dict[str, str]:
         "audio_resample": _SQL_AUDIO_RESAMPLE,
         "audio_trim": _SQL_AUDIO_TRIM,
         "audio_normalize": _SQL_AUDIO_NORMALIZE,
+        "audio_pipeline": _SQL_AUDIO_PIPELINE,
         "speech_rate": _SQL_SPEECH_RATE,
     }

@@ -45,6 +45,7 @@ HEADLINE = [
     "embed_neardup",
     "monitor_logs",
     "audio_dup",           # decoded-PCM features -> blocked near-dup pairs
+    "audio_pipeline",      # fused trim->resample->normalize->features, 1 Arrow pass
 ]
 
 CLIPS_SPEC = dict(partitions=32, clips_per_partition=1000, sr_hz=8000)

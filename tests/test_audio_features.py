@@ -409,3 +409,85 @@ def test_normalize_gain_peak_limited_never_clips():
     assert g == 0.999 / peak  # ceiling binds (rms gain would be far larger)
     assert float(np.max(np.abs(sig.astype(np.float64) * g))) <= 0.999
     assert normalize_gain(np.zeros(100, dtype=np.float32), 0.45, 0.999) == 1.0
+
+
+def test_clip_pipeline_fused_equals_chained_within_one_quantization(spark):
+    """The fused pipeline equals the chained standalone operators up to
+    exactly the intermediate codec round-trips it eliminates: ok flags
+    and shape-level fields match everywhere; float features agree within
+    a few codec LSBs; discrete block keys stay within one probe step."""
+    from use_case_real_time_anomaly_detection_spark.functions.audio_features import (
+        clip_pipeline,
+        normalize_loudness_clips,
+    )
+
+    spec = SynthSpec(partitions=2, clips_per_partition=80)
+    clips = generate_clips(spark, spec).dropDuplicates(["clip_id"])
+    ops = [("trim", {}), ("resample", {"to_sr": 8000}), ("normalize", {})]
+    fused = {r["clip_id"]: r for r in clip_pipeline(clips, ops).collect()}
+    from use_case_real_time_anomaly_detection_spark.functions.audio_features import (
+        resample_clips,
+        trim_silence_clips,
+    )
+
+    chained_df = with_audio_features(
+        normalize_loudness_clips(resample_clips(trim_silence_clips(clips), to_sr=8000))
+    )
+    chained = {r["clip_id"]: r for r in chained_df.collect()}
+    assert fused.keys() == chained.keys()
+    n_ok = 0
+    for cid, f in fused.items():
+        c = chained[cid]
+        assert f["ok"] == c["ok"], cid
+        if not f["ok"]:
+            continue
+        n_ok += 1
+        assert f["sr_hz"] == c["sr_hz"] == 8000
+        assert f["n_samples"] == c["n_samples"], cid
+        assert f["dur_ms"] == c["dur_ms"], cid
+        tol = 0.03 if c["codec"] == "mulaw" else 0.003  # codec LSB scale
+        for k in ("rms", "peak", "silence_ratio", "clip_ratio"):
+            assert abs(f[k] - c[k]) <= tol, (cid, k, f[k], c[k])
+        assert abs(f["centroid_hz"] / c["centroid_hz"] - 1.0) <= 0.01, cid
+        assert abs(f["peak_band"] - c["peak_band"]) <= 1, cid
+    assert n_ok > 100
+
+
+def test_clip_pipeline_single_arrow_pass(spark):
+    """The fused plan contains exactly ONE MapInArrow operator; the
+    chained formulation carries four — the decode bill the fusion
+    eliminates is visible in the physical plan."""
+    from use_case_real_time_anomaly_detection_spark.functions.audio_features import (
+        clip_pipeline,
+        normalize_loudness_clips,
+        resample_clips,
+        trim_silence_clips,
+    )
+
+    clips = generate_clips(spark, SynthSpec(partitions=2, clips_per_partition=20))
+    ops = [("trim", {}), ("resample", {"to_sr": 8000}), ("normalize", {})]
+    fused_plan = (
+        clip_pipeline(clips, ops)._jdf.queryExecution().executedPlan().toString()
+    )
+    chained_plan = (
+        with_audio_features(
+            normalize_loudness_clips(
+                resample_clips(trim_silence_clips(clips), to_sr=8000)
+            )
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert fused_plan.count("MapInArrow") == 1, fused_plan
+    assert chained_plan.count("MapInArrow") == 4
+
+
+def test_clip_pipeline_rejects_unknown_op(spark):
+    from use_case_real_time_anomaly_detection_spark.functions.audio_features import (
+        clip_pipeline,
+    )
+
+    clips = generate_clips(spark, SynthSpec(partitions=1, clips_per_partition=5))
+    with pytest.raises(ValueError):
+        clip_pipeline(clips, [("reverb", {})])

@@ -142,35 +142,7 @@ def clip_features(payload, codec, sr_hz, dur_ms) -> dict:
             raise ValueError("empty payload")
         sr = int(sr_hz) if sr_hz is not None else 0
         sig = dec_fn(payload, sr)
-        n = len(sig)
-        if n == 0:
-            raise ValueError("decoded to zero samples")
-        x = sig.astype(np.float64)
-        ax = np.abs(x)
-        e, centroid = band_energies(sig, sr)
-        rms = float(np.sqrt(np.mean(x * x)))
-        if rms > 0.0:
-            k = float(np.log10(rms)) * RMS_BUCKETS_PER_DECADE
-            b_lo, b_hi = int(np.floor(k)), int(np.floor(k + 0.5))
-        else:
-            b_lo = b_hi = -(1 << 20)  # all-silence sentinel bucket
-        out.update(
-            ok=True,
-            n_samples=int(n),
-            rms=rms,
-            peak=float(np.max(ax)),
-            zcr=float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
-            if n > 1
-            else 0.0,
-            silence_ratio=float(np.mean(ax < SILENCE_ABS)),
-            clip_ratio=float(np.mean(ax >= CLIP_ABS)),
-            centroid_hz=centroid,
-            fingerprint=pack_fingerprint(e),
-            peak_band=int(np.argmax(e / _BAND_WIDTHS)),
-            rms_bucket=b_lo,
-            rms_bucket_hi=b_hi,
-            bands=e.tolist(),
-        )
+        out.update(ok=True, **signal_features(sig, sr))
     except Exception as exc:  # decode failures are data, not bugs
         out["err"] = str(exc)[:120]
     return out
@@ -511,6 +483,182 @@ def normalize_loudness_clips(
             yield pa.RecordBatch.from_arrays(arrays, names=names_out)
 
     return df.mapInArrow(run, schema)
+
+
+# Signal-level op dispatch for the fused pipeline: each op maps
+# (sig, sr, dur_ms, kwargs) -> (sig, sr, dur_ms), with the SAME
+# semantics as its standalone operator. Adding a case here makes the op
+# chainable in clip_pipeline without another decode pass.
+def _apply_signal_op(name: str, sig, sr, dur, kw):
+    if name == "trim":
+        out = trim_signal(sig, kw.get("thresh", SILENCE_ABS))
+        return out, sr, int(round(len(out) * 1000.0 / sr)) if sr > 0 else 0
+    if name == "resample":
+        to_sr = kw["to_sr"]
+        return resample_signal(sig, sr, to_sr), to_sr, dur
+    if name == "normalize":
+        g = normalize_gain(
+            sig, kw.get("target_rms", 0.45), kw.get("peak_ceiling", 0.999)
+        )
+        return (sig.astype(np.float64) * g).astype(np.float32), sr, dur
+    raise ValueError(f"unknown signal op {name!r}")
+
+
+def clip_pipeline(
+    df: DataFrame,
+    ops: list,
+    *,
+    emit_bytes: bool = False,
+    features: bool = True,
+) -> DataFrame:
+    """Fused corpus-prep pipeline: decode ONCE, chain signal-level ops
+    (``[("trim", {}), ("resample", {"to_sr": 8000}), ("normalize", {})]``),
+    then compute features directly from the final float signal — all in
+    ONE mapInArrow pass.
+
+    Why this exists: composing the standalone operators
+    (``with_audio_features(normalize(resample(trim(df))))``) is correct
+    but decodes and re-encodes the payload at every stage — at corpus
+    scale the codec work is the dominant cost, so an N-stage chain pays
+    ~N× the decode bill and moves the full payload through N Arrow
+    hops. The fused pipeline pays for one decode and (optionally) one
+    final encode, and the intermediate signal never leaves the numpy
+    buffer. Features computed here skip the final encode→decode
+    round-trip, so they differ from the chained formulation by at most
+    one codec quantization step (asserted in tests).
+
+    ``emit_bytes=False`` (default) drops the payload column — the
+    features-only output is the slim frame every downstream consumer
+    (dedup, drift, QC filters) wants; ``emit_bytes=True`` re-encodes the
+    final signal with the row's codec for sink-bound corpus rewrites.
+    Undecodable rows pass through (ok=False, err set, original payload
+    if emitted). Per-op semantics match the standalone operators: trim
+    recomputes dur_ms, resample updates sr_hz, normalize touches
+    neither.
+    """
+    import pyarrow as pa
+
+    ops = [(name, dict(kw)) for name, kw in ops]
+    for name, _ in ops:
+        if name not in ("trim", "resample", "normalize"):
+            raise ValueError(f"unknown signal op {name!r}")
+
+    passthrough = [
+        f for f in df.schema.fields if f.name != "bytes" or emit_bytes
+    ]
+    out_fields = list(passthrough)
+    if features:
+        out_fields += [
+            StructField("ok", BooleanType()),
+            StructField("err", StringType()),
+        ] + [f for f in FEATURE_FIELDS]
+    out_schema = StructType(out_fields)
+    feat_names = [f.name for f in FEATURE_FIELDS]
+
+    def run(batches):
+        for b in batches:
+            names = b.schema.names
+            barr = b.column(names.index("bytes"))
+            codecs = b.column(names.index("codec")).to_pylist()
+            srs = b.column(names.index("sr_hz")).to_pylist()
+            durs = b.column(names.index("dur_ms")).to_pylist()
+            n = len(barr)
+            new_payloads = [None] * n
+            new_srs, new_durs = list(srs), list(durs)
+            cols: dict[str, list] = {
+                k: [None] * n for k in ("ok", "err", *feat_names)
+            }
+            for i in range(n):
+                sc = barr[i]
+                mv = memoryview(sc.as_buffer()) if sc.is_valid else None
+                dec_fn = DECODERS.get(codecs[i])
+                enc_fn = ENCODERS.get(codecs[i])
+                sr = int(srs[i] or 0)
+                dur = durs[i]
+                try:
+                    if dec_fn is None or mv is None or len(mv) == 0:
+                        raise ValueError("undecodable")
+                    sig = dec_fn(mv, sr)
+                    for name, kw in ops:
+                        sig, sr, dur = _apply_signal_op(name, sig, sr, dur, kw)
+                    new_srs[i], new_durs[i] = sr, dur
+                    if emit_bytes:
+                        if enc_fn is None:
+                            raise ValueError("no encoder")
+                        new_payloads[i] = enc_fn(sig, sr)
+                    if features:
+                        row = signal_features(sig, sr)
+                        cols["ok"][i] = True
+                        for k in feat_names:
+                            cols[k][i] = row[k]
+                except Exception as exc:
+                    if emit_bytes:
+                        new_payloads[i] = bytes(mv) if mv is not None else None
+                    if features:
+                        cols["ok"][i] = False
+                        cols["err"][i] = str(exc)[:120]
+            arrays, out_names = [], []
+            for f in passthrough:
+                if f.name == "bytes":
+                    arrays.append(pa.array(new_payloads, type=pa.binary()))
+                elif f.name == "sr_hz":
+                    arrays.append(pa.array(new_srs, type=pa.int32()))
+                elif f.name == "dur_ms":
+                    arrays.append(pa.array(new_durs, type=pa.int32()))
+                else:
+                    arrays.append(b.column(names.index(f.name)))
+                out_names.append(f.name)
+            if features:
+                arrays.append(pa.array(cols["ok"], type=pa.bool_()))
+                arrays.append(pa.array(cols["err"], type=pa.string()))
+                out_names += ["ok", "err"]
+                ftypes = {
+                    "n_samples": pa.int64(), "rms": pa.float64(),
+                    "peak": pa.float64(), "zcr": pa.float64(),
+                    "silence_ratio": pa.float64(), "clip_ratio": pa.float64(),
+                    "centroid_hz": pa.float64(), "fingerprint": pa.int64(),
+                    "peak_band": pa.int64(), "rms_bucket": pa.int64(),
+                    "rms_bucket_hi": pa.int64(),
+                    "bands": pa.list_(pa.float64()),
+                }
+                for k in feat_names:
+                    arrays.append(pa.array(cols[k], type=ftypes[k]))
+                    out_names.append(k)
+            yield pa.RecordBatch.from_arrays(arrays, names=out_names)
+
+    return df.mapInArrow(run, out_schema)
+
+
+def signal_features(sig: np.ndarray, sr: int) -> dict:
+    """clip_features' math applied to an already-decoded float signal
+    (the fused-pipeline path: no encode→decode round trip). Shares every
+    constant and op with clip_features; a zero-length signal raises."""
+    n = len(sig)
+    if n == 0:
+        raise ValueError("decoded to zero samples")
+    x = sig.astype(np.float64)
+    ax = np.abs(x)
+    e, centroid = band_energies(sig, sr)
+    rms = float(np.sqrt(np.mean(x * x)))
+    if rms > 0.0:
+        k = float(np.log10(rms)) * RMS_BUCKETS_PER_DECADE
+        b_lo, b_hi = int(np.floor(k)), int(np.floor(k + 0.5))
+    else:
+        b_lo = b_hi = -(1 << 20)
+    return dict(
+        n_samples=int(n),
+        rms=rms,
+        peak=float(np.max(ax)),
+        zcr=float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0,
+        silence_ratio=float(np.mean(ax < SILENCE_ABS)),
+        clip_ratio=float(np.mean(ax >= CLIP_ABS)),
+        centroid_hz=centroid,
+        fingerprint=pack_fingerprint(e),
+        peak_band=int(np.argmax(e / _BAND_WIDTHS)),
+        rms_bucket=b_lo,
+        rms_bucket_hi=b_hi,
+        bands=e.tolist(),
+    )
 
 
 # block-key packing constants (shared with the DuckDB oracle SQL):

@@ -477,6 +477,52 @@ def audio_normalize_features_pandas(
     return _transformed_features_pandas(spec, transform)
 
 
+def audio_pipeline_features_pandas(
+    spec: SynthSpec = SynthSpec(),
+    ops: tuple = (("trim", {}), ("resample", {"to_sr": 8000}), ("normalize", {})),
+) -> pd.DataFrame:
+    """Oracle twin of the `audio_pipeline` query: the FUSED prep chain
+    (decode once → trim → resample → normalize → features straight from
+    the float signal, no intermediate encode) in pure pandas —
+    bit-identical doubles to functions/audio_features.clip_pipeline."""
+    from ..functions.audio import DECODERS
+    from ..functions.audio_features import (
+        FEATURE_FIELDS,
+        _apply_signal_op,
+        signal_features,
+    )
+
+    rows = []
+    for p in range(spec.partitions):
+        for row in _render_rows(p, spec).itertuples(index=False):
+            sr, dur = int(row.sr_hz), int(row.dur_ms)
+            rec = {"clip_id": row.clip_id, "codec": row.codec}
+            feat = {"ok": False, "err": None}
+            feat.update({f.name: None for f in FEATURE_FIELDS})
+            try:
+                dec_fn = DECODERS.get(row.codec)
+                if dec_fn is None or not row.bytes:
+                    raise ValueError("undecodable")
+                sig = dec_fn(row.bytes, sr)
+                for name, kw in ops:
+                    sig, sr, dur = _apply_signal_op(name, sig, sr, dur, kw)
+                feat.update(ok=True, **signal_features(sig, sr))
+            except Exception as exc:
+                feat["err"] = str(exc)[:120]
+            rec.update(sr_hz=sr, dur_ms=dur, **feat)
+            rows.append(rec)
+    cols = ["clip_id", "codec", "sr_hz", "dur_ms", "ok", "err"] + [
+        f.name for f in FEATURE_FIELDS
+    ]
+    out = pd.DataFrame(rows, columns=cols)
+    out = out.drop_duplicates(["clip_id"], keep="first")  # MOD_DUP twin rows
+    out["sr_hz"] = out["sr_hz"].astype("int32")
+    out["dur_ms"] = out["dur_ms"].astype("int32")
+    out["n_samples"] = out["n_samples"].astype("Int64")
+    out["fingerprint"] = out["fingerprint"].astype("Int64")
+    return out.sort_values("clip_id", kind="mergesort").reset_index(drop=True)
+
+
 def audio_features_pandas(spec: SynthSpec = SynthSpec()) -> pd.DataFrame:
     """Oracle twin of the `audio_features` query: per-clip decoded-PCM
     features over base corpus + transcoded twins, pure pandas/numpy.
