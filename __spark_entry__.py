@@ -967,6 +967,57 @@ def _q_audio_pipeline(spark, sf):
     return piped.drop("transcript", "bands").orderBy("clip_id")
 
 
+def _q_audio_ingest_gate(spark, sf):
+    """Dedup-before-append gate for clip ingestion (audio twin of
+    ingest_gate): corpus = partitions c000-c002; batch = c003 plus
+    planted duplicates — byte-identical copies of corpus clips (~cp:
+    exact-corpus; a second copy ~cp2: exact-batch), transcoded twins of
+    corpus clips (~re of c000: near-corpus), and a transcoded twin of a
+    batch member (~re of c003: near-batch). Oracle: the same four
+    sequential gates in SQL over the twin parquet (exact gates on
+    payload_md5, near gates = the audio_dup blocking+verify)."""
+    from use_case_real_time_anomaly_detection_spark.functions.audio_features import (
+        audio_ingest_gate,
+        reencode_clips,
+    )
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        REENCODE_MOD,
+        SynthSpec,
+        generate_clips,
+    )
+
+    _ensure_audio_features_oracle()
+    spec = SynthSpec(partitions=4, clips_per_partition=150)
+    clips = generate_clips(spark, spec).dropDuplicates(["clip_id"])
+    seq = F.substring("clip_id", 6, 9).cast("long")
+    corpus = clips.where(~F.col("clip_id").startswith("c003"))
+    re_src = clips.where(
+        (F.col("codec") == "pcm16") & (seq % REENCODE_MOD[0] == REENCODE_MOD[1])
+    )
+    batch = (
+        clips.where(F.col("clip_id").startswith("c003"))
+        .unionByName(
+            reencode_clips(
+                re_src.where(
+                    F.col("clip_id").startswith("c003")
+                    | F.col("clip_id").startswith("c000")
+                )
+            ).withColumn("clip_id", F.concat("clip_id", F.lit("~re")))
+        )
+        .unionByName(
+            clips.where(F.col("clip_id").startswith("c000") & (seq < 5)).withColumn(
+                "clip_id", F.concat("clip_id", F.lit("~cp"))
+            )
+        )
+        .unionByName(
+            clips.where(F.col("clip_id").startswith("c000") & (seq < 5)).withColumn(
+                "clip_id", F.concat("clip_id", F.lit("~cp2"))
+            )
+        )
+    )
+    return audio_ingest_gate(batch, corpus).orderBy("clip_id")
+
+
 def _q_audio_drift(spark, sf):
     """KS/PSI drift of DECODED features (rms, centroid_hz, n_samples)
     per corpus partition — must flag c001 (dur shift ⇒ n_samples) and
@@ -1046,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_trim": _q_audio_trim,
         "audio_normalize": _q_audio_normalize,
         "audio_pipeline": _q_audio_pipeline,
+        "audio_ingest_gate": _q_audio_ingest_gate,
         "speech_rate": _q_speech_rate,
     }
 
@@ -2262,6 +2314,110 @@ FROM read_parquet('{_AUDIO_PIPE}/*.parquet')
 ORDER BY clip_id
 """
 
+# audio_ingest_gate oracle: the four sequential gates in SQL over the
+# twin parquet. The batch is reconstructed by id arithmetic (planted
+# copies share their source row's md5/features by construction); near
+# gates reuse the audio_dup blocking + verify chain.
+_SQL_AUDIO_INGEST_GATE = f"""
+WITH f AS (
+  SELECT clip_id, payload_md5, fingerprint, peak_band, rms_bucket,
+         rms_bucket_hi, n_samples, rms, centroid_hz,
+         list_transform(bands, x -> COALESCE(x, 0.0)) AS bands
+  FROM read_parquet('{_AUDIO_FEATS}/*.parquet')
+),
+batch_ids AS (
+  SELECT clip_id AS id, clip_id AS src FROM f
+  WHERE clip_id LIKE 'c003-%' AND clip_id NOT LIKE '%~re'
+  UNION ALL
+  SELECT clip_id, clip_id FROM f WHERE clip_id LIKE 'c003-%~re'
+  UNION ALL
+  SELECT clip_id, clip_id FROM f WHERE clip_id LIKE 'c000-%~re'
+  UNION ALL
+  SELECT clip_id || '~cp', clip_id FROM f
+  WHERE clip_id LIKE 'c000-%' AND clip_id NOT LIKE '%~re'
+    AND CAST(substring(clip_id, 6, 9) AS BIGINT) < 5
+  UNION ALL
+  SELECT clip_id || '~cp2', clip_id FROM f
+  WHERE clip_id LIKE 'c000-%' AND clip_id NOT LIKE '%~re'
+    AND CAST(substring(clip_id, 6, 9) AS BIGINT) < 5
+),
+bf AS (
+  SELECT b.id, f.payload_md5, f.fingerprint, f.peak_band, f.rms_bucket,
+         f.rms_bucket_hi, f.n_samples, f.rms, f.centroid_hz, f.bands
+  FROM batch_ids b JOIN f ON f.clip_id = b.src
+),
+corpus AS (
+  SELECT * FROM f WHERE clip_id NOT LIKE 'c003-%' AND clip_id NOT LIKE '%~re'
+),
+keep AS (SELECT payload_md5, min(id) AS k FROM bf GROUP BY payload_md5),
+eb AS (
+  SELECT bf.id FROM bf JOIN keep ON keep.payload_md5 = bf.payload_md5
+  WHERE bf.id <> keep.k
+),
+b1 AS (SELECT * FROM bf WHERE id NOT IN (SELECT id FROM eb)),
+ec AS (
+  SELECT DISTINCT b1.id FROM b1
+  JOIN corpus c ON c.payload_md5 = b1.payload_md5
+),
+b2 AS (SELECT * FROM b1 WHERE id NOT IN (SELECT id FROM ec)),
+bk_b2 AS (
+  SELECT id, unnest(list_distinct([
+    (peak_band * 2097152 + (rms_bucket + 1048576)) * 2097152 + n_samples, (peak_band * 2097152 + (rms_bucket_hi + 1048576)) * 2097152 + n_samples
+  ])) AS bkey
+  FROM b2 WHERE fingerprint IS NOT NULL
+),
+bk_c AS (
+  SELECT clip_id AS doc, unnest(list_distinct([
+    (peak_band * 2097152 + (rms_bucket + 1048576)) * 2097152 + n_samples, (peak_band * 2097152 + (rms_bucket_hi + 1048576)) * 2097152 + n_samples
+  ])) AS bkey
+  FROM corpus WHERE fingerprint IS NOT NULL
+),
+cand_c AS (
+  SELECT DISTINCT b.id AS id_a, c.doc AS id_b
+  FROM bk_b2 b JOIN bk_c c ON c.bkey = b.bkey
+),
+nc AS (
+  SELECT DISTINCT cand_c.id_a AS id
+  FROM cand_c
+  JOIN b2 a ON a.id = cand_c.id_a
+  JOIN corpus cb ON cb.clip_id = cand_c.id_b
+  WHERE list_cosine_similarity(a.bands, cb.bands) >= 0.99
+    AND abs(a.centroid_hz / cb.centroid_hz - 1.0) <= 0.005
+    AND abs(a.rms / cb.rms - 1.0) <= 0.02
+),
+b3 AS (SELECT * FROM b2 WHERE id NOT IN (SELECT id FROM nc)),
+bk_b3 AS (
+  SELECT id, unnest(list_distinct([
+    (peak_band * 2097152 + (rms_bucket + 1048576)) * 2097152 + n_samples, (peak_band * 2097152 + (rms_bucket_hi + 1048576)) * 2097152 + n_samples
+  ])) AS bkey
+  FROM b3 WHERE fingerprint IS NOT NULL
+),
+cand_b AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bk_b3 a JOIN bk_b3 b ON b.bkey = a.bkey AND a.id < b.id
+),
+nb AS (
+  SELECT DISTINCT cand_b.id_b AS id
+  FROM cand_b
+  JOIN b3 fa ON fa.id = cand_b.id_a
+  JOIN b3 fb ON fb.id = cand_b.id_b
+  WHERE list_cosine_similarity(fa.bands, fb.bands) >= 0.99
+    AND abs(fa.centroid_hz / fb.centroid_hz - 1.0) <= 0.005
+    AND abs(fa.rms / fb.rms - 1.0) <= 0.02
+)
+SELECT id AS clip_id, reason = 'admitted' AS admitted, reason
+FROM (
+  SELECT id,
+         CASE WHEN id IN (SELECT id FROM eb) THEN 'exact-batch'
+              WHEN id IN (SELECT id FROM ec) THEN 'exact-corpus'
+              WHEN id IN (SELECT id FROM nc) THEN 'near-corpus'
+              WHEN id IN (SELECT id FROM nb) THEN 'near-batch'
+              ELSE 'admitted' END AS reason
+  FROM bf
+)
+ORDER BY clip_id
+"""
+
 _SQL_CLIPS_VERDICTS = (
     "WITH "
     + _CLIPS_CTES
@@ -2633,5 +2789,6 @@ def oracle_sql() -> dict[str, str]:
         "audio_trim": _SQL_AUDIO_TRIM,
         "audio_normalize": _SQL_AUDIO_NORMALIZE,
         "audio_pipeline": _SQL_AUDIO_PIPELINE,
+        "audio_ingest_gate": _SQL_AUDIO_INGEST_GATE,
         "speech_rate": _SQL_SPEECH_RATE,
     }

@@ -491,3 +491,97 @@ def test_clip_pipeline_rejects_unknown_op(spark):
     clips = generate_clips(spark, SynthSpec(partitions=1, clips_per_partition=5))
     with pytest.raises(ValueError):
         clip_pipeline(clips, [("reverb", {})])
+
+
+def _gate_fixture(spark):
+    from pyspark.sql import functions as F
+
+    spec = SynthSpec(partitions=4, clips_per_partition=150)
+    clips = generate_clips(spark, spec).dropDuplicates(["clip_id"])
+    seq = F.substring("clip_id", 6, 9).cast("long")
+    corpus = clips.where(~F.col("clip_id").startswith("c003"))
+    re_src = clips.where(
+        (F.col("codec") == "pcm16") & (seq % REENCODE_MOD[0] == REENCODE_MOD[1])
+    )
+    batch = (
+        clips.where(F.col("clip_id").startswith("c003"))
+        .unionByName(
+            reencode_clips(
+                re_src.where(
+                    F.col("clip_id").startswith("c003")
+                    | F.col("clip_id").startswith("c000")
+                )
+            ).withColumn("clip_id", F.concat("clip_id", F.lit("~re")))
+        )
+        .unionByName(
+            clips.where(F.col("clip_id").startswith("c000") & (seq < 5)).withColumn(
+                "clip_id", F.concat("clip_id", F.lit("~cp"))
+            )
+        )
+        .unionByName(
+            clips.where(F.col("clip_id").startswith("c000") & (seq < 5)).withColumn(
+                "clip_id", F.concat("clip_id", F.lit("~cp2"))
+            )
+        )
+    )
+    return batch, corpus
+
+
+def test_audio_ingest_gate_routes_every_planted_dup_to_its_gate(spark):
+    """Sequential-gate contract: byte-identical corpus copies (~cp) →
+    exact-corpus; their second in-batch copies (~cp2) → exact-batch
+    (lower-id twin wins); transcoded corpus twins (~re of c000) →
+    near-corpus; the transcoded twin of a batch member (~re of c003) →
+    near-batch; every original c003 clip admitted."""
+    from use_case_real_time_anomaly_detection_spark.functions.audio_features import (
+        audio_ingest_gate,
+    )
+
+    batch, corpus = _gate_fixture(spark)
+    out = {r["clip_id"]: r["reason"] for r in audio_ingest_gate(batch, corpus).collect()}
+    for cid, reason in out.items():
+        if cid.endswith("~cp"):
+            assert reason == "exact-corpus", (cid, reason)
+        elif cid.endswith("~cp2"):
+            assert reason == "exact-batch", (cid, reason)
+        elif cid.startswith("c000") and cid.endswith("~re"):
+            assert reason == "near-corpus", (cid, reason)
+        elif cid.startswith("c003") and cid.endswith("~re"):
+            assert reason == "near-batch", (cid, reason)
+        else:
+            assert reason == "admitted", (cid, reason)
+    assert sum(r == "exact-corpus" for r in out.values()) == 5
+    assert sum(r == "exact-batch" for r in out.values()) == 5
+    assert sum(r == "near-corpus" for r in out.values()) >= 1
+    assert sum(r == "near-batch" for r in out.values()) >= 1
+
+
+def test_audio_ingest_gate_bootstrap_and_prebuilt_index(spark):
+    """corpus=None (bootstrap) disables only the corpus gates; a
+    prebuilt AudioIndex gives the identical verdict set as passing the
+    corpus frame (the production incremental path)."""
+    from use_case_real_time_anomaly_detection_spark.functions.audio_features import (
+        audio_ingest_gate,
+        build_audio_index,
+    )
+
+    batch, corpus = _gate_fixture(spark)
+    boot = {r["clip_id"]: r["reason"] for r in audio_ingest_gate(batch, None).collect()}
+    assert "exact-corpus" not in set(boot.values())
+    assert "near-corpus" not in set(boot.values())
+    assert sum(r == "exact-batch" for r in boot.values()) == 5
+    # without the corpus gates, each ~cp twin survives gate 1 (it IS the
+    # min id of its md5 group: '~cp' < '~cp2') and ~re twins of c000 now
+    # dedup against nothing — they are admitted
+    assert boot["c000-000000000~cp"] == "admitted"
+
+    idx = build_audio_index(corpus)
+    via_index = {
+        r["clip_id"]: r["reason"]
+        for r in audio_ingest_gate(batch, index=idx).collect()
+    }
+    via_corpus = {
+        r["clip_id"]: r["reason"]
+        for r in audio_ingest_gate(batch, corpus).collect()
+    }
+    assert via_index == via_corpus

@@ -772,6 +772,238 @@ def audio_dup_pairs(
     )
 
 
+class AudioIndex:
+    """Slim per-clip dedup index of an existing audio corpus — the audio
+    twin of incremental.SignatureIndex: payload hashes for the exact
+    gate, packed block keys + verify features for the near gate. All
+    O(corpus)-row narrow relations (the widest carries the 64-double
+    band vector); at scale they live as bucketed tables the ingest sink
+    appends to — the corpus payload itself is never re-decoded per
+    batch."""
+
+    def __init__(self, hashes: DataFrame, blocks: DataFrame, verify: DataFrame):
+        self.hashes = hashes  # (clip_id, payload_md5)
+        self.blocks = blocks  # (doc, bkey)
+        self.verify = verify  # (doc, rms, centroid_hz, bands)
+
+
+def _block_keys(features: DataFrame, id_col: str) -> DataFrame:
+    """(doc, bkey) multi-probe block keys from a feature frame — the
+    same packing audio_dup_pairs uses (shared with the DuckDB oracle)."""
+    key = lambda bucket: (  # noqa: E731
+        F.col("peak_band") * F.lit(_KEY_SHIFT)
+        + (F.col(bucket) + F.lit(_BUCKET_OFFSET))
+    ) * F.lit(_KEY_SHIFT) + F.col("n_samples")
+    return features.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(F.array(key("rms_bucket"), key("rms_bucket_hi")))
+        ).alias("bkey"),
+    )
+
+
+def build_audio_index(corpus: DataFrame, *, id_col: str = "clip_id") -> AudioIndex:
+    """One decode pass over the corpus → the three slim AudioIndex
+    relations, each pinned (consumed by per-batch gate joins)."""
+    from .dedup import _pin
+
+    hashes = _pin(
+        corpus.select(F.col(id_col), F.md5("bytes").alias("payload_md5"))
+    )
+    feats = _pin(
+        with_audio_features(corpus)
+        .where(F.col("fingerprint").isNotNull())
+        .select(id_col, "n_samples", "peak_band", "rms_bucket", "rms_bucket_hi",
+                "rms", "centroid_hz", "bands")
+    )
+    blocks = _pin(_block_keys(feats, id_col))
+    verify = _pin(
+        feats.select(
+            F.col(id_col).alias("doc"), "rms", "centroid_hz", "bands"
+        )
+    )
+    return AudioIndex(hashes, blocks, verify)
+
+
+def _verify_pairs(
+    cand: DataFrame,
+    side_a: DataFrame,
+    side_b: DataFrame,
+    min_cosine: float,
+    max_centroid_ratio: float,
+    max_rms_ratio: float,
+) -> DataFrame:
+    """Exact verify of (id_a, id_b) candidates against two (doc, rms,
+    centroid_hz, bands) frames — audio_dup_pairs' gates, reused by the
+    ingest gate."""
+    ren = lambda df, tag: df.select(  # noqa: E731
+        F.col("doc").alias(f"id_{tag}"),
+        F.col("rms").alias(f"rms_{tag}"),
+        F.col("centroid_hz").alias(f"cent_{tag}"),
+        F.col("bands").alias(f"bands_{tag}"),
+    )
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return (
+        cand.join(ren(side_a, "a"), "id_a")
+        .join(ren(side_b, "b"), "id_b")
+        .withColumn(
+            "cosine",
+            dot(F.col("bands_a"), F.col("bands_b"))
+            / (
+                F.sqrt(dot(F.col("bands_a"), F.col("bands_a")))
+                * F.sqrt(dot(F.col("bands_b"), F.col("bands_b")))
+            ),
+        )
+        .where(
+            (F.col("cosine") >= F.lit(min_cosine))
+            & (
+                F.abs(F.col("cent_a") / F.col("cent_b") - 1.0)
+                <= F.lit(max_centroid_ratio)
+            )
+            & (F.abs(F.col("rms_a") / F.col("rms_b") - 1.0) <= F.lit(max_rms_ratio))
+        )
+        .select("id_a", "id_b")
+    )
+
+
+def audio_ingest_gate(
+    batch: DataFrame,
+    corpus: DataFrame | None = None,
+    *,
+    index: AudioIndex | None = None,
+    id_col: str = "clip_id",
+    min_cosine: float = 0.99,
+    max_centroid_ratio: float = 0.005,
+    max_rms_ratio: float = 0.02,
+) -> DataFrame:
+    """Dedup-before-append gate for audio clip ingestion — the audio
+    twin of incremental.dedup_gate (≙ the reference's dedup-before-
+    visible copy contract, tinybird/pipes/dedup_log.pipe:4-6). Returns
+    (clip_id, admitted, reason); sequential gates, first match names
+    the rejection:
+
+    1. ``exact-batch``  — not the min-id clip of its payload-md5 group
+       within the batch (byte-identical re-uploads).
+    2. ``exact-corpus`` — payload md5 already present in the corpus.
+    3. ``near-corpus``  — blocked + verified audio near-dup of a corpus
+       clip (a transcoded/re-encoded copy of already-ingested content).
+    4. ``near-batch``   — verified near-dup of a LOWER-id surviving
+       batch clip (greedy pairwise, min id wins — same convention as
+       the text gate).
+
+    Scale shape: the batch (a daily increment — always the small side)
+    is decoded ONCE and broadcast into every corpus-side join; corpus
+    relations stream from the prebuilt AudioIndex (pass ``index`` to
+    skip recomputing it, the production path). The exact gates are pure
+    JVM md5 — no decode at all for byte-identical rejects.
+    """
+    from .dedup import _pin
+
+    bid = F.col(id_col)
+    # -- gate 1: within-batch exact (min id per payload hash wins) -----
+    hashes_b = _pin(batch.select(bid, F.md5("bytes").alias("payload_md5")))
+    keep = hashes_b.groupBy("payload_md5").agg(F.min(id_col).alias("__keep"))
+    ann = hashes_b.join(keep, "payload_md5")
+    exact_batch = ann.filter(bid != F.col("__keep")).select(
+        bid, F.lit("exact-batch").alias("reason")
+    )
+    b1 = ann.filter(bid == F.col("__keep")).select(id_col, "payload_md5")
+
+    rejects = [exact_batch]
+    survivors = b1.select(id_col)
+
+    if corpus is not None and index is None:
+        index = build_audio_index(corpus, id_col=id_col)
+
+    if index is not None:
+        # -- gate 2: exact vs corpus (stream corpus, broadcast batch) --
+        exact_corpus = (
+            index.hashes.select("payload_md5")
+            .join(F.broadcast(b1), "payload_md5")
+            .select(bid, F.lit("exact-corpus").alias("reason"))
+            .distinct()
+        )
+        rejects.append(exact_corpus)
+        survivors = survivors.join(
+            F.broadcast(exact_corpus.select(id_col)), id_col, "left_anti"
+        )
+
+    # one decode pass over the exact-gate survivors only
+    feats_b = _pin(
+        with_audio_features(batch.join(F.broadcast(survivors), id_col))
+        .where(F.col("fingerprint").isNotNull())
+        .select(id_col, "n_samples", "peak_band", "rms_bucket", "rms_bucket_hi",
+                "rms", "centroid_hz", "bands")
+    )
+    blocks_b = _pin(_block_keys(feats_b, id_col))
+    verify_b = feats_b.select(
+        F.col(id_col).alias("doc"), "rms", "centroid_hz", "bands"
+    )
+
+    if index is not None:
+        # -- gate 3: near vs corpus ------------------------------------
+        cand_c = (
+            index.blocks.alias("c")
+            .join(F.broadcast(blocks_b.alias("n")), F.col("c.bkey") == F.col("n.bkey"))
+            .select(F.col("n.doc").alias("id_a"), F.col("c.doc").alias("id_b"))
+            .distinct()
+        )
+        near_corpus = (
+            _verify_pairs(
+                cand_c, verify_b, index.verify,
+                min_cosine, max_centroid_ratio, max_rms_ratio,
+            )
+            .select(F.col("id_a").alias(id_col))
+            .distinct()
+            .select(bid, F.lit("near-corpus").alias("reason"))
+        )
+        rejects.append(near_corpus)
+        survivors = survivors.join(
+            F.broadcast(near_corpus.select(id_col)), id_col, "left_anti"
+        )
+        blocks_b = blocks_b.join(
+            F.broadcast(survivors.select(F.col(id_col).alias("doc"))), "doc"
+        )
+
+    # -- gate 4: near within batch (greedy pairwise, min id wins) ------
+    cand_b = (
+        blocks_b.alias("a")
+        .join(
+            F.broadcast(blocks_b.alias("b")),
+            (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    near_batch = (
+        _verify_pairs(
+            cand_b, verify_b, verify_b,
+            min_cosine, max_centroid_ratio, max_rms_ratio,
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .select(bid, F.lit("near-batch").alias("reason"))
+    )
+    rejects.append(near_batch)
+
+    rejected = rejects[0]
+    for r in rejects[1:]:
+        rejected = rejected.unionByName(r)
+    # gates are sequential ⇒ at most one reason per clip; the union is
+    # disjoint and the left join annotates the full batch
+    return (
+        batch.select(id_col)
+        .join(F.broadcast(rejected), id_col, "left")
+        .select(
+            bid,
+            F.coalesce(F.col("reason"), F.lit("admitted")).alias("reason"),
+        )
+        .select(bid, (F.col("reason") == "admitted").alias("admitted"), "reason")
+    )
+
+
 def audio_drift(
     features: DataFrame,
     *,

@@ -23,6 +23,7 @@ has no timestamp column (SURVEY.md §7.3).
 
 from __future__ import annotations
 
+import hashlib
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -542,10 +543,15 @@ def audio_features_pandas(spec: SynthSpec = SynthSpec()) -> pd.DataFrame:
                 "codec": row.codec,
                 "sr_hz": int(row.sr_hz),
                 "dur_ms": int(row.dur_ms),
+                # hex md5 of the raw payload (== Spark F.md5("bytes"));
+                # backs the audio_ingest_gate oracle's exact gates
+                "payload_md5": hashlib.md5(row.bytes).hexdigest()
+                if row.bytes
+                else None,
             }
             rec.update(clip_features(row.bytes, row.codec, row.sr_hz, row.dur_ms))
             rows.append(rec)
-    cols = ["clip_id", "codec", "sr_hz", "dur_ms", "ok", "err"] + [
+    cols = ["clip_id", "codec", "sr_hz", "dur_ms", "payload_md5", "ok", "err"] + [
         f.name for f in FEATURE_FIELDS
     ]
     out = pd.DataFrame(rows, columns=cols)
