@@ -162,3 +162,77 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     corpus = catalog.read(CORPUS_TABLE)
     assert corpus.count() == 3
     assert corpus.filter(F.col("doc_id") == 3).count() == 1
+
+
+def test_stream_clip_ingest_two_waves(spark, tmp_path):
+    """Audio twin of the doc sink: wave 2's byte-identical copy and
+    transcoded twin of wave-1 clips are rejected against the corpus
+    built by wave 1; the fresh clip is admitted; the AudioIndex tables
+    track the corpus exactly."""
+    from pyspark.sql import functions as F
+
+    from use_case_real_time_anomaly_detection_spark.functions.audio_features import (
+        reencode_clips,
+    )
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        CLIPS_SCHEMA,
+        SynthSpec,
+        generate_clips,
+    )
+    from use_case_real_time_anomaly_detection_spark.streaming.ingest import (
+        CLIP_HASH_TABLE,
+        CLIP_VERIFY_TABLE,
+        CLIPS_TABLE,
+        stream_clip_ingest,
+    )
+
+    src = tmp_path / "incoming_clips"
+    src.mkdir()
+    catalog = ParquetCatalog(spark, str(tmp_path / "clip_tables"))
+
+    clips = (
+        generate_clips(spark, SynthSpec(partitions=1, clips_per_partition=40))
+        .dropDuplicates(["clip_id"])
+        .where(F.col("codec") == "pcm16")
+        .limit(8)
+        .localCheckpoint()
+    )
+    ids = sorted(r["clip_id"] for r in clips.select("clip_id").collect())
+
+    def run_wave():
+        stream = spark.readStream.schema(CLIPS_SCHEMA).parquet(str(src))
+        q = stream_clip_ingest(
+            stream, catalog, checkpoint_dir=str(tmp_path / "clip_ckpt")
+        )
+        q.awaitTermination(180)
+
+    wave1 = clips.where(F.col("clip_id") != ids[-1])
+    wave1.coalesce(1).write.mode("append").parquet(str(src))
+    run_wave()
+    got1 = sorted(
+        r["clip_id"] for r in catalog.read(CLIPS_TABLE).select("clip_id").collect()
+    )
+    assert got1 == ids[:-1]
+
+    wave2 = (
+        clips.where(F.col("clip_id") == ids[0])
+        .withColumn("clip_id", F.concat("clip_id", F.lit("~copy")))  # exact-corpus
+        .unionByName(
+            reencode_clips(
+                clips.where(F.col("clip_id") == ids[1])
+            ).withColumn("clip_id", F.concat("clip_id", F.lit("~re")))  # near-corpus
+        )
+        .unionByName(clips.where(F.col("clip_id") == ids[-1]))  # fresh
+    )
+    wave2.coalesce(1).write.mode("append").parquet(str(src))
+    run_wave()
+    got2 = sorted(
+        r["clip_id"] for r in catalog.read(CLIPS_TABLE).select("clip_id").collect()
+    )
+    assert got2 == ids  # only the fresh clip joined the corpus
+    assert sorted(
+        r["clip_id"] for r in catalog.read(CLIP_HASH_TABLE).select("clip_id").collect()
+    ) == ids
+    assert sorted(
+        r["doc"] for r in catalog.read(CLIP_VERIFY_TABLE).select("doc").collect()
+    ) == ids

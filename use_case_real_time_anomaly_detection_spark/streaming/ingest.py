@@ -141,3 +141,109 @@ def stream_corpus_ingest(
     else:
         writer = writer.trigger(processingTime="1 minute")
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Audio twin: dedup-gated CLIP ingestion (functions/audio_features gate)
+# ---------------------------------------------------------------------------
+
+CLIPS_TABLE = "clip_corpus"
+CLIP_HASH_TABLE = "clip_hashes"
+CLIP_BLOCK_TABLE = "clip_blocks"
+CLIP_VERIFY_TABLE = "clip_verify"
+
+
+def ingest_clip_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    catalog: ParquetCatalog,
+    *,
+    id_col: str = "clip_id",
+    **gate_params,
+) -> DataFrame:
+    """Gate one clip batch against the corpus-so-far (audio_ingest_gate)
+    and commit the admitted clips + their AudioIndex rows. Same
+    idempotence mechanism as `ingest_batch`: every table partitioned by
+    micro-batch id, dynamic partition overwrite — a replayed batch
+    overwrites itself.
+
+    Per-batch cost at corpus scale: two slim index scans + the verify
+    relation touched for candidates; the batch is decoded ONCE (the
+    gate's exact-survivor Arrow pass) plus once more here for the
+    admitted subset's index rows — both batch-sized, never
+    corpus-sized."""
+    from ..functions.audio_features import (
+        AudioIndex,
+        _block_keys,
+        audio_ingest_gate,
+        with_audio_features,
+    )
+
+    have_corpus = catalog.exists(CLIP_HASH_TABLE)
+    index = (
+        AudioIndex(
+            hashes=catalog.read(CLIP_HASH_TABLE),
+            blocks=catalog.read(CLIP_BLOCK_TABLE),
+            verify=catalog.read(CLIP_VERIFY_TABLE),
+        )
+        if have_corpus
+        else None
+    )
+    # checkpoint BEFORE any write: gate reads must see the pre-batch
+    # snapshot (same read-under-write discipline as ingest_batch)
+    gate = audio_ingest_gate(
+        batch_df, index=index, id_col=id_col, **gate_params
+    ).localCheckpoint()
+    admitted = admit(batch_df, gate, id_col=id_col).localCheckpoint()
+
+    tagged = admitted.withColumn("__batch", F.lit(batch_id))
+    catalog.overwrite_partitions(tagged, CLIPS_TABLE, partition_by=["__batch"])
+    hashes = admitted.select(
+        F.col(id_col), F.md5("bytes").alias("payload_md5")
+    ).withColumn("__batch", F.lit(batch_id))
+    catalog.overwrite_partitions(hashes, CLIP_HASH_TABLE, partition_by=["__batch"])
+    feats = (
+        with_audio_features(admitted)
+        .where(F.col("fingerprint").isNotNull())
+        .select(id_col, "n_samples", "peak_band", "rms_bucket", "rms_bucket_hi",
+                "rms", "centroid_hz", "bands")
+        .localCheckpoint()  # one decode feeds both index writes
+    )
+    blocks = _block_keys(feats, id_col).withColumn("__batch", F.lit(batch_id))
+    catalog.overwrite_partitions(blocks, CLIP_BLOCK_TABLE, partition_by=["__batch"])
+    verify = feats.select(
+        F.col(id_col).alias("doc"), "rms", "centroid_hz", "bands"
+    ).withColumn("__batch", F.lit(batch_id))
+    catalog.overwrite_partitions(verify, CLIP_VERIFY_TABLE, partition_by=["__batch"])
+    return gate
+
+
+def stream_clip_ingest(
+    clip_stream: DataFrame,
+    catalog: ParquetCatalog,
+    *,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    on_batch=None,
+    **gate_params,
+):
+    """Continuous dedup-gated clip ingestion — the audio twin of
+    `stream_corpus_ingest` (≙ dedup-before-visible, dedup_log.pipe:4-6)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        gate = ingest_clip_batch(batch_df, batch_id, catalog, **gate_params)
+        if on_batch is not None:
+            on_batch(gate, batch_id)
+
+    writer = (
+        clip_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="1 minute")
+    return writer.start()
