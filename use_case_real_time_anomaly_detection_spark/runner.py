@@ -211,4 +211,27 @@ def main(argv: list[str] | None = None) -> int:
 
 
 if __name__ == "__main__":
+    if __package__ in (None, ""):
+        # spark-submit (and plain `python .../runner.py`) execute this file
+        # as __main__ OUTSIDE the package, so the relative imports in
+        # main() have no parent. Re-dispatch through the absolute package
+        # import: with `--py-files dist/engine_pyfiles.zip` the zip is on
+        # the driver's sys.path already; for a bare checkout run, the repo
+        # root (this file's grandparent) is added as a fallback.
+        import os
+
+        _root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        sys.path.insert(0, _root)
+        # executor Python workers unpickle closures referencing the package;
+        # spark-submit --py-files ships it to them, and for a bare-checkout
+        # run the JVM (not yet launched) passes PYTHONPATH through to the
+        # workers it spawns — so export it before the session starts.
+        os.environ["PYTHONPATH"] = os.pathsep.join(
+            p for p in (_root, os.environ.get("PYTHONPATH")) if p
+        )
+        from use_case_real_time_anomaly_detection_spark.runner import (
+            main as _pkg_main,
+        )
+
+        sys.exit(_pkg_main())
     sys.exit(main())
