@@ -281,6 +281,36 @@ def test_no_driver_query_uses_smj_cartesian_or_row_python(spark):
     assert not bad, bad
 
 
+def test_no_driver_query_rescans_payload_columns(spark):
+    """Blanket scan-budget audit over EVERY driver query: at 100 TB the
+    corpus cost is dominated by FileScans that read the heavy payload
+    columns (audio bytes, document text, transcripts, embeddings) — a
+    plan that re-derives a shared subtree re-reads them multiplicatively
+    (the round-2 20-FileScan LSH regression). Budget: ≤ 2 heavy-column
+    scans per query (one fact-side read + at most one verify/join-side
+    re-read) and ≤ 6 FileScans total (slim id/metadata projections are
+    cheap but still bounded)."""
+    import re
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as em
+
+    heavy_re = re.compile(r"ReadSchema:[^\n]*(bytes|text|transcript|embedding)")
+    bad = {}
+    for name, fn in em.queries().items():
+        plan = _physical(fn(spark, SF))
+        heavy = sum(
+            1
+            for ln in plan.splitlines()
+            if "FileScan" in ln and heavy_re.search(ln)
+        )
+        total = plan.count("FileScan")
+        if heavy > 2 or total > 6:
+            bad[name] = {"heavy_scans": heavy, "file_scans": total}
+    assert not bad, bad
+
+
 def test_bucketed_manifest_join_has_no_shuffle(spark):
     """Co-located join: clips and manifest bucketed identically on
     clip_id must sort-merge join with ZERO shuffle exchanges — the
