@@ -119,6 +119,34 @@ def _q_profile_events(spark, sf):
     )
 
 
+def _q_profile_incremental(spark, sf):
+    """Global profile rolled up from per-partition MERGEABLE states
+    (functions/stats.profile_state → merge_profile_states): exact decimal
+    moments + HLL sketch unions. The merged output is bit-identical for
+    ANY partitioning of the input (tested), so the oracle computes the
+    same stats directly; n_distinct sketches are emitted only for the
+    low-cardinality columns (user_id: 150, event_type: 5) where the HLL
+    coupon-list regime makes the estimate exact."""
+    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        "pk", F.pmod("user_id", F.lit(8))
+    )
+    from use_case_real_time_anomaly_detection_spark.functions.stats import (
+        merge_profile_states,
+        profile_state,
+    )
+
+    states = profile_state(
+        ev,
+        partition_col="pk",
+        numeric_columns=["value"],
+        distinct_columns=["user_id", "event_type"],
+    )
+    merged = merge_profile_states(states)
+    return merged.select(
+        "column", "stat", F.round("value", 6).alias("value")
+    ).orderBy("column", "stat")
+
+
 def _q_unique_events(spark, sf):
     ev = spark.read.parquet(f"{sf}/events.parquet")
     return (
@@ -1052,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violations_log": _q_violations_log,
         "anomalies_summary": _q_anomalies_summary,
         "profile_events": _q_profile_events,
+        "profile_incremental": _q_profile_incremental,
         "unique_events": _q_unique_events,
         "ref_orphans": _q_ref_orphans,
         "sessionize": _q_sessionize,
@@ -1321,6 +1350,34 @@ _SQL_ANOMALIES_SUMMARY = (
 # Spark side (see _q_profile_events). Integer sums are CAST to BIGINT:
 # DuckDB sum(int) is HUGEINT, which lands in pandas as float64 and
 # hash-mismatches Spark's int64.
+# mirrors merge_profile_states' exact op chain: decimal sums cast to
+# double once, one IEEE division, var = s2/nn - mean^2; n_distinct only
+# for columns in the HLL exact regime (count DISTINCT reproduces it).
+_SQL_PROFILE_INCREMENTAL = f"""
+WITH g AS (
+  SELECT count(*) AS n_rows,
+         {_NV} AS nn,
+         min(value) AS minv, max(value) AS maxv,
+         {_S1} AS s1, {_S2} AS s2,
+         count(DISTINCT user_id) AS ndu,
+         count(DISTINCT event_type) AS nde
+  FROM events
+)
+SELECT "column", stat, value FROM (
+  SELECT '_table_' AS "column", 'rows' AS stat, CAST(n_rows AS DOUBLE) AS value FROM g
+  UNION ALL SELECT 'event_type', 'n_distinct', CAST(nde AS DOUBLE) FROM g
+  UNION ALL SELECT 'user_id', 'n_distinct', CAST(ndu AS DOUBLE) FROM g
+  UNION ALL SELECT 'value', 'avg', {_R("s1 / nn", 6)} FROM g
+  UNION ALL SELECT 'value', 'max', {_R("maxv", 6)} FROM g
+  UNION ALL SELECT 'value', 'min', {_R("minv", 6)} FROM g
+  UNION ALL SELECT 'value', 'null_count', CAST(n_rows - nn AS DOUBLE) FROM g
+  UNION ALL SELECT 'value', 'null_rate', {_R("CAST(n_rows - nn AS DOUBLE) / n_rows", 6)} FROM g
+  UNION ALL SELECT 'value', 'stddev_pop',
+    {_R("sqrt(greatest(s2 / nn - (s1 / nn) * (s1 / nn), 0.0))", 6)} FROM g
+)
+ORDER BY "column", stat
+"""
+
 _SQL_PROFILE_EVENTS = f"""
 SELECT event_type,
        count(*) AS n_rows,
@@ -2744,6 +2801,7 @@ def oracle_sql() -> dict[str, str]:
         "violations_log": _SQL_VIOLATIONS_LOG,
         "anomalies_summary": _SQL_ANOMALIES_SUMMARY,
         "profile_events": _SQL_PROFILE_EVENTS,
+        "profile_incremental": _SQL_PROFILE_INCREMENTAL,
         "unique_events": _SQL_UNIQUE_EVENTS,
         "ref_orphans": _SQL_REF_ORPHANS,
         "sessionize": _SQL_SESSIONIZE,

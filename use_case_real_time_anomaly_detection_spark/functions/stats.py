@@ -182,3 +182,122 @@ def drift_scores(
         F.sum("psi_term").alias("psi"),
         F.max(F.abs(F.col("pcum") - F.col("qcum"))).alias("ks"),
     ).select(F.col("pk").alias("partition_key"), "psi", "ks")
+
+
+# --- incremental / mergeable profiling --------------------------------------
+
+
+def profile_state(
+    df: DataFrame,
+    *,
+    partition_col: str = "partition_key",
+    numeric_columns: tuple[str, ...] | list[str] = (),
+    distinct_columns: tuple[str, ...] | list[str] = (),
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """One MERGEABLE profile-state row per partition: exact decimal
+    moments for numeric columns plus a Datasketches HLL binary per
+    distinct-counted column.
+
+    The 100 TB shape this enables: global corpus stats maintained
+    INCREMENTALLY. Each partition's state is computed from one scan of
+    that partition only; `merge_profile_states` rolls the global profile
+    up from the slim state table (O(partitions) rows) — re-profiling
+    after a partition lands or is re-validated costs one partition scan
+    + a rollup that never touches the corpus. This is the profiling
+    analog of the lineage-resume contract (streaming/checkpoint.py): the
+    reference recomputes its stats CTEs per query
+    (tinybird/pipes/z_score.pipe:14-19); at 10^12 rows that recompute is
+    the cost being engineered away.
+
+    Mergeability per stat — every one is algebraic, no holistic aggregate:
+    - rows / nonnull: longs, merge = sum
+    - min / max: doubles, merge = min / max
+    - sum / sumsq: EXACT decimal(38,2)/(38,4) sums (values are quantized
+      ~2-decimal; decimal addition is associative, so the merged moments
+      are bit-identical regardless of partition order — the same
+      float-parity discipline as profile_table's stddev)
+    - distinct: HLL sketch binary, merge = register-wise max (union);
+      exact while the sketch is in its coupon-list regime, ~1.6%/sqrt-k
+      beyond (callers pick which columns get a sketch accordingly)
+
+    Quantile sketches are deliberately absent: Spark exposes no mergeable
+    quantile state as a binary (percentile_approx is holistic per query),
+    so quartiles stay in the per-run profile_table.
+    """
+    aggs: list = [F.count(F.lit(1)).alias("rows")]
+    for c in numeric_columns:
+        vd = F.col(c).cast("decimal(18,2)")
+        aggs += [
+            F.count(c).alias(f"{c}__nonnull"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+            F.sum(vd).cast("decimal(38,2)").alias(f"{c}__sum"),
+            F.sum(vd * vd).cast("decimal(38,4)").alias(f"{c}__sumsq"),
+        ]
+    for c in distinct_columns:
+        aggs.append(
+            F.hll_sketch_agg(F.col(c).cast("string"), F.lit(lg_config_k)).alias(
+                f"{c}__hll"
+            )
+        )
+    return df.groupBy(F.col(partition_col).alias("partition_key")).agg(*aggs)
+
+
+def merge_profile_states(states: DataFrame) -> DataFrame:
+    """Global long-format profile (column, stat, value:double) from
+    per-partition mergeable states — reads ONLY the slim state table.
+
+    Stat fields are introspected from the state schema (`<col>__<stat>`
+    names), so states written by an earlier run / release merge without
+    the caller re-declaring the column lists."""
+    numeric = [f.rsplit("__", 1)[0] for f in states.columns if f.endswith("__sum")]
+    distinct = [f.rsplit("__", 1)[0] for f in states.columns if f.endswith("__hll")]
+
+    aggs: list = [F.sum("rows").alias("rows")]
+    for c in numeric:
+        aggs += [
+            F.sum(f"{c}__nonnull").alias(f"{c}__nonnull"),
+            F.min(f"{c}__min").alias(f"{c}__min"),
+            F.max(f"{c}__max").alias(f"{c}__max"),
+            F.sum(f"{c}__sum").alias(f"{c}__sum"),
+            F.sum(f"{c}__sumsq").alias(f"{c}__sumsq"),
+        ]
+    for c in distinct:
+        aggs.append(
+            F.hll_sketch_estimate(
+                F.hll_union_agg(f"{c}__hll", F.lit(True))
+            ).alias(f"{c}__nd")
+        )
+    g = states.agg(*aggs)
+
+    # long projection: one row per (column, stat)
+    rows_expr: list = []
+    rows_expr.append(("_table_", "rows", F.col("rows").cast("double")))
+    for c in numeric:
+        nn = F.col(f"{c}__nonnull")
+        mean = F.col(f"{c}__sum").cast("double") / nn
+        var = F.col(f"{c}__sumsq").cast("double") / nn - mean * mean
+        rows_expr += [
+            (c, "null_count", (F.col("rows") - nn).cast("double")),
+            (c, "null_rate", (F.col("rows") - nn).cast("double") / F.col("rows")),
+            (c, "min", F.col(f"{c}__min")),
+            (c, "max", F.col(f"{c}__max")),
+            (c, "avg", mean),
+            (c, "stddev_pop", F.sqrt(F.greatest(var, F.lit(0.0)))),
+        ]
+    for c in distinct:
+        rows_expr.append((c, "n_distinct", F.round(F.col(f"{c}__nd"))))
+
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(col).alias("column"), F.lit(stat).alias("stat"), v.alias("value")
+            )
+            for col, stat, v in rows_expr
+        ]
+    )
+    return (
+        g.select(F.explode(structs).alias("s"))
+        .select("s.column", "s.stat", "s.value")
+    )

@@ -24,6 +24,7 @@ from ..sources.tables import ParquetCatalog
 
 LINEAGE_TABLE = "lineage"
 VIOLATIONS_TABLE = "violations"
+PROFILE_TABLE = "profile_state"
 
 
 class CheckpointStore:
@@ -41,6 +42,19 @@ class CheckpointStore:
             partition_by=["pk"],
         )
         self.catalog.append(result.verdicts, LINEAGE_TABLE)
+
+    def record_profile(self, states: DataFrame) -> None:
+        """Persist per-partition MERGEABLE profile states
+        (functions/stats.profile_state): exact decimal moments + HLL
+        binaries. Partition-overwritten like violations, so re-profiling
+        a partition (or re-running one after a failure) is idempotent —
+        the global profile then rolls up from this slim table alone
+        (`merged_profile`), never rescanning validated partitions."""
+        self.catalog.overwrite_partitions(
+            states.withColumn("pk", F.col("partition_key")),
+            PROFILE_TABLE,
+            partition_by=["pk"],
+        )
 
     # -- read side ----------------------------------------------------------
 
@@ -60,6 +74,13 @@ class CheckpointStore:
 
     def lineage(self) -> DataFrame:
         return self.catalog.read(LINEAGE_TABLE)
+
+    def merged_profile(self) -> DataFrame:
+        """Global long-format corpus profile rolled up from the stored
+        per-partition states — O(partitions) input rows, zero corpus IO."""
+        from ..functions.stats import merge_profile_states
+
+        return merge_profile_states(self.catalog.read(PROFILE_TABLE).drop("pk"))
 
 
 def run_with_resume(
