@@ -97,3 +97,10 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
     )
     assert out2["partitions_validated"] == 0
     assert out2["violations"] == 0
+
+    # the run also maintained the mergeable profile-state table
+    # (one pk=... partition dir per validated clip partition)
+    state_dir = tmp_path / "ckpt" / "profile_state"
+    assert sorted(
+        p.name for p in state_dir.iterdir() if p.name.startswith("pk=")
+    ) == ["pk=c000", "pk=c001"]

@@ -172,6 +172,30 @@ def main(argv: list[str] | None = None) -> int:
     )
     store.record_run(result, frontier=frontier)
 
+    # maintain the mergeable profile-state table alongside lineage: only
+    # the partitions this run actually validated get their state row
+    # refreshed (same incremental semantics as resume) — the global
+    # profile then rolls up from the slim state table with no corpus IO.
+    # bytes is deliberately NOT profiled here: the state scan stays
+    # column-pruned to the slim metadata columns.
+    from .functions.stats import profile_state
+    from .sources.synth import with_partition_cols
+
+    keyed = with_partition_cols(clips)
+    validated = (
+        keyed.join(F.broadcast(skip), "partition_key", "left_anti")
+        if skip is not None
+        else keyed
+    )
+    store.record_profile(
+        profile_state(
+            validated,
+            partition_col="partition_key",
+            numeric_columns=["dur_ms", "sr_hz"],
+            distinct_columns=["codec", "clip_id"],
+        )
+    )
+
     verdicts = store.lineage().filter(F.col("run_id") == result.run_id)
     agg = verdicts.agg(
         F.sum("rows_checked").alias("rows"),
