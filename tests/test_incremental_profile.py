@@ -106,6 +106,39 @@ def test_incremental_reprofile_equals_full_recompute(spark, tmp_path):
     assert incremental == full
 
 
+def test_histogram_quantiles_merge(spark):
+    """Fixed-bin histogram states merge by element-wise sum; the
+    interpolated quantile is partitioning-invariant and within one bin
+    width of the exact percentile."""
+    ev = _events(spark)
+    hc = {"value": (0.0, 500.0, 50)}
+    bin_w = 500.0 / 50
+
+    def merged(pk_expr):
+        st = profile_state(
+            ev.withColumn("pk", pk_expr),
+            partition_col="pk",
+            histogram_columns=hc,
+        )
+        return dict(
+            ((r[0], r[1]), r[2]) for r in _collect(merge_profile_states(st))
+        )
+
+    by8 = merged(F.pmod("user_id", F.lit(8)))
+    one = merged(F.lit(0))
+    for stat in ("approx_q25", "approx_median", "approx_q75"):
+        assert by8[("value", stat)] == one[("value", stat)]
+
+    exact = ev.selectExpr(
+        "percentile(value, 0.25D) AS q25",
+        "percentile(value, 0.5D) AS q50",
+        "percentile(value, 0.75D) AS q75",
+    ).collect()[0]
+    assert abs(by8[("value", "approx_q25")] - exact["q25"]) <= bin_w
+    assert abs(by8[("value", "approx_median")] - exact["q50"]) <= bin_w
+    assert abs(by8[("value", "approx_q75")] - exact["q75"]) <= bin_w
+
+
 def test_hll_estimate_regimes(spark):
     ev = _events(spark)
     st = profile_state(

@@ -193,6 +193,7 @@ def profile_state(
     partition_col: str = "partition_key",
     numeric_columns: tuple[str, ...] | list[str] = (),
     distinct_columns: tuple[str, ...] | list[str] = (),
+    histogram_columns: dict[str, tuple[float, float, int]] | None = None,
     lg_config_k: int = 12,
 ) -> DataFrame:
     """One MERGEABLE profile-state row per partition: exact decimal
@@ -221,10 +222,17 @@ def profile_state(
       exact while the sketch is in its coupon-list regime, ~1.6%/sqrt-k
       beyond (callers pick which columns get a sketch accordingly)
 
-    Quantile sketches are deliberately absent: Spark exposes no mergeable
-    quantile state as a binary (percentile_approx is holistic per query),
-    so quartiles stay in the per-run profile_table.
+    Quantiles: Spark exposes no mergeable quantile state as a binary
+    (percentile_approx is holistic per query), so `histogram_columns`
+    carries a fixed-bin histogram instead — `{col: (lo, hi, nbins)}`
+    counts per equal-width bin (out-of-range values clamp to the edge
+    bins), merged by element-wise sum, quantiles estimated by linear
+    interpolation within the covering bin (error ≤ one bin width). The
+    bounds are part of the state (self-describing), and MUST be held
+    fixed across runs for states to merge — the same fixed-grid contract
+    as drift_scores' bins.
     """
+    histogram_columns = dict(histogram_columns or {})
     aggs: list = [F.count(F.lit(1)).alias("rows")]
     for c in numeric_columns:
         vd = F.col(c).cast("decimal(18,2)")
@@ -241,7 +249,26 @@ def profile_state(
                 f"{c}__hll"
             )
         )
-    return df.groupBy(F.col(partition_col).alias("partition_key")).agg(*aggs)
+    for c, (lo, hi, nbins) in histogram_columns.items():
+        width = (float(hi) - float(lo)) / int(nbins)
+        b = F.floor((F.col(c).cast("double") - F.lit(float(lo))) / F.lit(width))
+        b = F.least(F.greatest(b, F.lit(0)), F.lit(int(nbins) - 1))
+        aggs += [
+            F.sum(
+                F.when(F.col(c).isNotNull() & (b == i), 1).otherwise(0)
+            ).cast("long").alias(f"{c}__hb{i}")
+            for i in range(int(nbins))
+        ]
+    out = df.groupBy(F.col(partition_col).alias("partition_key")).agg(*aggs)
+    for c, (lo, hi, nbins) in histogram_columns.items():
+        bins = [f"{c}__hb{i}" for i in range(int(nbins))]
+        out = (
+            out.withColumn(f"{c}__hist", F.array(*bins))
+            .withColumn(f"{c}__hlo", F.lit(float(lo)))
+            .withColumn(f"{c}__hhi", F.lit(float(hi)))
+            .drop(*bins)
+        )
+    return out
 
 
 def merge_profile_states(states: DataFrame) -> DataFrame:
@@ -297,7 +324,58 @@ def merge_profile_states(states: DataFrame) -> DataFrame:
             for col, stat, v in rows_expr
         ]
     )
-    return (
-        g.select(F.explode(structs).alias("s"))
-        .select("s.column", "s.stat", "s.value")
+    long = g.select(F.explode(structs).alias("s")).select(
+        "s.column", "s.stat", "s.value"
     )
+    hist = [f.rsplit("__", 1)[0] for f in states.columns if f.endswith("__hist")]
+    for c in hist:
+        long = long.unionByName(_hist_quantile_rows(states, c))
+    return long
+
+
+def _hist_quantile_rows(
+    states: DataFrame, c: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75)
+) -> DataFrame:
+    """(column, stat, value) quantile estimates from the element-wise sum
+    of per-partition fixed-bin histograms: the covering bin is the first
+    with cumulative count ≥ q·N, interpolated linearly within the bin.
+    Everything operates on the slim (partitions × bins) relation — at any
+    corpus size this is a driver-sized computation expressed as
+    DataFrame ops."""
+    from pyspark.sql import Window
+
+    h = states.select(
+        F.posexplode(f"{c}__hist").alias("bin", "cnt"),
+        F.col(f"{c}__hlo").alias("lo"),
+        F.col(f"{c}__hhi").alias("hi"),
+    )
+    merged = h.groupBy("bin").agg(
+        F.sum("cnt").alias("n"),
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    merged = merged.withColumn("cum", F.sum("n").over(w))
+    totals = merged.agg(
+        F.sum("n").alias("total_n"), F.count(F.lit(1)).alias("nbins")
+    )
+    m = merged.crossJoin(F.broadcast(totals))
+    out = None
+    for q, stat in zip(qs, ("approx_q25", "approx_median", "approx_q75")):
+        target = F.col("total_n") * F.lit(q)
+        width = (F.col("hi") - F.col("lo")) / F.col("nbins")
+        val = F.col("lo") + width * (
+            F.col("bin") + (target - (F.col("cum") - F.col("n"))) / F.col("n")
+        )
+        row = (
+            m.filter((F.col("cum") >= target) & (F.col("n") > 0))
+            .orderBy("bin")
+            .limit(1)
+            .select(
+                F.lit(c).alias("column"),
+                F.lit(stat).alias("stat"),
+                val.alias("value"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
