@@ -193,6 +193,10 @@ def main(argv: list[str] | None = None) -> int:
             partition_col="partition_key",
             numeric_columns=["dur_ms", "sr_hz"],
             distinct_columns=["codec", "clip_id"],
+            # fixed across runs (merge contract): 2x the RangeRule upper
+            # bound so out-of-range clips land in real bins, 40 bins →
+            # quantile error ≤ 100 ms
+            histogram_columns={"dur_ms": (0.0, 4000.0, 40)},
         )
     )
 
