@@ -1,0 +1,118 @@
+"""Declarative ruleset config (operators/config.py).
+
+The reference deploys detectors as declarative .pipe files with template
+parameters and {{ error(...) }} validation; this is the engine's
+equivalent surface, so the contract is (a) exact round-trip, (b) every
+invalid config fails at CONFIG time, (c) a config-built rule set drives
+the engine identically to the hand-built one.
+"""
+
+import json
+
+import pytest
+
+from use_case_real_time_anomaly_detection_spark.operators.config import (
+    RULE_TYPES,
+    dump_ruleset,
+    load_ruleset,
+    rules_from_config,
+    rules_to_config,
+)
+from use_case_real_time_anomaly_detection_spark.operators.rules import (
+    IqrRule,
+    RangeRule,
+    ValueSetRule,
+    ZScoreRule,
+)
+from use_case_real_time_anomaly_detection_spark.plans.clips import default_rules
+
+
+def test_roundtrip_default_ruleset_exact():
+    rules = default_rules(with_audio=True)
+    cfg = rules_to_config(rules)
+    # the document is pure JSON (what a checked-in ruleset file must be)
+    rebuilt = rules_from_config(json.loads(json.dumps(cfg)))
+    assert rebuilt == rules  # frozen dataclasses → field-wise equality
+
+
+def test_every_rule_type_roundtrips():
+    # one instance per registered type, defaults where possible
+    samples = []
+    for tag, cls in sorted(RULE_TYPES.items()):
+        if tag == "range":
+            samples.append(cls("dur_ms", 1, 2))
+        elif tag == "value_set":
+            samples.append(cls("codec", allowed=("pcm16",)))
+        elif tag == "ref_integrity":
+            samples.append(cls("clip_id", ref_table="m", ref_column="clip_id"))
+        elif tag in ("not_null", "rate_of_change", "z_score", "iqr", "drift"):
+            samples.append(cls("dur_ms"))
+        else:
+            samples.append(cls())
+    assert rules_from_config(rules_to_config(samples)) == samples
+
+
+def test_bare_list_and_wrapped_forms_equivalent():
+    entries = [{"type": "range", "column": "dur_ms", "min_value": 1}]
+    assert rules_from_config(entries) == rules_from_config({"rules": entries})
+
+
+def test_json_arrays_become_tuples():
+    (r,) = rules_from_config(
+        [{"type": "value_set", "column": "codec", "allowed": ["pcm16", "mulaw"]}]
+    )
+    assert r == ValueSetRule("codec", allowed=("pcm16", "mulaw"))
+
+
+def test_unknown_type_and_field_fail_at_config_time():
+    with pytest.raises(ValueError, match="unknown rule type 'zscore'"):
+        rules_from_config([{"type": "zscore", "column": "x"}])
+    with pytest.raises(ValueError, match="unknown field 'treshold'"):
+        rules_from_config([{"type": "z_score", "column": "x", "treshold": 3}])
+    with pytest.raises(ValueError, match="needs a 'type' key"):
+        rules_from_config([{"column": "x"}])
+    with pytest.raises(ValueError, match="list"):
+        rules_from_config({"detectors": []})
+
+
+def test_constructor_validation_fires_from_config():
+    # ≙ {{ error('You need to define at least one of ...') }}
+    with pytest.raises(ValueError, match="at least one of min_value/max_value"):
+        rules_from_config([{"type": "range", "column": "dur_ms"}])
+    with pytest.raises(ValueError, match="min_cps < max_cps"):
+        rules_from_config(
+            [{"type": "speech_rate", "min_cps": 9.0, "max_cps": 2.0}]
+        )
+
+
+def test_file_roundtrip_and_engine_equivalence(spark, tmp_path):
+    """A config-built rule set drives the engine to the same violations
+    as the identical hand-built one (one fused run each, no-audio subset
+    to keep it cheap)."""
+    from use_case_real_time_anomaly_detection_spark.operators.engine import (
+        ValidationEngine,
+    )
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        frontier_of,
+        generate_clips,
+        with_partition_cols,
+    )
+
+    hand = [
+        RangeRule("dur_ms", 200, 2000),
+        ZScoreRule("dur_ms", threshold=2.0, window=50, min_periods=10),
+        IqrRule("dur_ms", multiplier=1.5),
+    ]
+    path = str(tmp_path / "ruleset.json")
+    dump_ruleset(hand, path)
+    loaded = load_ruleset(path)
+    assert loaded == hand
+
+    spec = SynthSpec(partitions=4, clips_per_partition=200)
+    clips = with_partition_cols(generate_clips(spark, spec))
+    eng = ValidationEngine(seq_col="seq")
+    got = eng.run(clips, loaded, frontier=frontier_of(spec), run_id="cfg").violations
+    want = eng.run(clips, hand, frontier=frontier_of(spec), run_id="hand").violations
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert want.count() > 0  # the fixture plants violations; prove non-vacuous

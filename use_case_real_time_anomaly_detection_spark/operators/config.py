@@ -1,0 +1,133 @@
+"""Declarative ruleset configuration: JSON document ⇄ rule list.
+
+The reference's rule surface IS a set of declarative files — each
+detector is a ``.pipe`` file whose thresholds are template parameters
+with defaults (min/max bounds: tinybird/pipes/out_of_range.pipe:19-29;
+the scheduled copies pin them: copy_out_of_range.pipe:24-25, and invalid
+parameter combinations abort with ``{{ error(...) }}``
+out_of_range.pipe:28). This module gives our engine the same deployment
+shape: a checked-in JSON document in, a compiled rule list out, with the
+reference's error() behavior preserved — every invalid parameter
+(unknown detector type, misspelled field, impossible bound combination)
+raises at CONFIG time, before any Spark job is scheduled.
+
+Round-trip is exact: ``rules_from_config(rules_to_config(rules)) ==
+rules`` for any rule list (the rules are frozen dataclasses, so equality
+is field-wise). That property is what makes a ruleset diffable and
+promotable across environments the way the reference promotes pipes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+from .rules import (
+    AudioDecodeRule,
+    DriftRule,
+    GapRule,
+    IqrRule,
+    NotNullRule,
+    ProfileSpec,
+    RangeRule,
+    RateOfChangeRule,
+    RefIntegrityRule,
+    SpeechRateRule,
+    TranscriptRule,
+    UniqueRule,
+    ValueSetRule,
+    ZScoreRule,
+)
+
+# type tag → rule class. Tags are the config-file vocabulary; they are
+# deliberately snake_case nouns (what to check), not the detector strings
+# (which are output labels and remain overridable per rule).
+RULE_TYPES = {
+    "range": RangeRule,
+    "not_null": NotNullRule,
+    "value_set": ValueSetRule,
+    "rate_of_change": RateOfChangeRule,
+    "gap": GapRule,
+    "z_score": ZScoreRule,
+    "iqr": IqrRule,
+    "unique": UniqueRule,
+    "ref_integrity": RefIntegrityRule,
+    "drift": DriftRule,
+    "audio_decode": AudioDecodeRule,
+    "transcript": TranscriptRule,
+    "speech_rate": SpeechRateRule,
+    "profile": ProfileSpec,
+}
+_TYPE_OF = {cls: tag for tag, cls in RULE_TYPES.items()}
+
+
+def rules_from_config(cfg) -> list:
+    """Build a rule list from a parsed config document.
+
+    ``cfg`` is either ``{"rules": [...]}`` or the bare list; each entry
+    is ``{"type": "<tag>", <field>: <value>, ...}``. JSON arrays are
+    coerced to the tuples the frozen dataclasses expect. Errors raise
+    ``ValueError`` naming the offending entry — the config-time analog
+    of the reference's ``{{ error(...) }}`` template aborts.
+    """
+    entries = cfg.get("rules") if isinstance(cfg, dict) else cfg
+    if not isinstance(entries, list):
+        raise ValueError("ruleset config must be a list or {'rules': [...]}")
+    rules = []
+    for i, entry in enumerate(entries):
+        if not isinstance(entry, dict) or "type" not in entry:
+            raise ValueError(f"rules[{i}]: each entry needs a 'type' key")
+        tag = entry["type"]
+        cls = RULE_TYPES.get(tag)
+        if cls is None:
+            raise ValueError(
+                f"rules[{i}]: unknown rule type {tag!r} "
+                f"(known: {', '.join(sorted(RULE_TYPES))})"
+            )
+        known = {f.name for f in dataclasses.fields(cls)}
+        params = {}
+        for k, v in entry.items():
+            if k == "type":
+                continue
+            if k not in known:
+                raise ValueError(
+                    f"rules[{i}] ({tag}): unknown field {k!r} "
+                    f"(known: {', '.join(sorted(known))})"
+                )
+            params[k] = tuple(v) if isinstance(v, list) else v
+        # constructor __post_init__ validation (impossible bounds, empty
+        # allowed sets, ...) raises here — before any Spark job exists
+        rules.append(cls(**params))
+    return rules
+
+
+def rules_to_config(rules) -> dict:
+    """Inverse of :func:`rules_from_config`: a JSON-serializable document
+    carrying every field (explicit > minimal — a pinned config should
+    not drift when a code default changes, the same reason the copy
+    pipes pin the template parameters the endpoint pipes default)."""
+    out = []
+    for r in rules:
+        cls = type(r)
+        tag = _TYPE_OF.get(cls)
+        if tag is None:
+            raise ValueError(f"unknown rule class {cls.__name__}")
+        entry = {"type": tag}
+        for f in dataclasses.fields(cls):
+            v = getattr(r, f.name)
+            entry[f.name] = list(v) if isinstance(v, tuple) else v
+        out.append(entry)
+    return {"rules": out}
+
+
+def load_ruleset(path: str) -> list:
+    """Read a ruleset JSON file → rule list."""
+    with open(path, "r", encoding="utf-8") as f:
+        return rules_from_config(json.load(f))
+
+
+def dump_ruleset(rules, path: str) -> None:
+    """Write a rule list as a ruleset JSON file (round-trips exactly)."""
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(rules_to_config(rules), f, indent=2, sort_keys=False)
+        f.write("\n")

@@ -70,6 +70,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "default: max seq present per the synth spec / input",
     )
     p.add_argument("--no-audio", action="store_true", help="skip audio decode rules")
+    p.add_argument(
+        "--rules",
+        default=None,
+        metavar="PATH",
+        help="ruleset JSON (operators/config.py) overriding the built-in "
+        "default rule set; invalid configs abort before any Spark job "
+        "(≙ the reference's {{ error(...) }} template validation)",
+    )
     p.add_argument("--no-resume", action="store_true", help="revalidate everything")
     p.add_argument("--run-id", default=None)
     p.add_argument(
@@ -86,6 +94,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import functions as F
 
+    from .operators.config import load_ruleset
     from .plans.clips import default_rules, validate_clips
     from .session import get_spark
     from .sources.synth import (
@@ -116,7 +125,11 @@ def main(argv: list[str] | None = None) -> int:
             manifest,
             store,
             checkpoint_dir=f"{args.checkpoint_dir}/_stream_ckpt",
-            rules=default_rules(with_audio=not args.no_audio),
+            rules=(
+                load_ruleset(args.rules)
+                if args.rules
+                else default_rules(with_audio=not args.no_audio)
+            ),
         )
         q.awaitTermination()
         lin = store.lineage().filter(F.col("run_id").startswith("stream-"))
@@ -159,7 +172,10 @@ def main(argv: list[str] | None = None) -> int:
     store = CheckpointStore(get_catalog(spark, args.checkpoint_dir))
     skip = None if args.no_resume else store.completed_partitions(frontier)
 
-    rules = default_rules(with_audio=not args.no_audio)
+    if args.rules:
+        rules = load_ruleset(args.rules)
+    else:
+        rules = default_rules(with_audio=not args.no_audio)
     t0 = time.time()
     result = validate_clips(
         clips,
