@@ -642,6 +642,33 @@ def _q_clips_verdicts(spark, sf):
     return _clips_meta_result(spark).verdicts.drop("run_id")  # run_id per-invocation
 
 
+def _q_clips_quarantine(spark, sf):
+    """Quarantine table from the no-audio validation run: one row per
+    individually-implicated clip with its violation count + sorted
+    detector list (operators/engine.quarantine_split)."""
+    from use_case_real_time_anomaly_detection_spark.operators.engine import (
+        quarantine_split,
+    )
+
+    res = _clips_meta_result(spark)
+    meta = spark.read.parquet(_CLIPS_META)
+    _, quar = quarantine_split(meta, res.violations)
+    return quar
+
+
+def _q_clips_clean(spark, sf):
+    """The clean side of quarantine_split: every clip not implicated by a
+    clip-level violation — what flows downstream to training."""
+    from use_case_real_time_anomaly_detection_spark.operators.engine import (
+        quarantine_split,
+    )
+
+    res = _clips_meta_result(spark)
+    meta = spark.read.parquet(_CLIPS_META)
+    clean, _ = quarantine_split(meta, res.violations)
+    return clean.select("clip_id", "codec", "dur_ms")
+
+
 def _q_clips_validate_audio(spark, sf):
     """The COMPLETE engine including the Arrow audio-decode rule. Oracle:
     the non-audio detectors are the same SQL as clips_validate (exact
@@ -1106,6 +1133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "clips_validate": _q_clips_validate,
         "clips_verdicts": _q_clips_verdicts,
+        "clips_quarantine": _q_clips_quarantine,
+        "clips_clean": _q_clips_clean,
         "clips_validate_audio": _q_clips_validate_audio,
         "embed_neardup": _q_embed_neardup,
         "embed_neardup_lsh": _q_embed_neardup_lsh,
@@ -2475,6 +2504,39 @@ FROM (
 ORDER BY clip_id
 """
 
+# quarantine_split's clip-level filter, in SQL: drop partition-level
+# rows (NULL clip_id = drift; 'timeout' names the last clip only as the
+# reference's time-of-last-report idiom, not as a bad row).
+_SQL_CLIPS_QUARANTINE = (
+    "WITH "
+    + _CLIPS_CTES
+    + """,
+clipv AS (
+  SELECT * FROM deduped
+  WHERE clip_id IS NOT NULL AND detector <> 'timeout'
+)
+SELECT partition_key, clip_id,
+       CAST(count(*) AS BIGINT) AS n_violations,
+       string_agg(DISTINCT detector, ',' ORDER BY detector) AS detectors
+FROM clipv
+GROUP BY partition_key, clip_id
+"""
+)
+
+_SQL_CLIPS_CLEAN = (
+    "WITH "
+    + _CLIPS_CTES
+    + """,
+qk AS (
+  SELECT DISTINCT clip_id FROM deduped
+  WHERE clip_id IS NOT NULL AND detector <> 'timeout'
+)
+SELECT c.clip_id, c.codec, c.dur_ms
+FROM c LEFT JOIN qk ON qk.clip_id = c.clip_id
+WHERE qk.clip_id IS NULL
+"""
+)
+
 _SQL_CLIPS_VERDICTS = (
     "WITH "
     + _CLIPS_CTES
@@ -2837,6 +2899,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _SQL_ANN_IVF,
         "clips_validate": _SQL_CLIPS_VALIDATE,
         "clips_verdicts": _SQL_CLIPS_VERDICTS,
+        "clips_quarantine": _SQL_CLIPS_QUARANTINE,
+        "clips_clean": _SQL_CLIPS_CLEAN,
         "clips_profile": _SQL_CLIPS_PROFILE,
         "image_features": _SQL_IMAGE_FEATURES,
         "clips_validate_audio": _SQL_CLIPS_VALIDATE_AUDIO,

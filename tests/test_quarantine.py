@@ -1,0 +1,103 @@
+"""quarantine_split (operators/engine.py): route validated data into a
+clean corpus + a quarantine table with per-clip violation evidence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from use_case_real_time_anomaly_detection_spark.operators.engine import (
+    ValidationEngine,
+    quarantine_split,
+)
+from use_case_real_time_anomaly_detection_spark.plans.clips import default_rules
+from use_case_real_time_anomaly_detection_spark.sources.synth import (
+    SynthSpec,
+    frontier_of,
+    generate_clips,
+    generate_manifest,
+    with_partition_cols,
+)
+
+
+@pytest.fixture(scope="module")
+def split(spark):
+    spec = SynthSpec(partitions=4, clips_per_partition=150)
+    clips = with_partition_cols(generate_clips(spark, spec))
+    manifest = generate_manifest(spark, spec)
+    eng = ValidationEngine(seq_col="seq")
+    res = eng.run(
+        clips,
+        default_rules(with_audio=False, seed=spec.seed),
+        frontier=frontier_of(spec),
+        refs={"clip_manifest": manifest},
+        persist=True,
+    )
+    clean, quar = quarantine_split(clips, res.violations)
+    return clips, res.violations.persist(), clean.persist(), quar.persist()
+
+
+def test_clean_and_quarantine_partition_the_corpus(split):
+    clips, _, clean, quar = split
+    all_ids = {r["clip_id"] for r in clips.select("clip_id").collect()}
+    clean_ids = {r["clip_id"] for r in clean.select("clip_id").collect()}
+    quar_ids = {r["clip_id"] for r in quar.select("clip_id").collect()}
+    # the fixture plants duplicated clip_ids, so compare as KEY sets:
+    # every key is on exactly one side, and nothing is lost
+    assert clean_ids | quar_ids == all_ids
+    assert clean_ids & quar_ids == set()
+    assert quar_ids  # non-vacuous: the fixture plants violations
+
+
+def test_quarantined_rows_carry_their_evidence(split):
+    _, violations, _, quar = split
+    ev = {
+        (r["partition_key"], r["clip_id"]): (r["n_violations"], r["detectors"])
+        for r in quar.collect()
+    }
+    # evidence equals the clip-level violation rows, aggregated
+    expected = (
+        violations.filter(
+            F.col("clip_id").isNotNull() & (F.col("detector") != "timeout")
+        )
+        .groupBy("partition_key", "clip_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.array_sort(F.collect_set("detector")).alias("ds"),
+        )
+    )
+    for r in expected.collect():
+        n, ds = ev[(r["partition_key"], r["clip_id"])]
+        assert n == r["n"]
+        assert ds == ",".join(r["ds"])
+        assert ds == ",".join(sorted(ds.split(",")))  # stable sorted string
+
+
+def test_partition_level_detectors_do_not_quarantine(split):
+    _, violations, clean, quar = split
+    # drift rows (NULL clip_id) and the timeout row (names the stale
+    # partition's LAST clip, not a bad row) must not pull clips out
+    stale = [
+        r["clip_id"]
+        for r in violations.filter(F.col("detector") == "timeout").collect()
+    ]
+    assert stale  # fixture has a stopped partition
+    clip_level = {
+        r["clip_id"]
+        for r in violations.filter(
+            F.col("clip_id").isNotNull() & (F.col("detector") != "timeout")
+        ).collect()
+    }
+    clean_ids = {r["clip_id"] for r in clean.select("clip_id").collect()}
+    for cid in stale:
+        if cid not in clip_level:  # unless independently implicated
+            assert cid in clean_ids
+
+
+def test_duplicated_keys_quarantine_every_copy(split):
+    clips, violations, clean, _ = split
+    dup_keys = [
+        r["clip_id"]
+        for r in violations.filter(F.col("detector") == "unique").collect()
+    ]
+    assert dup_keys  # fixture plants duplicates
+    remaining = clean.filter(F.col("clip_id").isin(dup_keys)).count()
+    assert remaining == 0  # strict: ALL copies of a duplicated key routed out

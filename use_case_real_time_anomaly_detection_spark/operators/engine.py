@@ -174,3 +174,54 @@ class ValidationEngine:
                 F.lit(frontier).cast("long").alias("completed_at_seq"),
             )
         )
+
+
+def quarantine_split(
+    df: DataFrame,
+    violations: DataFrame,
+    *,
+    key_col: str = "clip_id",
+    partition_level_detectors: tuple = ("timeout",),
+    broadcast_keys: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Route validated data: (clean, quarantine) from a validation run.
+
+    The reference stops at the violations log (copy_log — its consumers
+    triage by hand); a training-data pipeline additionally needs the
+    corpus SPLIT so only verified rows flow downstream. Semantics:
+
+    - ``quarantine`` — one row per clip individually implicated by a
+      violation: (partition_key, clip_id, n_violations, detectors) with
+      ``detectors`` the sorted comma-joined distinct detector names (a
+      stable string, so the table is diffable and oracle-comparable).
+    - ``clean`` — every input row whose key is NOT quarantined.
+
+    Partition-level conditions do not indict individual clips, so they
+    never quarantine rows: violations with a NULL clip_id (drift) are
+    skipped, as are ``partition_level_detectors`` (timeout names the
+    partition's LAST clip only as the reference's 'time of last report'
+    idiom — copy_timeout.pipe:39 — not as a bad row). Uniqueness
+    violations name the duplicated key, so ALL copies of a duplicated
+    clip are quarantined (strict: triage decides which copy returns).
+
+    Scale: the quarantine key set is violation-sized (≪ corpus in any
+    healthy run), so the clean-side anti-join is broadcast by default —
+    the corpus never shuffles. Set ``broadcast_keys=False`` for
+    pathological runs where violations approach corpus size (the
+    anti-join then shuffles both sides instead of OOMing the driver).
+    """
+    clip_level = violations.filter(
+        F.col("clip_id").isNotNull()
+        & ~F.col("detector").isin(*partition_level_detectors)
+    )
+    quarantine = clip_level.groupBy("partition_key", "clip_id").agg(
+        F.count(F.lit(1)).alias("n_violations"),
+        F.array_join(F.array_sort(F.collect_set("detector")), ",").alias(
+            "detectors"
+        ),
+    )
+    keys = quarantine.select(F.col("clip_id").alias(key_col)).distinct()
+    if broadcast_keys:
+        keys = F.broadcast(keys)
+    clean = df.join(keys, key_col, "left_anti")
+    return clean, quarantine

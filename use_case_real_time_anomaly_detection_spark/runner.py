@@ -78,6 +78,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "default rule set; invalid configs abort before any Spark job "
         "(≙ the reference's {{ error(...) }} template validation)",
     )
+    p.add_argument(
+        "--quarantine",
+        action="store_true",
+        help="also maintain the quarantine table (one row per clip "
+        "individually implicated by a violation; partition-overwritten "
+        "for the partitions this run validated, so re-runs are "
+        "idempotent). Downstream derives the clean corpus via anti-join "
+        "against it — the scale-correct artifact (violation-sized), vs "
+        "rewriting the corpus itself",
+    )
     p.add_argument("--no-resume", action="store_true", help="revalidate everything")
     p.add_argument("--run-id", default=None)
     p.add_argument(
@@ -187,6 +197,16 @@ def main(argv: list[str] | None = None) -> int:
         persist=True,
     )
     store.record_run(result, frontier=frontier)
+
+    if args.quarantine:
+        from .operators.engine import quarantine_split
+
+        _, quar = quarantine_split(clips, result.violations)
+        # same idempotence contract as violations/lineage: only the
+        # partitions this run validated are replaced
+        store.catalog.overwrite_partitions(
+            quar, "quarantine", partition_by=["partition_key"]
+        )
 
     # maintain the mergeable profile-state table alongside lineage: only
     # the partitions this run actually validated get their state row
