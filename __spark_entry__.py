@@ -601,7 +601,12 @@ def _ensure_clips_oracle_files() -> None:
     )
 
 
-def _clips_meta_result(spark):
+def _clips_meta_result(spark, seq_cap=None):
+    """Validation run over the materialized clip-metadata fixture.
+    ``seq_cap`` reproduces an EARLIER run that had only seen clips with
+    seq <= cap (frontier = cap) — the prev side of verdict_regression."""
+    from pyspark.sql import functions as F
+
     from use_case_real_time_anomaly_detection_spark.operators.rules import IqrRule, ProfileSpec
     from use_case_real_time_anomaly_detection_spark.plans.clips import default_rules
     from use_case_real_time_anomaly_detection_spark.sources.synth import SynthSpec
@@ -611,6 +616,10 @@ def _clips_meta_result(spark):
     # both engines read the SAME materialized table
     meta2 = spark.read.parquet(_CLIPS_META)
     man2 = spark.read.parquet(_CLIPS_MAN)
+    if seq_cap is not None:
+        meta2 = meta2.filter(
+            F.substring("clip_id", 6, 9).cast("long") <= seq_cap
+        )
     rules = []
     for r in default_rules(with_audio=False, seed=spec.seed):
         if isinstance(r, IqrRule):
@@ -629,9 +638,21 @@ def _clips_meta_result(spark):
     return engine.run(
         meta2,
         rules,
-        frontier=frontier_of(spec),
+        frontier=seq_cap if seq_cap is not None else frontier_of(spec),
         refs={"clip_manifest": man2},
     )
+
+
+def _q_verdict_regression(spark, sf):
+    """Run-over-run verdict diff: the run that had seen seq <= 94
+    (frontier 94) vs the full-table run — operators/engine.verdict_diff."""
+    from use_case_real_time_anomaly_detection_spark.operators.engine import (
+        verdict_diff,
+    )
+
+    prev = _clips_meta_result(spark, seq_cap=94).verdicts
+    cur = _clips_meta_result(spark).verdicts
+    return verdict_diff(prev.drop("run_id"), cur.drop("run_id"))
 
 
 def _q_clips_validate(spark, sf):
@@ -1135,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_verdicts": _q_clips_verdicts,
         "clips_quarantine": _q_clips_quarantine,
         "clips_clean": _q_clips_clean,
+        "verdict_regression": _q_verdict_regression,
         "clips_validate_audio": _q_clips_validate_audio,
         "embed_neardup": _q_embed_neardup,
         "embed_neardup_lsh": _q_embed_neardup_lsh,
@@ -2107,12 +2129,24 @@ def _sql_drift(column: str, detector: str) -> str:
 """
 
 
-_CLIPS_CTES = f"""
+def _clips_ctes(*, seq_cap: int | None = None, frontier: int = _CLIPS_FRONTIER) -> str:
+    """The clip-validation detector chain as DuckDB CTEs, parameterized
+    by run horizon: ``seq_cap`` restricts the input to clips with
+    seq <= cap (an EARLIER run that had seen less data) and ``frontier``
+    is that run's frozen NOW — together they reproduce any historical
+    run for the run-over-run verdict diff oracle."""
+    seq_filter = (
+        f"WHERE CAST(substring(clip_id, 6, 9) AS BIGINT) <= {seq_cap}"
+        if seq_cap is not None
+        else ""
+    )
+    return f"""
 c AS (
   SELECT clip_id, substring(clip_id, 1, 4) AS partition_key,
          CAST(substring(clip_id, 6, 9) AS BIGINT) AS seq,
          sr_hz, dur_ms, codec, transcript
   FROM read_parquet('{_CLIPS_META}/*.parquet')
+  {seq_filter}
 ),
 man AS (SELECT * FROM read_parquet('{_CLIPS_MAN}/*.parquet')),
 j AS (
@@ -2203,7 +2237,7 @@ unioned AS (
          CAST(max(seq) AS VARCHAR),
          'seq is last reported seq'
   FROM c GROUP BY partition_key
-  HAVING max(seq) < {_CLIPS_FRONTIER} - 5
+  HAVING max(seq) < {frontier} - 5
   UNION ALL
   SELECT partition_key, clip_id, 'unique',
          CAST(count(*) AS VARCHAR),
@@ -2224,6 +2258,9 @@ deduped AS (
   ) WHERE rn = 1
 )
 """
+
+
+_CLIPS_CTES = _clips_ctes()
 
 _SQL_CLIPS_VALIDATE = (
     "WITH " + _CLIPS_CTES + "\nSELECT partition_key, clip_id, detector, observed, note FROM deduped"
@@ -2537,10 +2574,15 @@ WHERE qk.clip_id IS NULL
 """
 )
 
-_SQL_CLIPS_VERDICTS = (
-    "WITH "
-    + _CLIPS_CTES
-    + f""",
+def _sql_clips_verdicts(
+    *, seq_cap: int | None = None, frontier: int = _CLIPS_FRONTIER
+) -> str:
+    """Verdict table (one row per partition x detector) for the run
+    horizon given by (seq_cap, frontier) — see _clips_ctes."""
+    return (
+        "WITH "
+        + _clips_ctes(seq_cap=seq_cap, frontier=frontier)
+        + f""",
 rc AS (SELECT partition_key, count(*) AS rows_checked FROM c GROUP BY partition_key),
 det AS (SELECT unnest({list(_CLIP_DETECTORS)!r}) AS detector),
 vc AS (
@@ -2551,11 +2593,43 @@ SELECT rc.partition_key, det.detector,
        (COALESCE(vc.n, 0) = 0) AS "pass",
        CAST(COALESCE(vc.n, 0) AS BIGINT) AS violation_count,
        CAST(rc.rows_checked AS BIGINT) AS rows_checked,
-       CAST({_CLIPS_FRONTIER} AS BIGINT) AS completed_at_seq
+       CAST({frontier} AS BIGINT) AS completed_at_seq
 FROM rc CROSS JOIN det
 LEFT JOIN vc ON vc.partition_key = rc.partition_key AND vc.detector = det.detector
 """
-)
+    )
+
+
+_SQL_CLIPS_VERDICTS = _sql_clips_verdicts()
+
+# run-over-run regression: the same verdict SQL at two run horizons
+# (prev: the run that had only seen seq <= 99, frontier 99; cur: the
+# full-table run), full-outer-joined into transition statuses — the SQL
+# twin of operators/engine.verdict_diff.
+_PREV_SEQ_CAP = 94  # chosen so every transition status occurs: the stopped
+# partition (stops at seq 89) is NOT yet stale at frontier 94 -> timeout
+# flips to new-failure at the full frontier; one stats detector flips to fixed
+_SQL_VERDICT_REGRESSION = f"""
+SELECT
+  COALESCE(p.partition_key, q.partition_key) AS partition_key,
+  COALESCE(p.detector, q.detector) AS detector,
+  CASE
+    WHEN p.detector IS NULL AND q."pass" THEN 'added-passing'
+    WHEN p.detector IS NULL THEN 'added-failing'
+    WHEN q.detector IS NULL THEN 'removed'
+    WHEN p."pass" AND NOT q."pass" THEN 'new-failure'
+    WHEN NOT p."pass" AND q."pass" THEN 'fixed'
+    WHEN NOT p."pass" THEN 'still-failing'
+    ELSE 'still-passing'
+  END AS status,
+  p.violation_count AS prev_violations,
+  q.violation_count AS cur_violations,
+  CAST(COALESCE(q.violation_count, 0) - COALESCE(p.violation_count, 0)
+       AS BIGINT) AS delta
+FROM ({_sql_clips_verdicts(seq_cap=_PREV_SEQ_CAP, frontier=_PREV_SEQ_CAP)}) p
+FULL OUTER JOIN ({_sql_clips_verdicts()}) q
+  ON p.partition_key = q.partition_key AND p.detector = q.detector
+"""
 
 
 def _profile_stats_sql() -> str:
@@ -2901,6 +2975,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_verdicts": _SQL_CLIPS_VERDICTS,
         "clips_quarantine": _SQL_CLIPS_QUARANTINE,
         "clips_clean": _SQL_CLIPS_CLEAN,
+        "verdict_regression": _SQL_VERDICT_REGRESSION,
         "clips_profile": _SQL_CLIPS_PROFILE,
         "image_features": _SQL_IMAGE_FEATURES,
         "clips_validate_audio": _SQL_CLIPS_VALIDATE_AUDIO,

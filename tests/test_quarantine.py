@@ -101,3 +101,47 @@ def test_duplicated_keys_quarantine_every_copy(split):
     assert dup_keys  # fixture plants duplicates
     remaining = clean.filter(F.col("clip_id").isin(dup_keys)).count()
     assert remaining == 0  # strict: ALL copies of a duplicated key routed out
+
+
+def test_verdict_diff_all_statuses(spark):
+    """verdict_diff over constructed verdict frames: every transition
+    status, including pairs present on only one side."""
+    from use_case_real_time_anomaly_detection_spark.operators.engine import (
+        verdict_diff,
+    )
+
+    cols = "partition_key string, detector string, pass boolean, violation_count long"
+    prev = spark.createDataFrame(
+        [
+            ("p0", "range", True, 0),    # -> new-failure
+            ("p0", "unique", False, 3),  # -> fixed
+            ("p1", "range", False, 2),   # -> still-failing (delta +3)
+            ("p1", "unique", True, 0),   # -> still-passing
+            ("p2", "range", False, 1),   # -> removed (partition dropped)
+        ],
+        cols,
+    )
+    cur = spark.createDataFrame(
+        [
+            ("p0", "range", False, 5),
+            ("p0", "unique", True, 0),
+            ("p1", "range", False, 5),
+            ("p1", "unique", True, 0),
+            ("p3", "range", False, 7),   # -> added-failing
+            ("p3", "unique", True, 0),   # -> added-passing
+        ],
+        cols,
+    )
+    got = {
+        (r["partition_key"], r["detector"]): (r["status"], r["delta"])
+        for r in verdict_diff(prev, cur).collect()
+    }
+    assert got == {
+        ("p0", "range"): ("new-failure", 5),
+        ("p0", "unique"): ("fixed", -3),
+        ("p1", "range"): ("still-failing", 3),
+        ("p1", "unique"): ("still-passing", 0),
+        ("p2", "range"): ("removed", -1),
+        ("p3", "range"): ("added-failing", 7),
+        ("p3", "unique"): ("added-passing", 0),
+    }

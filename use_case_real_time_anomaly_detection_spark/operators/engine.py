@@ -225,3 +225,77 @@ def quarantine_split(
         keys = F.broadcast(keys)
     clean = df.join(keys, key_col, "left_anti")
     return clean, quarantine
+
+
+def verdict_diff(prev: DataFrame, cur: DataFrame) -> DataFrame:
+    """Run-over-run regression report: per (partition, detector), how the
+    verdict moved between two validation runs.
+
+    The reference's operational loop is exactly this comparison done by a
+    human watching the Grafana board (dashboard/anomaly-detection.json —
+    per-detector anomaly panels refreshed per run); here it is a
+    first-class relation so an orchestrator can gate promotion on
+    "no new-failure rows". Statuses: ``new-failure`` (passed before,
+    fails now — the promotion blocker), ``fixed``, ``still-failing``,
+    ``still-passing``, plus ``added-passing``/``added-failing`` (pair
+    present only in the current run — new partition or detector) and
+    ``removed`` (present only in the previous run). ``delta`` is the
+    violation-count movement, 0-coalesced on missing sides.
+
+    Scale: verdict tables are (partitions x detectors) — slim by
+    construction no matter the corpus size; the full-outer semantics are
+    built from two broadcast joins (see inline note) so the diff plan
+    has zero shuffles.
+    """
+    p = prev.select(
+        "partition_key",
+        "detector",
+        F.col("pass").alias("__prev_pass"),
+        F.col("violation_count").alias("prev_violations"),
+    )
+    c = cur.select(
+        "partition_key",
+        "detector",
+        F.col("pass").alias("__cur_pass"),
+        F.col("violation_count").alias("cur_violations"),
+    )
+    # full-outer as (left-outer ∪ right-anti): Spark's BroadcastHashJoin
+    # does not support FullOuter, so a literal full_outer would compile
+    # to a SortMergeJoin with two shuffles; both halves of this rewrite
+    # broadcast the verdict-sized side instead, and the union is of two
+    # disjoint row sets (matched-or-prev-only, cur-only) so no dedup is
+    # needed.
+    keys = ["partition_key", "detector"]
+    matched_or_prev = p.join(F.broadcast(c), keys, "left_outer")
+    cur_only = (
+        c.join(F.broadcast(p.select(*keys)), keys, "left_anti")
+        .withColumn("__prev_pass", F.lit(None).cast("boolean"))
+        .withColumn("prev_violations", F.lit(None).cast("long"))
+    )
+    j = matched_or_prev.unionByName(cur_only)
+    status = (
+        F.when(
+            F.col("__prev_pass").isNull(),
+            F.when(F.col("__cur_pass"), F.lit("added-passing")).otherwise(
+                F.lit("added-failing")
+            ),
+        )
+        .when(F.col("__cur_pass").isNull(), F.lit("removed"))
+        .when(F.col("__prev_pass") & ~F.col("__cur_pass"), F.lit("new-failure"))
+        .when(~F.col("__prev_pass") & F.col("__cur_pass"), F.lit("fixed"))
+        .when(~F.col("__prev_pass"), F.lit("still-failing"))
+        .otherwise(F.lit("still-passing"))
+    )
+    return j.select(
+        "partition_key",
+        "detector",
+        status.alias("status"),
+        "prev_violations",
+        "cur_violations",
+        (
+            F.coalesce(F.col("cur_violations"), F.lit(0))
+            - F.coalesce(F.col("prev_violations"), F.lit(0))
+        )
+        .cast("long")
+        .alias("delta"),
+    )
