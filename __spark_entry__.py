@@ -650,8 +650,12 @@ def _q_verdict_regression(spark, sf):
         verdict_diff,
     )
 
-    prev = _clips_meta_result(spark, seq_cap=94).verdicts
-    cur = _clips_meta_result(spark).verdicts
+    # in production the diff reads two MATERIALIZED lineage tables (the
+    # runner's checkpoint store), never recomputes runs inline — mirror
+    # that: materialize each run's slim verdict frame (56 rows) so the
+    # diff plan is two ExistingRDD scans, not two re-derived engine runs
+    prev = _clips_meta_result(spark, seq_cap=94).verdicts.localCheckpoint()
+    cur = _clips_meta_result(spark).verdicts.localCheckpoint()
     return verdict_diff(prev.drop("run_id"), cur.drop("run_id"))
 
 

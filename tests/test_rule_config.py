@@ -116,3 +116,74 @@ def test_file_roundtrip_and_engine_equivalence(spark, tmp_path):
     want = eng.run(clips, hand, frontier=frontier_of(spec), run_id="hand").violations
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert want.count() > 0  # the fixture plants violations; prove non-vacuous
+
+
+def test_schema_contract_pass_and_column_order(spark):
+    from use_case_real_time_anomaly_detection_spark.operators.schema import (
+        CLIPS_TABLE_SCHEMA,
+        enforce_schema,
+    )
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        generate_clips,
+        with_partition_cols,
+    )
+
+    clips = with_partition_cols(generate_clips(spark, SynthSpec(2, 20)))
+    shuffled = clips.select(*reversed(clips.columns))
+    out = enforce_schema(shuffled, CLIPS_TABLE_SCHEMA)
+    # declared columns first, in declared order; extras preserved after
+    assert out.columns[:6] == [
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"
+    ]
+    assert set(out.columns) == set(clips.columns)
+
+
+def test_schema_contract_reports_every_defect(spark):
+    from use_case_real_time_anomaly_detection_spark.operators.schema import (
+        ColumnSpec,
+        SchemaMismatch,
+        TableSchema,
+        check_schema,
+        enforce_schema,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, "x")], "clip_id string, sr_hz bigint, stray string"
+    )
+    schema = TableSchema(
+        columns=(
+            ColumnSpec("clip_id", "string"),
+            ColumnSpec("sr_hz", "int"),      # mis-typed (bigint)
+            ColumnSpec("dur_ms", "int"),     # missing
+        ),
+        allow_extra=False,                   # 'stray' is extra
+    )
+    problems = check_schema(df, schema)
+    assert len(problems) == 3
+    assert any("expected int, got bigint" in p for p in problems)
+    assert any("missing column 'dur_ms'" in p for p in problems)
+    assert any("extra column 'stray'" in p for p in problems)
+    with pytest.raises(SchemaMismatch) as ei:
+        enforce_schema(df, schema)
+    assert ei.value.problems == problems  # ALL defects in one failure
+
+
+def test_schema_roundtrips_through_ruleset_document(tmp_path):
+    import json as _json
+
+    from use_case_real_time_anomaly_detection_spark.operators.config import (
+        load_ruleset_document,
+        rules_to_config,
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.schema import (
+        CLIPS_TABLE_SCHEMA,
+    )
+
+    doc = rules_to_config(default_rules(with_audio=False))
+    doc["schema"] = CLIPS_TABLE_SCHEMA.to_config()
+    path = tmp_path / "ruleset.json"
+    path.write_text(_json.dumps(doc))
+    rules, schema = load_ruleset_document(str(path))
+    assert schema == CLIPS_TABLE_SCHEMA
+    assert rules == default_rules(with_audio=False)

@@ -120,10 +120,30 @@ def rules_to_config(rules) -> dict:
     return {"rules": out}
 
 
+def schema_from_config(cfg) -> "TableSchema | None":
+    """Optional ``"schema"`` key of a ruleset document → TableSchema
+    (operators/schema.py), or None if the document declares none. Lets
+    one checked-in file carry the full contract: table shape + rules,
+    the way a reference datasource file carries SCHEMA> + engine keys
+    (tinybird/datasources/incoming_data.datasource:2-9)."""
+    from .schema import TableSchema
+
+    if not isinstance(cfg, dict) or "schema" not in cfg:
+        return None
+    return TableSchema.from_config(cfg["schema"])
+
+
 def load_ruleset(path: str) -> list:
     """Read a ruleset JSON file → rule list."""
     with open(path, "r", encoding="utf-8") as f:
         return rules_from_config(json.load(f))
+
+
+def load_ruleset_document(path: str) -> tuple[list, "TableSchema | None"]:
+    """Read a ruleset JSON file → (rules, declared table schema or None)."""
+    with open(path, "r", encoding="utf-8") as f:
+        doc = json.load(f)
+    return rules_from_config(doc), schema_from_config(doc)
 
 
 def dump_ruleset(rules, path: str) -> None:

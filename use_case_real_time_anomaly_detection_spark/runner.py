@@ -104,7 +104,8 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import functions as F
 
-    from .operators.config import load_ruleset
+    from .operators.config import load_ruleset_document
+    from .operators.schema import CLIPS_TABLE_SCHEMA, enforce_schema
     from .plans.clips import default_rules, validate_clips
     from .session import get_spark
     from .sources.synth import (
@@ -136,7 +137,7 @@ def main(argv: list[str] | None = None) -> int:
             store,
             checkpoint_dir=f"{args.checkpoint_dir}/_stream_ckpt",
             rules=(
-                load_ruleset(args.rules)
+                load_ruleset_document(args.rules)[0]
                 if args.rules
                 else default_rules(with_audio=not args.no_audio)
             ),
@@ -183,9 +184,15 @@ def main(argv: list[str] | None = None) -> int:
     skip = None if args.no_resume else store.completed_partitions(frontier)
 
     if args.rules:
-        rules = load_ruleset(args.rules)
+        rules, declared_schema = load_ruleset_document(args.rules)
     else:
         rules = default_rules(with_audio=not args.no_audio)
+        declared_schema = None
+    # pre-flight schema gate: driver-side metadata comparison only (no
+    # job) — a mis-typed upstream column aborts here, not mid-scan.
+    # The ruleset document's "schema" key overrides the built-in clip
+    # contract (BASELINE.json input_hint shape).
+    clips = enforce_schema(clips, declared_schema or CLIPS_TABLE_SCHEMA)
     t0 = time.time()
     result = validate_clips(
         clips,
