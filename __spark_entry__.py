@@ -694,6 +694,22 @@ def _q_clips_clean(spark, sf):
     return clean.select("clip_id", "codec", "dur_ms")
 
 
+def _q_clips_topk(spark, sf):
+    """Frequent-items profile of the categorical clip columns
+    (functions/stats.topk_values): top-3 values per (partition, column)."""
+    from pyspark.sql import functions as F
+
+    from use_case_real_time_anomaly_detection_spark.functions.stats import (
+        topk_values,
+    )
+
+    _ensure_clips_oracle_files()
+    meta = spark.read.parquet(_CLIPS_META).withColumn(
+        "partition_key", F.substring("clip_id", 1, 4)
+    )
+    return topk_values(meta, ["codec", "sr_hz"], k=3)
+
+
 def _q_clips_validate_audio(spark, sf):
     """The COMPLETE engine including the Arrow audio-decode rule. Oracle:
     the non-audio detectors are the same SQL as clips_validate (exact
@@ -1160,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_verdicts": _q_clips_verdicts,
         "clips_quarantine": _q_clips_quarantine,
         "clips_clean": _q_clips_clean,
+        "clips_topk": _q_clips_topk,
         "verdict_regression": _q_verdict_regression,
         "clips_validate_audio": _q_clips_validate_audio,
         "embed_neardup": _q_embed_neardup,
@@ -2604,6 +2621,29 @@ LEFT JOIN vc ON vc.partition_key = rc.partition_key AND vc.detector = det.detect
     )
 
 
+
+_SQL_CLIPS_TOPK = f"""
+WITH c AS (
+  SELECT substring(clip_id, 1, 4) AS partition_key, codec, sr_hz
+  FROM read_parquet('{_CLIPS_META}/*.parquet')
+),
+u AS (
+  SELECT partition_key, 'codec' AS "column", codec AS value FROM c WHERE codec IS NOT NULL
+  UNION ALL
+  SELECT partition_key, 'sr_hz', CAST(sr_hz AS VARCHAR) FROM c WHERE sr_hz IS NOT NULL
+),
+g AS (
+  SELECT partition_key, "column", value, count(*) AS n
+  FROM u GROUP BY partition_key, "column", value
+)
+SELECT partition_key, "column", value, CAST(n AS BIGINT) AS n, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY partition_key, "column" ORDER BY n DESC, value ASC) AS rank
+  FROM g
+) WHERE rank <= 3
+"""
+
 _SQL_CLIPS_VERDICTS = _sql_clips_verdicts()
 
 # run-over-run regression: the same verdict SQL at two run horizons
@@ -2979,6 +3019,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_verdicts": _SQL_CLIPS_VERDICTS,
         "clips_quarantine": _SQL_CLIPS_QUARANTINE,
         "clips_clean": _SQL_CLIPS_CLEAN,
+        "clips_topk": _SQL_CLIPS_TOPK,
         "verdict_regression": _SQL_VERDICT_REGRESSION,
         "clips_profile": _SQL_CLIPS_PROFILE,
         "image_features": _SQL_IMAGE_FEATURES,

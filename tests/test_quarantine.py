@@ -145,3 +145,34 @@ def test_verdict_diff_all_statuses(spark):
         ("p3", "range"): ("added-failing", 7),
         ("p3", "unique"): ("added-passing", 0),
     }
+
+
+def test_topk_values_exact_and_deterministic(spark):
+    """topk_values (functions/stats.py): exact counts, rank by
+    (count DESC, value ASC), nulls excluded, k enforced per group."""
+    from use_case_real_time_anomaly_detection_spark.functions.stats import (
+        topk_values,
+    )
+
+    df = spark.createDataFrame(
+        [("p0", "a", 1), ("p0", "a", 1), ("p0", "b", 2), ("p0", None, 2),
+         ("p0", "c", None), ("p1", "b", 3)],
+        "partition_key string, codec string, sr int",
+    )
+    out = topk_values(df, ["codec", "sr"], k=2)
+    rows = {
+        (r["partition_key"], r["column"], r["value"]): (r["n"], r["rank"])
+        for r in out.collect()
+    }
+    assert rows[("p0", "codec", "a")] == (2, 1)
+    assert rows[("p0", "codec", "b")] == (1, 2)
+    assert ("p0", "codec", "c") in rows or rows[("p0", "codec", "b")][1] == 2
+    # k=2 cap: only 2 codec rows for p0 even though 3 distinct values
+    assert sum(1 for k2 in rows if k2[0] == "p0" and k2[1] == "codec") == 2
+    # ties broken by value ASC: b and c both count 1 -> b wins rank 2
+    assert ("p0", "codec", "c") not in rows
+    # ints stringified, nulls never counted; '1' and '2' tie at count 2
+    # (sr=2 appears on the b row AND the null-codec row) -> value ASC
+    assert rows[("p0", "sr", "1")] == (2, 1)
+    assert rows[("p0", "sr", "2")] == (2, 2)
+    assert rows[("p1", "sr", "3")] == (1, 1)

@@ -379,3 +379,52 @@ def _hist_quantile_rows(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def topk_values(
+    df: DataFrame,
+    columns: list,
+    *,
+    k: int = 5,
+    partition_col: str = "partition_key",
+) -> DataFrame:
+    """Frequent-items profile: the top-k most frequent values per
+    (partition, column), with counts — the categorical complement of
+    profile_table's numeric stats (a codec mix flipping from 90/10 to
+    50/50 is invisible to min/max/null-rate but obvious here; the
+    reference surfaces exactly this as its per-detector GROUP BY counts,
+    tinybird/pipes/anomalies_summary_api.pipe).
+
+    Output: (partition_key, column, value:string, n, rank), rank 1..k by
+    (count DESC, value ASC) — the value tie-break makes the relation
+    deterministic, so it is diffable across runs and engine-comparable.
+
+    Scale shape: one unpivot projection (no shuffle) → one partial-agg
+    groupBy per (partition, column, value) → a rank window over groups
+    of at most |distinct values| rows. Exact counting is the right call
+    for the categorical columns this profiles (codec, sr_hz: tiny
+    domains); for genuinely high-cardinality columns the groupBy state
+    is the full domain per partition — cap those with a domain check
+    (ValueSetRule) or profile approx_distinct instead, as noted here
+    rather than silently sketching.
+    """
+    from pyspark.sql import Window
+
+    pairs = []
+    for c in columns:
+        pairs += [F.lit(c), F.col(c).cast("string")]
+    unpivoted = df.select(
+        F.col(partition_col),
+        F.explode(F.create_map(*pairs)).alias("column", "value"),
+    ).filter(F.col("value").isNotNull())
+    counts = unpivoted.groupBy(partition_col, "column", "value").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy(partition_col, "column").orderBy(
+        F.col("n").desc(), F.col("value").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(partition_col, "column", "value", "n", "rank")
+    )
