@@ -176,3 +176,53 @@ def test_topk_values_exact_and_deterministic(spark):
     assert rows[("p0", "sr", "1")] == (2, 1)
     assert rows[("p0", "sr", "2")] == (2, 2)
     assert rows[("p1", "sr", "3")] == (1, 1)
+
+
+def test_fail_threshold_rate_tolerance(spark, split):
+    """fail_threshold gates verdicts on violation RATE; violations are
+    emitted identically either way; 0.0 == exact reference semantics."""
+    clips, violations, _, _ = split
+    from use_case_real_time_anomaly_detection_spark.operators.engine import (
+        ValidationEngine,
+    )
+    from use_case_real_time_anomaly_detection_spark.plans.clips import default_rules
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        frontier_of,
+        generate_manifest,
+    )
+
+    spec = SynthSpec(partitions=4, clips_per_partition=150)
+    manifest = generate_manifest(spark, spec)
+    eng = ValidationEngine(seq_col="seq")
+    kw = dict(
+        frontier=frontier_of(spec), refs={"clip_manifest": manifest}
+    )
+    rules = default_rules(with_audio=False, seed=spec.seed)
+    strict = eng.run(clips, rules, run_id="s", **kw)
+    loose = eng.run(clips, rules, run_id="l", fail_threshold=0.10, **kw)
+
+    sv = {(r["partition_key"], r["detector"]): r for r in strict.verdicts.collect()}
+    lv = {(r["partition_key"], r["detector"]): r for r in loose.verdicts.collect()}
+    assert sv.keys() == lv.keys()
+    flipped = 0
+    for k in sv:
+        s, l = sv[k], lv[k]
+        # identical counts; only the verdict bit may move
+        assert (s["violation_count"], s["rows_checked"]) == (
+            l["violation_count"], l["rows_checked"])
+        assert s["pass"] == (s["violation_count"] == 0)
+        assert l["pass"] == (
+            s["violation_count"] <= 0.10 * s["rows_checked"])
+        flipped += s["pass"] != l["pass"]
+    assert flipped > 0  # the fixture has low-rate violating partitions
+
+    # violations unchanged by the threshold (None-safe sort key: drift
+    # rows carry NULL clip_id)
+    key = lambda t: tuple("" if v is None else str(v) for v in t)
+    assert sorted(map(tuple, strict.violations.collect()), key=key) == sorted(
+        map(tuple, loose.violations.collect()), key=key)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="fail_threshold"):
+        eng.run(clips, rules, fail_threshold=1.0, **kw)

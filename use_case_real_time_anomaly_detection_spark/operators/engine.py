@@ -67,6 +67,7 @@ class ValidationEngine:
         run_id: str | None = None,
         persist: bool = False,
         window_chunk_size: int | None = None,
+        fail_threshold: float = 0.0,
     ) -> RunResult:
         """Compile + evaluate ``rules`` over ``df`` (lazy: returned
         DataFrames trigger execution on action).
@@ -75,7 +76,20 @@ class ValidationEngine:
         completed partitions (the resume path: anti-join, ≙ the
         reference's at-least-once overlap being made idempotent —
         SURVEY.md §2.8.4). ``frontier`` freezes "now" (SURVEY.md §4.3).
+
+        ``fail_threshold`` — per-partition pass tolerance as a violation
+        RATE: pass iff violation_count <= fail_threshold * rows_checked.
+        The default 0.0 is the reference's exact semantics (any
+        violation fails the partition); production corpora usually gate
+        on a rate (e.g. 0.001 = tolerate 0.1% bad clips, quarantine
+        them, still promote the partition). Violations are always all
+        emitted — the threshold moves only the verdict.
         """
+        if not 0.0 <= fail_threshold < 1.0:
+            # ≙ {{ error(...) }}: an impossible tolerance is a config bug
+            raise ValueError(
+                f"fail_threshold must be in [0, 1), got {fail_threshold}"
+            )
         run_id = run_id or uuid.uuid4().hex[:12]
 
         if skip_partitions is not None:
@@ -125,7 +139,8 @@ class ValidationEngine:
             violations = violations.persist()
 
         verdicts = self._verdicts(
-            violations, plan.rows_checked, plan.detectors, run_id, frontier
+            violations, plan.rows_checked, plan.detectors, run_id, frontier,
+            fail_threshold,
         )
 
         profile = None
@@ -148,6 +163,7 @@ class ValidationEngine:
         detectors: list,
         run_id: str,
         frontier: int | None,
+        fail_threshold: float = 0.0,
     ) -> DataFrame:
         spark = violations.sparkSession
         det = spark.createDataFrame(
@@ -167,7 +183,12 @@ class ValidationEngine:
             .select(
                 "partition_key",
                 "detector",
-                (F.col("violation_count") == 0).alias("pass"),
+                # rate tolerance: <= threshold * rows passes (0.0 ==
+                # the reference's exact any-violation-fails semantics)
+                (
+                    F.col("violation_count")
+                    <= F.lit(fail_threshold) * F.col("rows_checked")
+                ).alias("pass"),
                 F.col("violation_count").cast("long"),
                 F.col("rows_checked").cast("long"),
                 F.lit(run_id).alias("run_id"),

@@ -68,6 +68,7 @@ def validate_clips(
     run_id: str | None = None,
     persist: bool = False,
     window_chunk_size: int | None = None,
+    fail_threshold: float = 0.0,
 ) -> RunResult:
     """Run the full rule set over a clip table (any source)."""
     engine = ValidationEngine(
@@ -82,6 +83,7 @@ def validate_clips(
         run_id=run_id,
         persist=persist,
         window_chunk_size=window_chunk_size,
+        fail_threshold=fail_threshold,
     )
 
 

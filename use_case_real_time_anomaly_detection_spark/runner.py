@@ -88,6 +88,15 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "against it — the scale-correct artifact (violation-sized), vs "
         "rewriting the corpus itself",
     )
+    p.add_argument(
+        "--fail-threshold",
+        type=float,
+        default=0.0,
+        metavar="RATE",
+        help="per-partition pass tolerance as a violation rate (default "
+        "0.0 = reference semantics: any violation fails the partition); "
+        "violations are always all emitted and quarantined regardless",
+    )
     p.add_argument("--no-resume", action="store_true", help="revalidate everything")
     p.add_argument("--run-id", default=None)
     p.add_argument(
@@ -202,6 +211,7 @@ def main(argv: list[str] | None = None) -> int:
         skip_partitions=skip,
         run_id=args.run_id,
         persist=True,
+        fail_threshold=args.fail_threshold,
     )
     store.record_run(result, frontier=frontier)
 
