@@ -369,6 +369,7 @@ def test_stream_clips_validation_two_waves(spark, tmp_path):
         q = stream_clips_validation(
             stream, manifest, store,
             checkpoint_dir=ckpt, rules=default_rules(with_audio=False),
+            quarantine=True,
         )
         q.awaitTermination(300)
 
@@ -399,6 +400,20 @@ def test_stream_clips_validation_two_waves(spark, tmp_path):
     assert {r["run_id"] for r in lin.select("run_id").distinct().collect()} >= {
         "stream-0"
     }
+    # quarantine table maintained per micro-batch, same idempotence
+    # contract: wave-2 adds its partitions without touching wave-1 rows,
+    # and every quarantined clip is backed by a clip-level violation
+    quar = cat.read("quarantine")
+    qparts = {r["partition_key"] for r in quar.select("partition_key").distinct().collect()}
+    assert qparts == {"c000", "c001", "c002", "c003"}
+    v_ids = {
+        r["clip_id"]
+        for r in v2.filter(
+            F.col("clip_id").isNotNull() & (F.col("detector") != "timeout")
+        ).collect()
+    }
+    q_ids = {r["clip_id"] for r in quar.collect()}
+    assert q_ids == v_ids
     clips.unpersist()
     manifest.unpersist()
 

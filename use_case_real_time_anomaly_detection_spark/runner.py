@@ -56,6 +56,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "DIR (Trigger.AvailableNow drain per invocation; the stream's "
         "file-source checkpoint under --checkpoint-dir tracks what's new)",
     )
+    src.add_argument(
+        "--diff-runs",
+        metavar="PREV,CUR",
+        help="regression mode: compare two recorded runs' verdicts from "
+        "the lineage table (operators/engine.verdict_diff) and print the "
+        "transition summary — exit code 1 if any new-failure rows exist, "
+        "so an orchestrator can gate promotion on it",
+    )
     p.add_argument("--manifest", help="parquet path of the clip manifest")
     p.add_argument(
         "--checkpoint-dir",
@@ -129,6 +137,42 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(args.master)
     spark.sparkContext.setLogLevel("WARN")
 
+    if args.diff_runs:
+        from .operators.engine import verdict_diff
+
+        try:
+            prev_id, cur_id = (s.strip() for s in args.diff_runs.split(","))
+        except ValueError:
+            print("--diff-runs needs PREV,CUR run ids", file=sys.stderr)
+            return 2
+        store = CheckpointStore(get_catalog(spark, args.checkpoint_dir))
+        lin = store.lineage()
+        frames = {}
+        for rid in (prev_id, cur_id):
+            f = lin.filter(F.col("run_id") == rid).drop("run_id")
+            if f.isEmpty():
+                print(f"run_id {rid!r} not found in lineage", file=sys.stderr)
+                return 2
+            frames[rid] = f
+        diff = verdict_diff(frames[prev_id], frames[cur_id]).localCheckpoint()
+        by_status = {
+            r["status"]: r["n"]
+            for r in diff.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        new_failures = [
+            {k: r[k] for k in ("partition_key", "detector", "prev_violations",
+                               "cur_violations", "delta")}
+            for r in diff.filter(F.col("status") == "new-failure").collect()
+        ]
+        print(json.dumps({
+            "mode": "diff",
+            "prev": prev_id,
+            "cur": cur_id,
+            "by_status": by_status,
+            "new_failures": new_failures,
+        }))
+        return 1 if new_failures else 0
+
     if args.stream:
         if not args.manifest:
             print("--manifest is required with --stream", file=sys.stderr)
@@ -150,6 +194,8 @@ def main(argv: list[str] | None = None) -> int:
                 if args.rules
                 else default_rules(with_audio=not args.no_audio)
             ),
+            quarantine=args.quarantine,
+            fail_threshold=args.fail_threshold,
         )
         q.awaitTermination()
         lin = store.lineage().filter(F.col("run_id").startswith("stream-"))

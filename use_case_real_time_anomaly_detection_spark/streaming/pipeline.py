@@ -46,6 +46,8 @@ def stream_clips_validation(
     checkpoint_dir: str,
     rules: list | None = None,
     available_now: bool = True,
+    quarantine: bool = False,
+    fail_threshold: float = 0.0,
 ):
     """Continuous clip-table validation: each micro-batch of newly landed
     clips runs the full rule engine and checkpoints its verdicts +
@@ -53,6 +55,12 @@ def stream_clips_validation(
     runner.py's batch resume loop (same engine, same lineage table; the
     stream's file-source checkpoint replaces the frontier anti-join as
     the "what's new" mechanism).
+
+    ``quarantine=True`` additionally maintains the quarantine table per
+    micro-batch (engine.quarantine_split; partition-overwritten per
+    batch's partitions, so a replayed batch overwrites itself — the same
+    idempotence contract as violations). ``fail_threshold`` is the
+    rate-tolerance verdict gate, as in the batch runner.
 
     Scope per cycle ≙ the reference's per-minute copy runs: partition
     statistics (z-window, IQR fences, drift, staleness) are evaluated
@@ -75,8 +83,16 @@ def stream_clips_validation(
             rules=rules,
             run_id=f"stream-{batch_id}",
             persist=True,
+            fail_threshold=fail_threshold,
         )
         store.record_run(res, frontier=int(frontier))
+        if quarantine:
+            from ..operators.engine import quarantine_split
+
+            _, quar = quarantine_split(clips, res.violations)
+            store.catalog.overwrite_partitions(
+                quar, "quarantine", partition_by=["partition_key"]
+            )
         res.violations.unpersist()
 
     writer = (
