@@ -409,3 +409,53 @@ def test_csv_fixture_sink(spark, tmp_path):
     assert len(df) == 2  # one row per timestamp, ordered
     assert df["sensor 1"].tolist() == [10.5, 11.0]
     assert df["sensor 2"].tolist() == [20.0, 21.0]
+
+
+def test_empty_inputs_yield_empty_results(spark):
+    """Corpus-edge robustness: every composite operator must return an
+    EMPTY relation (not raise) on empty input — the r2-advice
+    lsh_bucketed None[0] bug class, swept across the operator surface."""
+    from use_case_real_time_anomaly_detection_spark.functions.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from use_case_real_time_anomaly_detection_spark.functions.incremental import (
+        dedup_gate,
+    )
+    from use_case_real_time_anomaly_detection_spark.functions.similarity import (
+        neardup_pairs_lsh,
+    )
+    from use_case_real_time_anomaly_detection_spark.functions.stats import (
+        topk_values,
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.engine import (
+        quarantine_split,
+        verdict_diff,
+    )
+
+    empty_clips = spark.createDataFrame(
+        [], "partition_key string, clip_id string, codec string, sr_hz int"
+    )
+    empty_viol = spark.createDataFrame(
+        [],
+        "partition_key string, clip_id string, detector string, "
+        "observed string, note string",
+    )
+    empty_verd = spark.createDataFrame(
+        [], "partition_key string, detector string, pass boolean, violation_count long"
+    )
+    empty_docs = spark.createDataFrame([], "doc_id string, text string")
+    empty_emb = spark.createDataFrame([], "emb_id long, vec array<float>")
+
+    clean, quar = quarantine_split(empty_clips, empty_viol)
+    assert clean.count() == 0 and quar.count() == 0
+    assert verdict_diff(empty_verd, empty_verd).count() == 0
+    assert topk_values(empty_clips, ["codec", "sr_hz"], k=3).count() == 0
+    assert minhash_lsh_pairs(empty_docs).count() == 0
+    assert dedup_gate(empty_docs).count() == 0
+    assert dedup_gate(empty_docs, empty_docs).count() == 0
+    assert (
+        connected_components(spark.createDataFrame([], "id_a string, id_b string"))
+        .count() == 0
+    )
+    assert neardup_pairs_lsh(empty_emb, id_col="emb_id", vec_col="vec").count() == 0
