@@ -450,6 +450,35 @@ def _q_drift_events(spark, sf):
     )
 
 
+def _q_drift_incremental(spark, sf):
+    """The same drift relation as drift_events, but computed from the
+    MERGEABLE state histograms (functions/stats.drift_from_states) —
+    zero re-reads of the value column once states exist. Parity with
+    the raw-scan path is exact (the oracle is the raw-scan SQL chain),
+    which is the point: the state table substitutes for the corpus."""
+    from use_case_real_time_anomaly_detection_spark.functions.stats import (
+        drift_from_states,
+        profile_state,
+    )
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    mm = (
+        ev.filter(F.col("value").isNotNull())
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()[0]
+    )
+    states = profile_state(
+        ev,
+        partition_col="event_type",
+        histogram_columns={"value": (float(mm["lo"]), float(mm["hi"]), 20)},
+    )
+    return drift_from_states(states, "value").select(
+        "partition_key",
+        F.round("psi", 4).alias("psi"),
+        F.round("ks", 4).alias("ks"),
+    )
+
+
 def _q_running_z_score(spark, sf):
     """Prefix z-score (batch twin of the applyInPandasWithState streaming
     operator): one cumulative window pass per key."""
@@ -1190,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_profile": _q_clips_profile,
         "image_features": _q_image_features,
         "drift_events": _q_drift_events,
+        "drift_incremental": _q_drift_incremental,
         "running_z_score": _q_running_z_score,
         "audio_features": _q_audio_features,
         "audio_dup": _q_audio_dup,
@@ -3010,6 +3040,7 @@ def oracle_sql() -> dict[str, str]:
         "monitor_logs": _SQL_MONITOR_LOGS,
         "get_anomalies": _SQL_GET_ANOMALIES,
         "drift_events": _SQL_DRIFT_EVENTS,
+        "drift_incremental": _SQL_DRIFT_EVENTS,
         "running_z_score": _SQL_RUNNING_Z_SCORE,
         "simhash_pairs": _SQL_SIMHASH_PAIRS,
         "ingest_gate": _SQL_INGEST_GATE,

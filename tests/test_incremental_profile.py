@@ -157,3 +157,75 @@ def test_hll_estimate_regimes(spark):
     assert merged[("value", "n_distinct")] == pytest.approx(
         exact_values, rel=0.05
     )
+
+
+def test_drift_from_states_matches_raw_scan(spark):
+    """drift_from_states over stored histograms == drift_scores over the
+    raw column on the same fixed grid, to float noise — the state table
+    fully substitutes for the corpus in the drift check."""
+    from use_case_real_time_anomaly_detection_spark.functions.stats import (
+        drift_from_states,
+        drift_scores,
+    )
+
+    ev = _events(spark)
+    mm = (
+        ev.filter(F.col("value").isNotNull())
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()[0]
+    )
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    ref = {
+        r["partition_key"]: (r["psi"], r["ks"])
+        for r in drift_scores(
+            ev, "value", partition_col="event_type", bins=20, bounds=(lo, hi)
+        ).collect()
+    }
+    states = profile_state(
+        ev, partition_col="event_type",
+        histogram_columns={"value": (lo, hi, 20)},
+    )
+    got = {
+        r["partition_key"]: (r["psi"], r["ks"])
+        for r in drift_from_states(states, "value").collect()
+    }
+    assert ref.keys() == got.keys() and len(ref) > 1
+    for k in ref:
+        assert got[k][0] == pytest.approx(ref[k][0], abs=1e-12)
+        assert got[k][1] == pytest.approx(ref[k][1], abs=1e-12)
+
+
+def test_store_drift_after_incremental_reprofile(spark, tmp_path):
+    """CheckpointStore.drift: after a partition's state row is
+    partition-overwritten (incremental re-profile), the zero-corpus-IO
+    drift over the store equals a fresh from-scratch computation."""
+    from use_case_real_time_anomaly_detection_spark.functions.stats import (
+        drift_from_states,
+    )
+
+    ev = _events(spark).withColumn("pk", F.pmod("user_id", F.lit(4)).cast("string"))
+    hist = {"value": (0.0, 2000.0, 20)}  # fixed grid: the merge contract
+    store = CheckpointStore(ParquetCatalog(spark, str(tmp_path)))
+    store.record_profile(
+        profile_state(ev, partition_col="pk", histogram_columns=hist)
+    )
+    # re-profile ONE partition (idempotent overwrite of its state row)
+    store.record_profile(
+        profile_state(
+            ev.filter(F.col("pk") == "1"), partition_col="pk",
+            histogram_columns=hist,
+        )
+    )
+    got = {
+        r["partition_key"]: (r["psi"], r["ks"])
+        for r in store.drift("value").collect()
+    }
+    want = {
+        r["partition_key"]: (r["psi"], r["ks"])
+        for r in drift_from_states(
+            profile_state(ev, partition_col="pk", histogram_columns=hist),
+            "value",
+        ).collect()
+    }
+    assert got == want  # overwrite left the table identical to from-scratch
+    assert len(got) == 4

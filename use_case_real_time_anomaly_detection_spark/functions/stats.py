@@ -428,3 +428,63 @@ def topk_values(
         .filter(F.col("rank") <= k)
         .select(partition_col, "column", "value", "n", "rank")
     )
+
+
+def drift_from_states(states: DataFrame, column: str) -> DataFrame:
+    """KS/PSI drift per partition computed from the MERGEABLE profile
+    states' stored histograms — zero corpus IO.
+
+    `drift_scores` re-bins the raw column every run; at 10^12 rows that
+    is a full-corpus scan per drift check. The checkpointed state table
+    (profile_state's `{column}__hist`, maintained per validated
+    partition by every runner invocation) already holds the fixed-grid
+    per-partition histograms, so the entire drift computation collapses
+    to O(partitions x bins) rows of arithmetic over the slim state
+    table. The scoring math is drift_scores' stage-for-stage: Laplace
+    smoothing (n + 0.5)/(N + 0.5*bins), per-bin median consensus
+    baseline renormalized, PSI = Σ(p-q)ln(p/q), KS = max |ΔCDF| —
+    parity with drift_scores over the same grid is test-asserted.
+
+    The one semantic difference is the GRID: drift_scores bins over the
+    current run's global [min, max]; the state grid is the FIXED
+    (lo, hi, nbins) declared when the state was first written (the
+    merge contract). Fixed grids are what make run-over-run drift
+    comparable anyway — the bounds travel inside the state
+    (`{column}__hlo/__hhi`), self-describing.
+
+    Bin count is derived from the stored array per partition (no
+    driver probe, no parameter to keep in sync).
+    """
+    from pyspark.sql import Window
+
+    h = states.select(
+        F.col("partition_key").alias("pk"),
+        F.posexplode(F.col(f"{column}__hist")).alias("bin", "pn"),
+    )
+    # the stored array is dense (every bin present, zeros included), so
+    # no grid join is needed; nb == nbins recovers the smoothing constant
+    wpk = Window.partitionBy("pk")
+    h = h.withColumn("pt", F.sum("pn").over(wpk)).withColumn(
+        "nb", F.count("pn").over(wpk)
+    )
+    h = h.withColumn("p", (F.col("pn") + 0.5) / (F.col("pt") + 0.5 * F.col("nb")))
+    med = h.groupBy("bin").agg(F.expr("percentile(p, 0.5D)").alias("qraw"))
+    med = med.crossJoin(F.broadcast(med.agg(F.sum("qraw").alias("qsum")))).select(
+        "bin", (F.col("qraw") / F.col("qsum")).alias("q")
+    )
+    h = h.join(F.broadcast(med), "bin")
+    h = h.withColumn(
+        "psi_term", (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    )
+    wcum = Window.partitionBy("pk").orderBy("bin")
+    h = h.withColumn("pcum", F.sum("p").over(wcum)).withColumn(
+        "qcum", F.sum("q").over(wcum)
+    )
+    return (
+        h.groupBy("pk")
+        .agg(
+            F.sum("psi_term").alias("psi"),
+            F.max(F.abs(F.col("pcum") - F.col("qcum"))).alias("ks"),
+        )
+        .select(F.col("pk").alias("partition_key"), "psi", "ks")
+    )

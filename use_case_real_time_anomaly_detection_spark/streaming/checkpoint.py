@@ -82,6 +82,18 @@ class CheckpointStore:
 
         return merge_profile_states(self.catalog.read(PROFILE_TABLE).drop("pk"))
 
+    def drift(self, column: str = "dur_ms") -> DataFrame:
+        """Per-partition KS/PSI drift computed from the STORED state
+        histograms (functions/stats.drift_from_states): after any runner
+        invocation, checking the whole corpus for drift costs
+        O(partitions x bins) arithmetic — zero corpus IO. Returns
+        (partition_key, psi, ks); thresholding is caller policy."""
+        from ..functions.stats import drift_from_states
+
+        return drift_from_states(
+            self.catalog.read(PROFILE_TABLE).drop("pk"), column
+        )
+
 
 def run_with_resume(
     spark: SparkSession,
