@@ -723,6 +723,28 @@ def _q_clips_clean(spark, sf):
     return clean.select("clip_id", "codec", "dur_ms")
 
 
+def _q_pattern_check(spark, sf):
+    """PatternRule through the full engine: transcripts must match the
+    lowercase-words charset — flags exactly the planted ' [corrupted]'
+    suffixes (brackets violate the charset); NULLs are NotNullRule's."""
+    from use_case_real_time_anomaly_detection_spark.operators.engine import (
+        ValidationEngine,
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        PatternRule,
+    )
+
+    _ensure_clips_oracle_files()
+    meta = spark.read.parquet(_CLIPS_META)
+    from pyspark.sql import functions as F
+
+    meta = meta.withColumn("partition_key", F.substring("clip_id", 1, 4))
+    eng = ValidationEngine()
+    return eng.run(
+        meta, [PatternRule("transcript", "^[a-z ]+$")], run_id="pat"
+    ).violations
+
+
 def _q_clips_topk(spark, sf):
     """Frequent-items profile of the categorical clip columns
     (functions/stats.topk_values): top-3 values per (partition, column)."""
@@ -1206,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_quarantine": _q_clips_quarantine,
         "clips_clean": _q_clips_clean,
         "clips_topk": _q_clips_topk,
+        "pattern_check": _q_pattern_check,
         "verdict_regression": _q_verdict_regression,
         "clips_validate_audio": _q_clips_validate_audio,
         "embed_neardup": _q_embed_neardup,
@@ -2674,6 +2697,21 @@ FROM (
 ) WHERE rank <= 3
 """
 
+
+_SQL_PATTERN_CHECK = f"""
+WITH c AS (
+  SELECT clip_id, substring(clip_id, 1, 4) AS partition_key, transcript
+  FROM read_parquet('{_CLIPS_META}/*.parquet')
+)
+SELECT DISTINCT partition_key, clip_id,
+       'pattern-transcript' AS detector,
+       transcript AS observed,
+       'column:transcript must match pattern:^[a-z ]+$' AS note
+FROM c
+WHERE transcript IS NOT NULL
+  AND NOT regexp_matches(transcript, '^[a-z ]+$')
+"""
+
 _SQL_CLIPS_VERDICTS = _sql_clips_verdicts()
 
 # run-over-run regression: the same verdict SQL at two run horizons
@@ -3051,6 +3089,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_quarantine": _SQL_CLIPS_QUARANTINE,
         "clips_clean": _SQL_CLIPS_CLEAN,
         "clips_topk": _SQL_CLIPS_TOPK,
+        "pattern_check": _SQL_PATTERN_CHECK,
         "verdict_regression": _SQL_VERDICT_REGRESSION,
         "clips_profile": _SQL_CLIPS_PROFILE,
         "image_features": _SQL_IMAGE_FEATURES,

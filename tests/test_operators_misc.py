@@ -459,3 +459,39 @@ def test_empty_inputs_yield_empty_results(spark):
         .count() == 0
     )
     assert neardup_pairs_lsh(empty_emb, id_col="emb_id", vec_col="vec").count() == 0
+
+
+def test_pattern_rule_semantics(spark):
+    """PatternRule: charset violations flagged, NULLs skipped, negate
+    flips to a denylist, empty pattern aborts at construction."""
+    from use_case_real_time_anomaly_detection_spark.operators.engine import (
+        ValidationEngine,
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        PatternRule,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("p0", "c1", "good clean words"),
+            ("p0", "c2", "bad [corrupted]"),
+            ("p0", "c3", None),
+            ("p1", "c4", "UPPER case"),
+        ],
+        "partition_key string, clip_id string, transcript string",
+    )
+    eng = ValidationEngine()
+    v = eng.run(df, [PatternRule("transcript", "^[a-z ]+$")], run_id="t").violations
+    flagged = {r["clip_id"]: r["note"] for r in v.collect()}
+    assert set(flagged) == {"c2", "c4"}  # NULL (c3) is NotNullRule's job
+    assert flagged["c2"] == "column:transcript must match pattern:^[a-z ]+$"
+
+    deny = eng.run(
+        df, [PatternRule("transcript", "corrupted", negate=True)], run_id="d"
+    ).violations
+    assert {r["clip_id"] for r in deny.collect()} == {"c2"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty pattern"):
+        PatternRule("transcript", "")

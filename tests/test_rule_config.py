@@ -41,6 +41,8 @@ def test_every_rule_type_roundtrips():
     for tag, cls in sorted(RULE_TYPES.items()):
         if tag == "range":
             samples.append(cls("dur_ms", 1, 2))
+        elif tag == "pattern":
+            samples.append(cls("transcript", "^[a-z ]+$"))
         elif tag == "value_set":
             samples.append(cls("codec", allowed=("pcm16",)))
         elif tag == "ref_integrity":

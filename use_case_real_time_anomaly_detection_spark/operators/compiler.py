@@ -46,6 +46,7 @@ from .rules import (
     GapRule,
     IqrRule,
     NotNullRule,
+    PatternRule,
     ProfileSpec,
     RangeRule,
     RateOfChangeRule,
@@ -285,6 +286,19 @@ def compile_rules(
                 cond,
                 F.col(r.column),
                 F.lit(f"column:{r.column} allowed:" + ",".join(map(str, r.allowed))),
+            )
+
+        elif isinstance(r, PatternRule):
+            matches = F.col(r.column).cast("string").rlike(r.pattern)
+            cond = F.col(r.column).isNotNull() & (
+                matches if r.negate else ~matches
+            )
+            verb = "must not match" if r.negate else "must match"
+            _entry(
+                r.detector,
+                cond,
+                F.col(r.column),
+                F.lit(f"column:{r.column} {verb} pattern:{r.pattern}"),
             )
 
         elif isinstance(r, SpeechRateRule):

@@ -28,6 +28,7 @@ from .rules import (
     GapRule,
     IqrRule,
     NotNullRule,
+    PatternRule,
     ProfileSpec,
     RangeRule,
     RateOfChangeRule,
@@ -45,6 +46,7 @@ from .rules import (
 RULE_TYPES = {
     "range": RangeRule,
     "not_null": NotNullRule,
+    "pattern": PatternRule,
     "value_set": ValueSetRule,
     "rate_of_change": RateOfChangeRule,
     "gap": GapRule,

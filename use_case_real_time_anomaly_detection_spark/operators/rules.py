@@ -82,6 +82,30 @@ class ValueSetRule(Rule):
 
 
 @dataclass(frozen=True)
+class PatternRule(Rule):
+    """Value fails a regex domain check → violation (schema/format
+    family, alongside ValueSetRule: set membership for small domains,
+    pattern membership for structured strings — ids, locale tags,
+    transcript charsets). NULLs are never violations here (NotNullRule
+    owns null policy). ``negate=True`` flips to "must NOT match" (a
+    denylist — e.g. markup artifacts in transcripts). Patterns must stay
+    RE2/Java-portable (no lookaround) so the DuckDB oracle runs them
+    verbatim — the same portability contract as pii_scrub."""
+
+    column: str
+    pattern: str
+    negate: bool = False
+    detector: str = ""  # defaults to pattern-<column>
+
+    def __post_init__(self) -> None:
+        if not self.pattern:
+            # ≙ {{ error(...) }} on a meaningless configuration
+            raise ValueError(f"PatternRule({self.column}): empty pattern")
+        if not self.detector:
+            object.__setattr__(self, "detector", f"pattern-{self.column}")
+
+
+@dataclass(frozen=True)
 class RateOfChangeRule(Rule):
     """|Δvalue / Δseq| > max_slope → violation.
 
