@@ -195,6 +195,65 @@ def test_drift_from_states_matches_raw_scan(spark):
         assert got[k][1] == pytest.approx(ref[k][1], abs=1e-12)
 
 
+def test_drift_from_states_skips_degenerate_partitions(spark):
+    """Parity with drift_scores extends to the DEGENERATE cases: a
+    partition whose column is entirely NULL (all-zero stored histogram)
+    is OMITTED — exactly as drift_scores omits it (no rows survive its
+    binning) — instead of being scored with a uniform smoothed p that
+    would contaminate the median baseline; state rows with a NULL hist
+    array are likewise skipped."""
+    from use_case_real_time_anomaly_detection_spark.functions.stats import (
+        drift_from_states,
+        drift_scores,
+    )
+
+    ev = _events(spark)
+    mm = (
+        ev.filter(F.col("value").isNotNull())
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()[0]
+    )
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    # one partition with value entirely NULL → all-zero histogram
+    nulled = ev.withColumn(
+        "value",
+        F.when(F.col("event_type") == "click", F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    states = profile_state(
+        nulled, partition_col="event_type",
+        histogram_columns={"value": (lo, hi, 20)},
+    )
+    ref = {
+        r["partition_key"]: (r["psi"], r["ks"])
+        for r in drift_scores(
+            nulled, "value", partition_col="event_type", bins=20,
+            bounds=(lo, hi),
+        ).collect()
+    }
+    got = {
+        r["partition_key"]: (r["psi"], r["ks"])
+        for r in drift_from_states(states, "value").collect()
+    }
+    assert "click" not in got  # degenerate partition omitted, like raw scan
+    assert ref.keys() == got.keys() and len(got) > 1
+    for k in ref:
+        assert got[k][0] == pytest.approx(ref[k][0], abs=1e-12)
+        assert got[k][1] == pytest.approx(ref[k][1], abs=1e-12)
+
+    # NULL-hist state rows (column never histogram-profiled for that
+    # partition) are skipped, not crashed on or silently half-counted
+    null_hist = states.withColumn(
+        "value__hist",
+        F.when(F.col("partition_key") == "view", F.lit(None)).otherwise(
+            F.col("value__hist")
+        ),
+    )
+    got2 = {r["partition_key"] for r in drift_from_states(null_hist, "value").collect()}
+    assert "view" not in got2 and got2 == set(got) - {"view"}
+
+
 def test_store_drift_after_incremental_reprofile(spark, tmp_path):
     """CheckpointStore.drift: after a partition's state row is
     partition-overwritten (incremental re-profile), the zero-corpus-IO

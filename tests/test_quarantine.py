@@ -205,6 +205,10 @@ def test_fail_threshold_rate_tolerance(spark, split):
     sv = {(r["partition_key"], r["detector"]): r for r in strict.verdicts.collect()}
     lv = {(r["partition_key"], r["detector"]): r for r in loose.verdicts.collect()}
     assert sv.keys() == lv.keys()
+    # partition-level detectors emit O(1) violations per partition
+    # regardless of size, so a RATE tolerance would silently disable them
+    # at production row counts — they keep exact semantics
+    partition_level = {"timeout", "drift-dur_ms", "drift-sr_hz"}
     flipped = 0
     for k in sv:
         s, l = sv[k], lv[k]
@@ -212,8 +216,11 @@ def test_fail_threshold_rate_tolerance(spark, split):
         assert (s["violation_count"], s["rows_checked"]) == (
             l["violation_count"], l["rows_checked"])
         assert s["pass"] == (s["violation_count"] == 0)
-        assert l["pass"] == (
-            s["violation_count"] <= 0.10 * s["rows_checked"])
+        if k[1] in partition_level:
+            assert l["pass"] == (s["violation_count"] == 0)
+        else:
+            assert l["pass"] == (
+                s["violation_count"] <= 0.10 * s["rows_checked"])
         flipped += s["pass"] != l["pass"]
     assert flipped > 0  # the fixture has low-rate violating partitions
 

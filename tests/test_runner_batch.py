@@ -63,6 +63,52 @@ def test_runner_clips_path_over_partitioned_layout(spark, tmp_path, capsys):
         ])
 
 
+def test_runner_quarantine_clears_now_clean_partitions(spark, tmp_path, capsys):
+    """A re-validation whose violations all cleared must also CLEAR the
+    partition's stale quarantine rows: dynamic partition overwrite only
+    replaces partitions present in the output, so clean partitions emit a
+    NULL-clip_id marker row (reindex_quarantine) — otherwise once-bad
+    clips would be excluded from the clean corpus forever."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    base = [
+        "--synth", "4x120", "--no-audio", "--no-resume", "--quarantine",
+        "--checkpoint-dir", str(tmp_path / "ckpt"), "--master", "local[8]",
+    ]
+    rc, out = _run(capsys, base)
+    assert rc == 0 and out["violations"] > 0
+    quar = spark.read.parquet(str(tmp_path / "ckpt" / "quarantine"))
+    assert quar.filter(F.col("clip_id").isNotNull()).count() > 0
+
+    # second run: a rule set nothing violates → zero quarantine rows for
+    # every partition; the overwrite must still TOUCH all 4 partitions
+    lenient = {"rules": [{"type": "range", "column": "dur_ms",
+                          "min_value": -1e18, "max_value": 1e18}]}
+    rules_path = tmp_path / "lenient.json"
+    rules_path.write_text(_json.dumps(lenient))
+    rc, out = _run(capsys, base + ["--rules", str(rules_path)])
+    assert rc == 0 and out["violations"] == 0
+
+    quar2 = spark.read.parquet(str(tmp_path / "ckpt" / "quarantine"))
+    # every validated partition was re-indexed: only marker rows remain
+    assert quar2.filter(F.col("clip_id").isNotNull()).count() == 0
+    parts = {r["partition_key"] for r in
+             quar2.select("partition_key").distinct().collect()}
+    assert len(parts) == 4
+    # the read helper hides the markers
+    from use_case_real_time_anomaly_detection_spark.sources.tables import (
+        ParquetCatalog,
+    )
+    from use_case_real_time_anomaly_detection_spark.streaming.checkpoint import (
+        CheckpointStore,
+    )
+
+    store = CheckpointStore(ParquetCatalog(spark, str(tmp_path / "ckpt")))
+    assert store.quarantine().count() == 0
+
+
 def test_runner_diff_runs_gate(spark, tmp_path, capsys):
     """--diff-runs: rc 0 when no regressions, rc 1 with new-failure rows
     (frontier 75 keeps the stopped partition un-stale in the early run),
@@ -95,3 +141,70 @@ def test_runner_diff_runs_gate(spark, tmp_path, capsys):
         "--checkpoint-dir", str(tmp_path / "ckpt"), "--master", "local[8]",
     ])
     assert rc == 2
+
+
+def test_diff_runs_gates_added_failing_and_dedups_reused_run_id(
+    spark, tmp_path, capsys
+):
+    """(a) a failing (partition, detector) present only in the CURRENT run
+    (added-failing — e.g. a resumed run re-validated a subset) must trip
+    the exit-1 gate like new-failure; (b) a reused --run-id appends
+    duplicate lineage rows — the diff dedups to one row per
+    (partition, detector), latest completed_at_seq wins, so statuses are
+    not double-counted."""
+    ck = str(tmp_path / "ckpt")
+    base = ["--synth", "4x120", "--no-audio", "--no-resume",
+            "--checkpoint-dir", ck, "--master", "local[8]"]
+    # 'early' at frontier 75: everything passes except in-partition rows;
+    # then drop one partition's verdicts from 'early' by re-recording it
+    rc, _ = _run(capsys, base + ["--run-id", "early", "--frontier", "75"])
+    assert rc == 0
+    # 'late' run reused TWICE at different frontiers → duplicate
+    # (partition, detector) lineage rows under one run_id; the second
+    # (frontier 119 = max seq) has the timeout failure
+    rc, _ = _run(capsys, base + ["--run-id", "late", "--frontier", "75"])
+    assert rc == 0
+    rc, _ = _run(capsys, base + ["--run-id", "late"])
+    assert rc == 0
+
+    rc, out = _run(capsys, [
+        "--diff-runs", "early,late", "--checkpoint-dir", ck,
+        "--master", "local[8]",
+    ])
+    # dedup: latest completed_at_seq wins → the timeout new-failure is
+    # seen exactly once (no fan-out doubling)
+    assert rc == 1
+    assert out["by_status"]["new-failure"] == 1
+    assert out["by_status"].get("removed") is None
+    total = sum(out["by_status"].values())
+    lin = spark.read.parquet(f"{ck}/lineage")
+    n_pairs = (lin.select("partition_key", "detector").distinct().count())
+    assert total == n_pairs  # one diff row per (partition, detector)
+
+    # added-failing: fabricate a 'cur2' run covering an EXTRA partition
+    # that fails, absent from 'early' — the gate must trip
+    from pyspark.sql import functions as F
+
+    cur = lin.filter(F.col("run_id") == "late")
+    extra = cur.limit(1).select(
+        F.lit("p-new").alias("partition_key"),
+        F.col("detector"),
+        F.lit(False).alias("pass"),
+        F.lit(7).cast("long").alias("violation_count"),
+        F.lit(100).cast("long").alias("rows_checked"),
+        F.lit("cur2").alias("run_id"),
+        F.col("completed_at_seq"),
+    )
+    fixed = cur.withColumn(  # same verdicts, everything passing
+        "pass", F.lit(True)
+    ).withColumn("run_id", F.lit("cur2"))
+    fixed.unionByName(extra).write.mode("append").parquet(f"{ck}/lineage")
+
+    rc, out = _run(capsys, [
+        "--diff-runs", "early,cur2", "--checkpoint-dir", ck,
+        "--master", "local[8]",
+    ])
+    assert rc == 1
+    assert out["by_status"]["added-failing"] == 1
+    assert any(r["status"] == "added-failing" and r["partition_key"] == "p-new"
+               for r in out["new_failures"])

@@ -418,6 +418,59 @@ def test_stream_clips_validation_two_waves(spark, tmp_path):
     manifest.unpersist()
 
 
+def test_stream_quarantine_accumulates_across_batches(spark, tmp_path):
+    """A partition whose clips arrive across MULTIPLE micro-batches (the
+    normal streaming case) must keep every batch's quarantine evidence:
+    the write is keyed by (partition_key, batch_id), so a later batch for
+    the same partition cannot erase clips quarantined by earlier batches
+    — which would leak them past the downstream clean-corpus anti-join."""
+    from pyspark.sql import functions as F
+
+    from use_case_real_time_anomaly_detection_spark.plans.clips import default_rules
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        CLIPS_SCHEMA,
+        SynthSpec,
+        generate_clips,
+        generate_manifest,
+    )
+    from use_case_real_time_anomaly_detection_spark.streaming.pipeline import (
+        stream_clips_validation,
+    )
+
+    spec = SynthSpec(partitions=2, clips_per_partition=120)
+    clips = generate_clips(spark, spec).cache()
+    manifest = generate_manifest(spark, spec).cache()
+    src = str(tmp_path / "acc_stream")
+    ckpt = str(tmp_path / "acc_ckpt")
+    cat = ParquetCatalog(spark, str(tmp_path / "acc_wh"))
+    store = CheckpointStore(cat)
+
+    def run_wave():
+        stream = spark.readStream.schema(CLIPS_SCHEMA).parquet(src)
+        q = stream_clips_validation(
+            stream, manifest, store,
+            checkpoint_dir=ckpt, rules=default_rules(with_audio=False),
+            quarantine=True,
+        )
+        q.awaitTermination(300)
+
+    # SAME partitions, split by sequence (clip_id carries the seq):
+    # first half then second half
+    seq = F.substring("clip_id", 6, 9).cast("long")
+    clips.filter(seq < 60).write.mode("append").parquet(src)
+    run_wave()
+    q1 = {(r["partition_key"], r["clip_id"]) for r in store.quarantine().collect()}
+    assert q1  # wave 1 quarantined something
+
+    clips.filter(seq >= 60).write.mode("append").parquet(src)
+    run_wave()
+    q2 = {(r["partition_key"], r["clip_id"]) for r in store.quarantine().collect()}
+    # wave-1 evidence survives wave 2's writes for the same partitions
+    assert q1 <= q2
+    clips.unpersist()
+    manifest.unpersist()
+
+
 def test_runner_cli_stream_mode(spark, tmp_path, capsys):
     """runner.main(--stream): drains landed clip files through the
     streaming validation path and prints the stream summary."""

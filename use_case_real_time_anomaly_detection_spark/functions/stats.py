@@ -457,7 +457,10 @@ def drift_from_states(states: DataFrame, column: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    h = states.select(
+    # NULL-hist state rows (the column was never histogram-profiled for
+    # that partition) would be SILENTLY dropped by posexplode; filter them
+    # explicitly so the omission is a stated contract, not an accident.
+    h = states.filter(F.col(f"{column}__hist").isNotNull()).select(
         F.col("partition_key").alias("pk"),
         F.posexplode(F.col(f"{column}__hist")).alias("bin", "pn"),
     )
@@ -467,6 +470,12 @@ def drift_from_states(states: DataFrame, column: str) -> DataFrame:
     h = h.withColumn("pt", F.sum("pn").over(wpk)).withColumn(
         "nb", F.count("pn").over(wpk)
     )
+    # degenerate states: a partition whose histogram is all zeros (the
+    # column was entirely NULL there) has no distribution to score —
+    # drift_scores omits such partitions (no rows survive its binning),
+    # so omit them here too instead of scoring a uniform smoothed p that
+    # would also contaminate the median consensus baseline
+    h = h.filter(F.col("pt") > 0)
     h = h.withColumn("p", (F.col("pn") + 0.5) / (F.col("pt") + 0.5 * F.col("nb")))
     med = h.groupBy("bin").agg(F.expr("percentile(p, 0.5D)").alias("qraw"))
     med = med.crossJoin(F.broadcast(med.agg(F.sum("qraw").alias("qsum")))).select(

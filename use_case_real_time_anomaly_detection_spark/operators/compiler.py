@@ -81,6 +81,11 @@ class CompiledPlan:
     violations: DataFrame  # VIOLATION_COLUMNS
     rows_checked: DataFrame  # (partition_key, rows_checked)
     detectors: list  # detector names evaluated (for verdict assembly)
+    # detectors whose violation_count is O(1) per partition regardless of
+    # partition size (staleness, drift): a RATE tolerance would silently
+    # disable them at production row counts (1 <= rate * 10^6), so the
+    # verdict layer keeps exact any-violation-fails semantics for these.
+    partition_level: list = field(default_factory=list)
 
 
 def compile_rules(
@@ -244,6 +249,7 @@ def compile_rules(
     # ---- fused violation projection --------------------------------------
     entries: list[Column] = []
     detectors: list[str] = []
+    partition_level: list[str] = []
 
     def _entry(detector: str, cond: Column, observed: Column, note: Column) -> None:
         detectors.append(detector)
@@ -463,6 +469,8 @@ def compile_rules(
         fused_parts.append(stale)
         if r.detector not in detectors:
             detectors.append(r.detector)
+        if r.detector not in partition_level:
+            partition_level.append(r.detector)
 
     # ---- unique ----------------------------------------------------------
     for r in rules:
@@ -511,6 +519,8 @@ def compile_rules(
         )
         if r.detector not in detectors:
             detectors.append(r.detector)
+        if r.detector not in partition_level:
+            partition_level.append(r.detector)
 
     violations = reduce(DataFrame.unionByName, fused_parts) if fused_parts else None
     rows_checked = df.groupBy(F.col(partition_col).alias("partition_key")).agg(
@@ -519,7 +529,12 @@ def compile_rules(
     # de-dup detector list, preserving order
     seen: set[str] = set()
     det = [d for d in detectors if not (d in seen or seen.add(d))]
-    return CompiledPlan(violations=violations, rows_checked=rows_checked, detectors=det)
+    return CompiledPlan(
+        violations=violations,
+        rows_checked=rows_checked,
+        detectors=det,
+        partition_level=partition_level,
+    )
 
 
 def _drift_violations(

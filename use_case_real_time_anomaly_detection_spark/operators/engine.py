@@ -140,7 +140,7 @@ class ValidationEngine:
 
         verdicts = self._verdicts(
             violations, plan.rows_checked, plan.detectors, run_id, frontier,
-            fail_threshold,
+            fail_threshold, partition_level=plan.partition_level,
         )
 
         profile = None
@@ -164,6 +164,7 @@ class ValidationEngine:
         run_id: str,
         frontier: int | None,
         fail_threshold: float = 0.0,
+        partition_level: list | None = None,
     ) -> DataFrame:
         spark = violations.sparkSession
         det = spark.createDataFrame(
@@ -175,6 +176,17 @@ class ValidationEngine:
         counts = violations.groupBy("partition_key", "detector").agg(
             F.count(F.lit(1)).alias("violation_count")
         )
+        # Rate tolerance applies to ROW-LEVEL detectors only. Partition-
+        # level detectors (staleness, drift) emit ~1 violation per bad
+        # partition regardless of partition size, so at production row
+        # counts any rate > 0 would silently disable them
+        # (1 <= 0.001 * 10^6); they keep exact any-violation-fails
+        # semantics — mirroring quarantine_split's partition_level list.
+        tolerance = F.lit(fail_threshold) * F.col("rows_checked")
+        if partition_level:
+            tolerance = F.when(
+                F.col("detector").isin(*partition_level), F.lit(0)
+            ).otherwise(tolerance)
         # both sides are verdict-grid-sized (partitions × detectors);
         # broadcast the counts so no sort-merge join appears at scale
         return (
@@ -185,10 +197,7 @@ class ValidationEngine:
                 "detector",
                 # rate tolerance: <= threshold * rows passes (0.0 ==
                 # the reference's exact any-violation-fails semantics)
-                (
-                    F.col("violation_count")
-                    <= F.lit(fail_threshold) * F.col("rows_checked")
-                ).alias("pass"),
+                (F.col("violation_count") <= tolerance).alias("pass"),
                 F.col("violation_count").cast("long"),
                 F.col("rows_checked").cast("long"),
                 F.lit(run_id).alias("run_id"),
@@ -246,6 +255,38 @@ def quarantine_split(
         keys = F.broadcast(keys)
     clean = df.join(keys, key_col, "left_anti")
     return clean, quarantine
+
+
+def reindex_quarantine(
+    quarantine: DataFrame, validated_partitions: DataFrame
+) -> DataFrame:
+    """Reindex a run's quarantine rows onto the FULL set of partitions the
+    run validated, so dynamic partition overwrite also CLEARS partitions
+    whose violations all cleared.
+
+    Without this, a re-validated partition that produced zero quarantine
+    rows is never touched by the overwrite (dynamic mode only replaces
+    partitions present in the output), so stale quarantine rows persist
+    indefinitely and permanently exclude now-clean clips from the derived
+    clean corpus. Validated partitions with no quarantined clips emit one
+    NULL-clip_id marker row — harmless to the clean-corpus anti-join
+    (NULL keys never match) and filtered out by CheckpointStore.quarantine().
+
+    ``validated_partitions``: one column ``partition_key`` (e.g. the
+    distinct partitions of the run's verdicts) — slim, broadcast.
+    """
+    empty_parts = validated_partitions.select("partition_key").join(
+        F.broadcast(quarantine.select("partition_key").distinct()),
+        "partition_key",
+        "left_anti",
+    )
+    markers = empty_parts.select(
+        "partition_key",
+        F.lit(None).cast("string").alias("clip_id"),
+        F.lit(0).cast("long").alias("n_violations"),
+        F.lit("").alias("detectors"),
+    )
+    return quarantine.unionByName(markers)
 
 
 def verdict_diff(prev: DataFrame, cur: DataFrame) -> DataFrame:

@@ -145,6 +145,8 @@ def main(argv: list[str] | None = None) -> int:
         except ValueError:
             print("--diff-runs needs PREV,CUR run ids", file=sys.stderr)
             return 2
+        from .operators.limit_by import limit_by
+
         store = CheckpointStore(get_catalog(spark, args.checkpoint_dir))
         lin = store.lineage()
         frames = {}
@@ -153,25 +155,42 @@ def main(argv: list[str] | None = None) -> int:
             if f.isEmpty():
                 print(f"run_id {rid!r} not found in lineage", file=sys.stderr)
                 return 2
-            frames[rid] = f
+            # a reused --run-id appends duplicate (partition, detector)
+            # rows to the lineage table; dedup to ONE row per pair —
+            # latest completed_at_seq wins — so the diff join never fans
+            # out and statuses aren't double-counted
+            frames[rid] = limit_by(
+                f,
+                ["partition_key", "detector"],
+                [F.col("completed_at_seq").desc()],
+                1,
+            )
         diff = verdict_diff(frames[prev_id], frames[cur_id]).localCheckpoint()
         by_status = {
             r["status"]: r["n"]
             for r in diff.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
         }
-        new_failures = [
-            {k: r[k] for k in ("partition_key", "detector", "prev_violations",
-                               "cur_violations", "delta")}
-            for r in diff.filter(F.col("status") == "new-failure").collect()
+        # the promotion gate trips on new-failure AND added-failing: a
+        # resumed run records verdicts only for the partitions it
+        # re-validated, so a regression in a pair absent from the previous
+        # run surfaces as added-failing — letting it through would make
+        # resumed runs a gate bypass
+        gate_rows = [
+            {"status": r["status"],
+             **{k: r[k] for k in ("partition_key", "detector",
+                                  "prev_violations", "cur_violations", "delta")}}
+            for r in diff.filter(
+                F.col("status").isin("new-failure", "added-failing")
+            ).collect()
         ]
         print(json.dumps({
             "mode": "diff",
             "prev": prev_id,
             "cur": cur_id,
             "by_status": by_status,
-            "new_failures": new_failures,
+            "new_failures": gate_rows,
         }))
-        return 1 if new_failures else 0
+        return 1 if gate_rows else 0
 
     if args.stream:
         if not args.manifest:
@@ -262,13 +281,19 @@ def main(argv: list[str] | None = None) -> int:
     store.record_run(result, frontier=frontier)
 
     if args.quarantine:
-        from .operators.engine import quarantine_split
+        from .operators.engine import quarantine_split, reindex_quarantine
 
         _, quar = quarantine_split(clips, result.violations)
-        # same idempotence contract as violations/lineage: only the
-        # partitions this run validated are replaced
+        # idempotence contract: every partition this run validated is
+        # replaced — including ones whose violations all cleared, which
+        # emit a NULL-clip_id marker row (reindex_quarantine) so dynamic
+        # partition overwrite clears their stale quarantine rows instead
+        # of skipping them
+        validated_parts = result.verdicts.select("partition_key").distinct()
         store.catalog.overwrite_partitions(
-            quar, "quarantine", partition_by=["partition_key"]
+            reindex_quarantine(quar, validated_parts),
+            "quarantine",
+            partition_by=["partition_key"],
         )
 
     # maintain the mergeable profile-state table alongside lineage: only

@@ -72,6 +72,14 @@ class CheckpointStore:
     def violations(self) -> DataFrame:
         return self.catalog.read(VIOLATIONS_TABLE)
 
+    def quarantine(self) -> DataFrame:
+        """Quarantined-clip evidence, with the NULL-clip_id marker rows
+        (reindex_quarantine's partition-clearing mechanism) filtered out —
+        consumers see only genuinely quarantined clips."""
+        return self.catalog.read("quarantine").filter(
+            F.col("clip_id").isNotNull()
+        )
+
     def lineage(self) -> DataFrame:
         return self.catalog.read(LINEAGE_TABLE)
 

@@ -57,10 +57,17 @@ def stream_clips_validation(
     the "what's new" mechanism).
 
     ``quarantine=True`` additionally maintains the quarantine table per
-    micro-batch (engine.quarantine_split; partition-overwritten per
-    batch's partitions, so a replayed batch overwrites itself — the same
-    idempotence contract as violations). ``fail_threshold`` is the
-    rate-tolerance verdict gate, as in the batch runner.
+    micro-batch (engine.quarantine_split). The write is keyed by
+    (partition_key, batch_id): a REPLAYED batch overwrites exactly its
+    own rows (idempotence), while later batches delivering more clips
+    for the same partition land under their own batch_id — they
+    accumulate instead of erasing clips quarantined by earlier batches
+    (each clip arrives in exactly one batch, so batches quarantine
+    disjoint clip sets; overwriting per partition_key alone would let
+    every later batch wipe the partition's earlier evidence and leak
+    those bad clips past the downstream clean-corpus anti-join).
+    ``fail_threshold`` is the rate-tolerance verdict gate, as in the
+    batch runner.
 
     Scope per cycle ≙ the reference's per-minute copy runs: partition
     statistics (z-window, IQR fences, drift, staleness) are evaluated
@@ -91,7 +98,9 @@ def stream_clips_validation(
 
             _, quar = quarantine_split(clips, res.violations)
             store.catalog.overwrite_partitions(
-                quar, "quarantine", partition_by=["partition_key"]
+                quar.withColumn("batch_id", F.lit(int(batch_id))),
+                "quarantine",
+                partition_by=["partition_key", "batch_id"],
             )
         res.violations.unpersist()
 
