@@ -369,76 +369,112 @@ def connected_components(
     max_iter: int = 50,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph via
-    iterative min-label propagation: every node's label converges to the
-    minimum id reachable from it, so cluster_id == min(doc_id) of the
-    component — the canonical-representative convention of corpus dedup.
+    alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014): each
+    round rewires every node toward the minimum id of its neighborhood,
+    so the graph contracts to a forest of stars rooted at each
+    component's minimum id — cluster_id == min(doc_id) of the component,
+    the canonical-representative convention of corpus dedup.
 
-    Scale shape: each iteration is one equi-join (edges × labels) + one
-    min-aggregation — all shuffles on the node id key; iterations =
-    O(graph diameter), and near-dup graphs are quasi-cliques with tiny
-    diameters (a handful of iterations in practice). Each iteration is
-    localCheckpoint()ed: the plan would otherwise double every round,
-    and the checkpoint also gives the convergence test (a count of
-    changed labels) a materialized frame to reuse. The driver loop is
-    control flow only — no data ever collects to the driver.
+    Why star contraction and not min-label propagation: propagation
+    needs O(graph diameter) rounds — a 10k-doc boilerplate CHAIN needs
+    10k joins, which at corpus scale means either a wrong answer or a
+    loud failure at any fixed cap. Star contraction halves long paths
+    every round (O(log n) rounds regardless of topology):
+
+    - large-star(u): m = min(N(u) ∪ {u}); connect every STRICTLY LARGER
+      neighbor v > u directly to m. (One groupBy for the per-node min +
+      one join to re-emit edges.)
+    - small-star(u): orient each edge from its larger endpoint; with
+      N(u) now the smaller neighbors, m = min(N(u) ∪ {u}); connect u and
+      every smaller neighbor to m.
+
+    At the fixpoint every edge is (node, component-min). Each round is
+    two groupBy+join passes over the EDGE relation only (no labels
+    frame), all shuffles on the node id key; the driver loop is control
+    flow only — convergence is detected from a per-round aggregate
+    checksum (count + sum of edge hashes), never a collect of data rows.
+    Each round's edge set is localCheckpoint()ed (the plan would
+    otherwise double every round) and the superseded round's blocks are
+    freed deterministically.
 
     Returns (doc_id, cluster_id) for every id incident to a pair.
     """
-    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    edges = fwd.unionByName(rev).distinct().cache()
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
 
-    labels = edges.select(F.col("src").alias("id")).distinct().select(
-        "id", F.col("id").alias("label")
-    ).localCheckpoint()
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
 
-    changed = -1
+    def _small_star(e: DataFrame) -> DataFrame:
+        oriented = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        # neighbors are all < u here, so min(N(u) ∪ {u}) == min(N(u))
+        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            oriented.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _checksum(e: DataFrame) -> tuple:
+        # bit_xor is order-insensitive and overflow-free (a SUM of hashes
+        # trips ANSI long overflow); edge sets are distinct, so xor
+        # cancellation of duplicates cannot occur
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev_sum = _checksum(edges)
+    converged = False
     for _ in range(max_iter):
-        nbr_min = (
-            edges.join(
-                labels.select(
-                    F.col("id").alias("dst"), F.col("label").alias("dlabel")
-                ),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("dlabel").alias("nlabel"))
-            .select(F.col("src").alias("id"), "nlabel")
-        )
-        new_labels = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce("nlabel", F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        # the superseded iteration's checkpoint blocks are dead weight on
-        # executor storage for the rest of a long propagation — free them
-        _unpersist_pinned(labels)
-        labels = new_labels
-        if changed == 0:
+        nxt = _small_star(_large_star(edges)).localCheckpoint()
+        cur_sum = _checksum(nxt)
+        _unpersist_pinned(edges)
+        edges = nxt
+        if cur_sum == prev_sum:
+            converged = True
             break
-    edges.unpersist()
-    if changed != 0:
-        # an unconverged result is WRONG (labels ≠ min reachable id), not
-        # merely approximate — long boilerplate chains at corpus scale can
-        # exceed any fixed iteration cap, so fail loudly instead of
-        # returning split clusters
+        prev_sum = cur_sum
+    if not converged:
+        # an unconverged result is WRONG (edges may not yet point at the
+        # component minimum), so fail loudly instead of returning split
+        # clusters; with O(log n) rounds the default cap covers any
+        # physically storable graph
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter} "
-            f"iterations ({changed} labels still changing); raise max_iter"
+            f"rounds; raise max_iter"
         )
-    return labels.select(
-        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    # fixpoint: every edge is (member, root); roots map to themselves
+    return (
+        edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+        .unionByName(
+            edges.select(
+                F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")
+            )
+        )
+        .distinct()
     )
 
 
