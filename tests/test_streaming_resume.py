@@ -418,6 +418,93 @@ def test_stream_clips_validation_two_waves(spark, tmp_path):
     manifest.unpersist()
 
 
+def test_stream_dedup_log_watermark_two_waves(spark, tmp_path):
+    """Native streaming late-data dedup (≙ ST3 + dedup_log.pipe:4-6 +
+    the 61 s overlap contract of content/copies-pipes.md:44): an
+    at-least-once log stream flows through withWatermark + dropDuplicates
+    into an exactly-once sink. Two file-arrival waves: wave 2 REDELIVERS
+    wave-1 rows (late duplicates, inside the watermark — the overlap
+    case) and adds new rows; duplicates are suppressed across waves via
+    the checkpointed dedup state, and a row older than the watermark
+    horizon is dropped (the state bound is real, not cosmetic)."""
+    import json as _json
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from use_case_real_time_anomaly_detection_spark.streaming.pipeline import (
+        stream_dedup_log,
+    )
+
+    src = tmp_path / "log_src"
+    src.mkdir()
+    out = str(tmp_path / "log_out")
+    ckpt = str(tmp_path / "log_ckpt")
+    schema = StructType(
+        [
+            StructField("ts", StringType()),
+            StructField("id", IntegerType()),
+            StructField("anomaly_type", StringType()),
+            StructField("note", StringType()),
+        ]
+    )
+
+    def write_wave(name, rows):
+        (src / name).write_text(
+            "\n".join(_json.dumps(r) for r in rows) + "\n"
+        )
+
+    def run_wave():
+        stream = (
+            spark.readStream.schema(schema)
+            .json(str(src))
+            .selectExpr(
+                "to_timestamp(ts) AS ts", "id", "anomaly_type", "note"
+            )
+        )
+        q = stream_dedup_log(stream, out, checkpoint_dir=ckpt)
+        q.awaitTermination(300)
+
+    base = "2024-01-01 12:{m:02d}:{s:02d}"
+    r = lambda m, s, i, t: {
+        "ts": base.format(m=m, s=s), "id": i, "anomaly_type": t, "note": "n",
+    }
+    # wave 1: 4 distinct keys, one duplicated IN-wave (at-least-once copy)
+    wave1 = [
+        r(10, 0, 1, "out-of-range"),
+        r(10, 0, 1, "out-of-range"),   # in-wave duplicate
+        r(10, 30, 2, "z-score"),
+        r(10, 45, 1, "timeout"),
+        r(11, 0, 3, "out-of-range"),   # max ts → watermark 12:09:59
+    ]
+    write_wave("w1.json", wave1)
+    run_wave()
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 4  # in-wave duplicate dropped
+    # wave 2: redeliver two wave-1 rows (late, but inside the 61 s
+    # overlap), one new row, and one row OLDER than the watermark horizon
+    wave2 = [
+        r(10, 30, 2, "z-score"),       # overlap redelivery → dropped
+        r(11, 0, 3, "out-of-range"),   # overlap redelivery → dropped
+        r(11, 10, 4, "iqr"),           # new → kept
+        r(8, 0, 9, "z-score"),         # beyond watermark → dropped
+    ]
+    write_wave("w2.json", wave2)
+    run_wave()
+    got2 = spark.read.parquet(out)
+    keys = {
+        (r2["ts"].isoformat(), r2["id"], r2["anomaly_type"])
+        for r2 in got2.collect()
+    }
+    assert got2.count() == 5  # 4 wave-1 keys + exactly one new key
+    assert ("2024-01-01T12:11:10", 4, "iqr") in keys
+    assert all(k[1] != 9 for k in keys)  # too-late row evicted by watermark
+
+
 def test_stream_quarantine_accumulates_across_batches(spark, tmp_path):
     """A partition whose clips arrive across MULTIPLE micro-batches (the
     normal streaming case) must keep every batch's quarantine evidence:

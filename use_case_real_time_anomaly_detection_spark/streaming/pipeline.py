@@ -116,6 +116,67 @@ def stream_clips_validation(
     return writer.start()
 
 
+def dedup_log_stream(
+    log_stream: DataFrame,
+    *,
+    keys: tuple = ("ts", "id", "anomaly_type"),
+    watermark_col: str = "ts",
+    delay: str = "61 seconds",
+) -> DataFrame:
+    """Native Structured-Streaming rendition of the reference's dedup
+    materialization (≙ tinybird/pipes/dedup_log.pipe:4-6 `LIMIT 1 BY
+    timestamp, id, anomaly_type` feeding copy_log): state-backed
+    `dropDuplicates` over the composite key, with a `withWatermark`
+    bound so the dedup state is EVICTED once event time passes the
+    overlap horizon.
+
+    The 61-second default is the reference's own at-least-once contract:
+    copy pipes re-scan a 61 s window on a 60 s cadence, so a duplicate
+    detection can only arrive within 61 s of its first copy
+    (≙ copy_out_of_range.pipe:26, content/copies-pipes.md:44) — any
+    wider state would be waste, any narrower would leak duplicates.
+    This is the streaming-native complement to the batch path's
+    idempotent partition overwrite (ST3): use this when the log is a
+    continuous stream, the batch path when it is scheduled re-scans.
+
+    Scale: dedup state is keyed by the composite key and bounded by the
+    watermark to O(arrival rate × 61 s) entries per partition — constant
+    in corpus size.
+    """
+    return log_stream.withWatermark(watermark_col, delay).dropDuplicates(
+        list(keys)
+    )
+
+
+def stream_dedup_log(
+    log_stream: DataFrame,
+    out_path: str,
+    *,
+    checkpoint_dir: str,
+    keys: tuple = ("ts", "id", "anomaly_type"),
+    delay: str = "61 seconds",
+    available_now: bool = True,
+):
+    """Wire an at-least-once violations-log stream through the native
+    watermark dedup into an exactly-once parquet sink — the streaming MV
+    (copy_log_duplicates → dedup_log → copy_log) as one declarative
+    pipeline. The file-sink + checkpoint pair makes replays idempotent
+    end-to-end: re-delivered rows are dropped by the dedup state, and a
+    replayed micro-batch is skipped by the sink's commit log."""
+    writer = (
+        dedup_log_stream(log_stream, keys=keys, delay=delay)
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="1 minute")
+    return writer.start()
+
+
 def stream_violations(
     event_stream: DataFrame,
     sink_append,
