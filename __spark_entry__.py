@@ -332,9 +332,17 @@ def _q_minhash_lsh(spark, sf):
 
 
 def _q_ngram_jaccard(spark, sf):
+    # max_shingle_df=64 is the operator's scale guard: unblocked bigram
+    # candidates grow near-quadratically with corpus size (measured 85 s
+    # at sf0.1 vs 3 s capped; 10^18 candidate rows at corpus scale) —
+    # the oracle applies the identical cap, and the recall trade
+    # (pairs sharing ONLY corpus-frequent shingles) is the documented
+    # contract tested in tests/test_dedup_text.py.
     from use_case_real_time_anomaly_detection_spark.functions.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf), n=2, threshold=0.3)
+    return ngram_jaccard_pairs(
+        _docs(spark, sf), n=2, threshold=0.3, max_shingle_df=64
+    )
 
 
 def _q_corpus_filter(spark, sf):
@@ -1965,10 +1973,24 @@ grams AS (
   QUALIFY lead(token) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+-- frequency-capped blocking (mirrors max_shingle_df=64): shingles more
+-- frequent than the cap are excluded from the CANDIDATE key set only;
+-- the Jaccard itself is still over ALL shingles
+dfreq AS (SELECT gram, count(*) AS df FROM grams GROUP BY gram),
+block AS (
+  SELECT g.doc_id, g.gram FROM grams g JOIN dfreq USING (gram)
+  WHERE dfreq.df <= 64
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM block a JOIN block b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
 inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS overlap
-  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  SELECT c.id_a, c.id_b, count(*) AS overlap
+  FROM cand c
+  JOIN grams a ON a.doc_id = c.id_a
+  JOIN grams b ON b.doc_id = c.id_b AND b.gram = a.gram
+  GROUP BY c.id_a, c.id_b
 )
 SELECT i.id_a, i.id_b,
        {_R("CAST(i.overlap AS DOUBLE) / (sa.n + sb.n - i.overlap)", 4)} AS jaccard

@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_exact",
     "minhash_lsh",
     "simhash_pairs",
+    "ngram_jaccard",       # frequency-capped blocking (the O(N²) guard)
     "ingest_gate",         # incremental dedup-gated ingestion (4 gates)
     "ann_brute",
     "ann_ivf",

@@ -38,6 +38,22 @@ def _pin(df: DataFrame) -> DataFrame:
     return df.localCheckpoint()
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure a small-but-CPU-heavy doc relation has enough partitions to
+    run the shingle/token explode cluster-wide. The explode multiplies
+    each doc row into hundreds of gram rows BEFORE the first shuffle, so
+    a compact corpus file (one parquet row group → one scan task) would
+    serialize the entire tokenize→hash pipeline onto a single core —
+    measured as 60% of minhash_lsh's steady-state cost at bench scale.
+    One narrow exchange of the slim doc rows buys full-width execution of
+    the dominant stage. No-op when the scan already has enough splits
+    (the 100 TB case: thousands of file splits)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def _unpersist_pinned(df: DataFrame) -> None:
     """Deterministically free a localCheckpoint'ed frame's storage blocks.
 
@@ -97,8 +113,9 @@ def shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = SHINGLE_N
 ) -> DataFrame:
     """Distinct word n-gram shingles per doc (shuffle-free until the
-    distinct — see _gram_array)."""
-    return df.select(
+    distinct — see _gram_array; _spread parallelizes the explode when the
+    scan is under-split)."""
+    return _spread(df).select(
         F.col(id_col), F.explode(_gram_array(text_col, n)).alias("gram")
     ).distinct()
 
@@ -505,7 +522,7 @@ def simhash(
     aggregate column over the token stream (one groupBy, map-side partial
     sums), then the sign bits pack into one long.
     """
-    t = tokens(df, id_col, text_col)
+    t = tokens(_spread(df), id_col, text_col)
     h = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
     t = t.select(F.col(id_col), h.alias("h"))
     sums = t.groupBy(id_col).agg(
