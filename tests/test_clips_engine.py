@@ -277,3 +277,79 @@ def test_speech_rate_rule_validates_bounds():
         SpeechRateRule(min_cps=10, max_cps=10)
     with _pytest.raises(ValueError):
         SpeechRateRule(min_cps=-1, max_cps=5)
+
+
+def test_payload_size_rule_flags_truncation_without_decode(spark):
+    """PayloadSizeRule: byte-length vs declared (codec, sr_hz, dur_ms) —
+    the JVM-only pre-gate in front of the Arrow decode. Planted
+    truncations/paddings are flagged exactly; the untouched corpus
+    passes clean (every synth payload satisfies the encoder contract
+    header + bps * round(sr*dur/1000)); unknown codecs and NULL payloads
+    are not evaluated (owned by ValueSetRule / NotNullRule); and the
+    rule fuses into the single scan (no BatchEvalPython, no extra scan)."""
+    from pyspark.sql import functions as F
+
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        PayloadSizeRule,
+    )
+    from use_case_real_time_anomaly_detection_spark.plans.clips import (
+        validate_clips,
+    )
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        frontier_of,
+        generate_clips,
+        generate_manifest,
+    )
+
+    spec = SynthSpec(partitions=3, clips_per_partition=100)
+    clips = generate_clips(spark, spec)
+    manifest = generate_manifest(spark, spec)
+    seq = F.substring("clip_id", 6, 9).cast("long")
+    corrupted = clips.withColumn(
+        "bytes",
+        F.when(seq % 37 == 3, F.expr("substring(bytes, 1, 10)"))  # truncate
+        .when(seq % 37 == 5, F.concat(F.col("bytes"), F.lit(b"\x00\x00")))  # pad
+        .when(seq % 37 == 7, F.lit(None).cast("binary"))  # NULL: not evaluated
+        .otherwise(F.col("bytes")),
+    )
+    res = validate_clips(
+        corrupted, manifest, frontier=frontier_of(spec),
+        rules=[PayloadSizeRule()],
+    )
+    pdf = res.violations.toPandas()
+    flagged = set(pdf[pdf["detector"] == "payload-size"]["clip_id"])
+
+    rows = clips.select("clip_id", "codec").toPandas()
+    s = rows["clip_id"].str.slice(5).astype(int)
+    known = rows["codec"].isin(["pcm16", "mulaw"])
+    expected = set(rows["clip_id"][((s % 37 == 3) | (s % 37 == 5)) & known])
+    assert flagged == expected
+    assert expected  # the plant actually hit known-codec clips
+
+    # clean corpus passes with zero violations
+    clean = validate_clips(
+        clips, manifest, frontier=frontier_of(spec), rules=[PayloadSizeRule()]
+    )
+    assert clean.violations.count() == 0
+
+    # fused row-local: one scan, no Python in the plan
+    plan = res.violations._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+    # note carries both sides of the mismatch (triage-ready)
+    one = pdf[pdf["detector"] == "payload-size"].iloc[0]["note"]
+    assert "expected_bytes:" in one and "found_bytes:" in one
+
+
+def test_payload_size_rule_validates_config():
+    import pytest as _pytest
+
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        PayloadSizeRule,
+    )
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        PayloadSizeRule(codec_sizes=())
+    with _pytest.raises(ValueError, match="triples|entries"):
+        PayloadSizeRule(codec_sizes=(("pcm16", 44),))

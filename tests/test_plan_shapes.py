@@ -11,9 +11,15 @@ before it shows up in small-data test timings.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
-SF = "/root/testdata/sf0.001"
+# overridable so the scale probes (tools/sf1_probe.py) can re-run the
+# blanket plan audits against a 10x dataset — plan SHAPE regressions
+# (broadcast flipping to SMJ on bigger size estimates, scan-count creep)
+# only show when the stats change
+SF = os.environ.get("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.001")
 
 
 def _physical(df) -> str:

@@ -47,6 +47,7 @@ from .rules import (
     IqrRule,
     NotNullRule,
     PatternRule,
+    PayloadSizeRule,
     ProfileSpec,
     RangeRule,
     RateOfChangeRule,
@@ -306,6 +307,42 @@ def compile_rules(
                 F.col(r.column),
                 F.lit(f"column:{r.column} {verb} pattern:{r.pattern}"),
             )
+
+        elif isinstance(r, PayloadSizeRule):
+            # expected bytes from the declared metadata only — no decode:
+            # n_samples = max(1, round(sr·dur/1000)) (the synth/encoder
+            # contract, functions/audio.py:64), expected = header + bps·n.
+            # rint = round-half-to-even, matching Python round() in the
+            # encoder (sr·dur/1000 lands on .5 for e.g. 44100 Hz × odd ms);
+            # sr·dur is exact in double far past any real (sr, dur).
+            n_samples = F.greatest(
+                F.lit(1),
+                F.rint(
+                    F.col(r.sr_column).cast("double")
+                    * F.col(r.dur_column).cast("double")
+                    / F.lit(1000.0)
+                ).cast("long"),
+            )
+            expected = F.lit(None).cast("long")
+            for codec, header, bps in r.codec_sizes:
+                expected = F.when(
+                    F.col(r.codec_column) == F.lit(codec),
+                    F.lit(int(header)) + F.lit(int(bps)) * n_samples,
+                ).otherwise(expected)
+            found = F.length(F.col(r.bytes_column)).cast("long")
+            # unknown codecs not evaluated (ValueSetRule owns the domain);
+            # NULL payloads not evaluated (NotNullRule owns null policy)
+            cond = (
+                expected.isNotNull()
+                & F.col(r.bytes_column).isNotNull()
+                & (found != expected)
+            )
+            note = F.concat(
+                F.lit("expected_bytes:"), expected.cast("string"),
+                F.lit("| found_bytes:"), found.cast("string"),
+                F.lit("| codec:"), F.col(r.codec_column),
+            )
+            _entry(r.detector, cond, found.cast("string"), note)
 
         elif isinstance(r, SpeechRateRule):
             cps = F.when(

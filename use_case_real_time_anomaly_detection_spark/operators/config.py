@@ -29,6 +29,7 @@ from .rules import (
     IqrRule,
     NotNullRule,
     PatternRule,
+    PayloadSizeRule,
     ProfileSpec,
     RangeRule,
     RateOfChangeRule,
@@ -58,9 +59,25 @@ RULE_TYPES = {
     "audio_decode": AudioDecodeRule,
     "transcript": TranscriptRule,
     "speech_rate": SpeechRateRule,
+    "payload_size": PayloadSizeRule,
     "profile": ProfileSpec,
 }
 _TYPE_OF = {cls: tag for tag, cls in RULE_TYPES.items()}
+
+
+def _to_tuple(v):
+    """JSON arrays → tuples, recursively (codec_sizes is a tuple of
+    triples; shallow coercion would break the exact round-trip)."""
+    if isinstance(v, (list, tuple)):
+        return tuple(_to_tuple(x) for x in v)
+    return v
+
+
+def _to_list(v):
+    """Inverse of _to_tuple for serialization."""
+    if isinstance(v, (list, tuple)):
+        return [_to_list(x) for x in v]
+    return v
 
 
 def rules_from_config(cfg) -> list:
@@ -96,7 +113,7 @@ def rules_from_config(cfg) -> list:
                     f"rules[{i}] ({tag}): unknown field {k!r} "
                     f"(known: {', '.join(sorted(known))})"
                 )
-            params[k] = tuple(v) if isinstance(v, list) else v
+            params[k] = _to_tuple(v) if isinstance(v, list) else v
         # constructor __post_init__ validation (impossible bounds, empty
         # allowed sets, ...) raises here — before any Spark job exists
         rules.append(cls(**params))
@@ -117,7 +134,7 @@ def rules_to_config(rules) -> dict:
         entry = {"type": tag}
         for f in dataclasses.fields(cls):
             v = getattr(r, f.name)
-            entry[f.name] = list(v) if isinstance(v, tuple) else v
+            entry[f.name] = _to_list(v) if isinstance(v, tuple) else v
         out.append(entry)
     return {"rules": out}
 

@@ -279,6 +279,48 @@ class TranscriptRule(Rule):
 
 
 @dataclass(frozen=True)
+class PayloadSizeRule(Rule):
+    """Declared-size consistency of the binary payload: the byte length
+    of ``bytes`` must equal what (codec, sr_hz, dur_ms) implies —
+    header + bytes_per_sample × round(sr·dur/1000) — else the clip is
+    truncated, padded, or mislabeled.
+
+    This is the JVM-only PRE-GATE in front of the Arrow decode rule: at
+    100 TB, catching a truncated payload from parquet column metadata
+    (octet length) costs a scan projection, while catching it in the
+    decoder costs the full Arrow transfer + decode of every byte. It is
+    row-local and fuses into the single validation scan.
+
+    ``codec_sizes`` maps codec → (header_bytes, bytes_per_sample) as a
+    tuple of triples (JSON-friendly). Codecs not listed are NOT evaluated
+    here (ValueSetRule owns the codec domain), and NULL payloads are
+    NotNullRule's job — mirroring PatternRule's null-ownership contract.
+    """
+
+    bytes_column: str = "bytes"
+    codec_column: str = "codec"
+    sr_column: str = "sr_hz"
+    dur_column: str = "dur_ms"
+    # (codec, header_bytes, bytes_per_sample): pcm16 = 44-byte canonical
+    # RIFF/WAVE header + int16 samples; mulaw = raw G.711 bytes
+    # (functions/audio.py:83-116)
+    codec_sizes: tuple = (("pcm16", 44, 2), ("mulaw", 0, 1))
+    detector: str = "payload-size"
+
+    def __post_init__(self) -> None:
+        if not self.codec_sizes:
+            # ≙ {{ error(...) }}: a size rule with no codec table is a
+            # configuration bug, not an empty check
+            raise ValueError("PayloadSizeRule: codec_sizes must be non-empty")
+        for entry in self.codec_sizes:
+            if len(entry) != 3:
+                raise ValueError(
+                    f"PayloadSizeRule: codec_sizes entries are "
+                    f"(codec, header_bytes, bytes_per_sample), got {entry!r}"
+                )
+
+
+@dataclass(frozen=True)
 class SpeechRateRule(Rule):
     """Transcript↔audio duration consistency: characters-per-second
     outside [min_cps, max_cps] → violation.
