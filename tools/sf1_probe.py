@@ -34,7 +34,12 @@ COPIES = 10
 # key columns shifted per copy so entity ids stay globally unique while
 # per-key row counts (and therefore window/group working sets) stay flat
 SHIFTS = {
-    "events": {"event_id": 10**12, "user_id": 10**6},
+    # events: the reference's model is a FIXED sensor fleet with a
+    # growing history, so user_id is deliberately NOT shifted — 10x
+    # events per sensor, constant sensor domain (shifting it broke the
+    # sensor_matrix pivot's bounded-domain contract and models the wrong
+    # axis of growth). event_id stays globally unique.
+    "events": {"event_id": 10**12},
     "documents": {"doc_id": 10**6},
     "embeddings": {"vec_id": 10**6},
     "lineitem": {"l_orderkey": 10**9},
