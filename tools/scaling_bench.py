@@ -173,14 +173,21 @@ def main() -> None:
         spark.stop()
 
     levels = sorted({c for pair in PAIRS for c in pair})
-    # Shared-VM noise at high thread counts is the dominant measurement
-    # error (identical back-to-back 32-core runs differ by ~40%); each
-    # level therefore runs in REPS[level] fresh JVMs and keeps the
-    # minimum (each worker is itself best-of-2 inside one JVM).
-    reps = {4: 1, 8: 2, 16: 2, 32: 3}
+    # Shared-VM noise is the dominant measurement error at EVERY level
+    # (round-4 observation: an idle-box 4-core level sampled 135 s and
+    # 172 s on the same day — ±25%, enough to swing a 4→16 efficiency
+    # from 0.85 to 0.60 when the N side gets one lucky sample). Each
+    # level therefore runs in REPS[level] fresh JVMs, keeps the minimum
+    # (least cross-tenant interference ≈ steady state; each worker is
+    # itself best-of-2 inside one JVM), and ALL per-rep samples are
+    # recorded in the output so the spread is visible in the artifact
+    # rather than hidden behind a single number.
+    reps = {4: 3, 8: 2, 16: 3, 32: 3}
     results: dict[int, dict] = {}
+    samples: dict[int, list[float]] = {}
     for cpus in levels:
         best: dict | None = None
+        samples[cpus] = []
         for _ in range(reps.get(cpus, 1)):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker", str(cpus), DATA_DIR],
@@ -194,6 +201,7 @@ def main() -> None:
                 sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
                 raise RuntimeError(f"worker local[{cpus}] produced no result line")
             r = json.loads(lines[-1])
+            samples[cpus].append(round(r["seconds"], 2))
             if best is None or r["seconds"] < best["seconds"]:
                 best = r
         results[cpus] = best
@@ -242,6 +250,7 @@ def main() -> None:
     summary = {
         "clips": n,
         "reps": reps,
+        "samples_seconds": {str(c): samples[c] for c in levels},
         "pairs": pairs,
         "proc_pair": proc_pair,
         "scaling_efficiency": max(
