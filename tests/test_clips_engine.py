@@ -353,3 +353,111 @@ def test_payload_size_rule_validates_config():
         PayloadSizeRule(codec_sizes=())
     with _pytest.raises(ValueError, match="triples|entries"):
         PayloadSizeRule(codec_sizes=(("pcm16", 44),))
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Plain DP edit distance — the independent oracle for the
+    TranscriptDistanceRule (no Spark, no duckdb)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_transcript_distance_rule(spark):
+    """Levenshtein-tolerance transcript rule vs a pure-python DP oracle:
+    exact flag sets at three tolerances, max_distance=0 ≡ the exact
+    TranscriptRule, NULL transcript against a non-NULL expectation is a
+    violation at any tolerance, and the note carries the measured
+    distance. Plan stays JVM-only (codegen'd levenshtein)."""
+    from use_case_real_time_anomaly_detection_spark.operators.engine import (
+        ValidationEngine,
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        TranscriptDistanceRule,
+        TranscriptRule,
+    )
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        frontier_of,
+        manifest_pandas,
+        metadata_pandas,
+    )
+
+    spec = SynthSpec(partitions=3, clips_per_partition=120)
+    meta = metadata_pandas(spec)
+    man = manifest_pandas(spec)
+    # plant one NULL transcript on a manifest-covered row
+    covered_idx = meta[meta["clip_id"].isin(set(man["clip_id"]))].index[0]
+    null_cid = meta.loc[covered_idx, "clip_id"]
+    meta.loc[covered_idx, "transcript"] = None
+
+    expected = man.set_index("clip_id")["expected_transcript"]
+    dists = {
+        cid: (None if t is None else _levenshtein(t, expected[cid]))
+        for cid, t in zip(meta["clip_id"], meta["transcript"])
+        if cid in expected.index
+    }
+
+    engine = ValidationEngine(
+        key_col="clip_id", partition_col="partition_key", seq_col="seq"
+    )
+    meta_df = spark.createDataFrame(meta)
+    man_df = spark.createDataFrame(man)
+
+    def run(rules):
+        res = engine.run(
+            meta_df, rules, frontier=frontier_of(spec),
+            refs={"clip_manifest": man_df},
+        )
+        return res.violations
+
+    flagged = {}
+    for k in (0, 20, 10**6):
+        v = run([TranscriptDistanceRule(max_distance=k)])
+        pdf = v.toPandas()
+        got = _flagged(pdf, "transcript-distance")
+        want = {cid for cid, d in dists.items() if d is None or d > k}
+        assert got == want, f"max_distance={k}"
+        flagged[k] = got
+        if k == 20:
+            # note carries the measured distance and both bounds
+            row = pdf[pdf["clip_id"] != null_cid].iloc[0]
+            d = dists[row["clip_id"]]
+            assert row["note"].startswith(f"edit_distance:{d}| max_distance:20|")
+            assert expected[row["clip_id"]] in row["note"]
+            nrow = pdf[pdf["clip_id"] == null_cid].iloc[0]
+            assert nrow["note"].startswith("edit_distance:null|")
+            # plan stays JVM-only
+            plan = v._jdf.queryExecution().executedPlan().toString()
+            assert "BatchEvalPython" not in plan
+
+    # max_distance=0 degenerates to the exact rule (same violation set)
+    exact = _flagged(run([TranscriptRule()]).toPandas(), "transcript")
+    assert flagged[0] == exact | {null_cid}
+    # the tolerance is discriminating on the planted corruptions:
+    # everything real is caught at 0, only the null row survives to 1e6
+    assert flagged[10**6] == {null_cid}
+    assert flagged[10**6] <= flagged[20] <= flagged[0]
+
+    # exact + distance rules fused in ONE run share the manifest join
+    # (regression: duplicate __ref_ alias was ambiguous)
+    both = run([TranscriptRule(), TranscriptDistanceRule(max_distance=20)])
+    pdf = both.toPandas()
+    assert _flagged(pdf, "transcript") == exact
+    assert _flagged(pdf, "transcript-distance") == flagged[20]
+
+
+def test_transcript_distance_rule_validates_config():
+    import pytest as _pytest
+
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        TranscriptDistanceRule,
+    )
+
+    with _pytest.raises(ValueError, match=">= 0"):
+        TranscriptDistanceRule(max_distance=-1)

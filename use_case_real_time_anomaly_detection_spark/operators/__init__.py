@@ -9,6 +9,7 @@ from .rules import (  # noqa: F401
     RateOfChangeRule,
     RefIntegrityRule,
     Rule,
+    TranscriptDistanceRule,
     TranscriptRule,
     UniqueRule,
     ValueSetRule,

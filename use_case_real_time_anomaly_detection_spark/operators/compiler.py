@@ -54,6 +54,7 @@ from .rules import (
     RefIntegrityRule,
     Rule,
     SpeechRateRule,
+    TranscriptDistanceRule,
     TranscriptRule,
     UniqueRule,
     ValueSetRule,
@@ -136,9 +137,15 @@ def compile_rules(
         if ref_name not in refs:
             raise ValueError(f"rule references unknown table {ref_name!r}")
         manifest = refs[ref_name]
-        wanted = [key_col] + [
-            r.ref_column for r in ref_rules if isinstance(r, TranscriptRule)
-        ]
+        # dedup while preserving order: the exact and distance transcript
+        # rules share ref_column, and a duplicate __ref_ alias would be
+        # ambiguous downstream
+        wanted = list(
+            dict.fromkeys(
+                [key_col]
+                + [r.ref_column for r in ref_rules if isinstance(r, TranscriptRule)]
+            )
+        )
         sel = manifest.select(
             F.col(key_col).alias("__ref_key"),
             *[
@@ -423,6 +430,25 @@ def compile_rules(
                 F.lit("lower_bound:"), _fmt(lo),
                 F.lit("| upper_bound:"), _fmt(hi),
             )  # ≙ copy_iqr.pipe:80
+            _entry(r.detector, cond, F.col(r.column), note)
+
+        elif isinstance(r, TranscriptDistanceRule):
+            # ordered before the exact branch: isinstance(r, TranscriptRule)
+            # would also match this subclass. levenshtein is a codegen'd
+            # Catalyst expression — the tolerance check stays JVM-side and
+            # row-local on the same manifest join as the exact rule.
+            expected = F.col(manifest_cols[r.ref_column])
+            dist = F.levenshtein(F.col(r.column), expected)
+            cond = expected.isNotNull() & (
+                F.col(r.column).isNull() | (dist > F.lit(r.max_distance))
+            )
+            note = F.concat(
+                F.lit("edit_distance:"),
+                F.coalesce(dist.cast("string"), F.lit("null")),
+                F.lit(f"| max_distance:{r.max_distance}"),
+                F.lit("| expected transcript: "),
+                expected,
+            )
             _entry(r.detector, cond, F.col(r.column), note)
 
         elif isinstance(r, TranscriptRule):

@@ -35,6 +35,7 @@ from .rules import (
     RateOfChangeRule,
     RefIntegrityRule,
     SpeechRateRule,
+    TranscriptDistanceRule,
     TranscriptRule,
     UniqueRule,
     ValueSetRule,
@@ -58,6 +59,7 @@ RULE_TYPES = {
     "drift": DriftRule,
     "audio_decode": AudioDecodeRule,
     "transcript": TranscriptRule,
+    "transcript_distance": TranscriptDistanceRule,
     "speech_rate": SpeechRateRule,
     "payload_size": PayloadSizeRule,
     "profile": ProfileSpec,

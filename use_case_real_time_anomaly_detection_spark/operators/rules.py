@@ -279,6 +279,37 @@ class TranscriptRule(Rule):
 
 
 @dataclass(frozen=True)
+class TranscriptDistanceRule(TranscriptRule):
+    """Transcript must be within ``max_distance`` character edits
+    (Levenshtein) of the manifest's expected transcript.
+
+    Tolerance variant of :class:`TranscriptRule` for ASR-style
+    supervision, where a transcript one normalization pass away from the
+    golden copy (casing, a dropped comma) is usable training data but a
+    structurally different one is a mis-join. Compiled JVM-side
+    (``levenshtein`` is a codegen'd Catalyst expression — no Python, no
+    extra scan) and fused into the same single manifest join the exact
+    rule uses. ``max_distance=0`` degenerates to exact equality with the
+    same violation rows as TranscriptRule.
+
+    Same null contract as the exact rule: a NULL observed transcript
+    against a non-NULL expectation is a violation; rows absent from the
+    manifest are RefIntegrityRule's job.
+    """
+
+    max_distance: int = 0
+    detector: str = "transcript-distance"
+
+    def __post_init__(self) -> None:
+        if self.max_distance < 0:
+            # ≙ {{ error(...) }} on an impossible bound configuration
+            raise ValueError(
+                f"TranscriptDistanceRule: max_distance must be >= 0, "
+                f"got {self.max_distance}"
+            )
+
+
+@dataclass(frozen=True)
 class PayloadSizeRule(Rule):
     """Declared-size consistency of the binary payload: the byte length
     of ``bytes`` must equal what (codec, sr_hz, dur_ms) implies —
