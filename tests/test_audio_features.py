@@ -585,3 +585,60 @@ def test_audio_ingest_gate_bootstrap_and_prebuilt_index(spark):
         for r in audio_ingest_gate(batch, corpus).collect()
     }
     assert via_index == via_corpus
+
+
+def test_audio_topk_matches_numpy_and_ranks_source_first(spark):
+    """Brute acoustic top-k == a numpy cosine oracle over the pandas
+    twin (same ordering, cosines equal at the 4-digit contract), the
+    query twin's pcm16 source ranks #1 at cosine ≈ 1, degenerate clips
+    (not ok / silent) never appear, and the LSH probe returns a subset
+    of the corpus ranked by the same exact cosine."""
+    from use_case_real_time_anomaly_detection_spark.functions.audio_features import (
+        audio_topk,
+    )
+
+    twin = audio_features_pandas(SPEC)
+    usable = twin[twin["ok"] & (twin["peak"] > 0)].set_index("clip_id")
+    qid = min(c for c in usable.index if c.endswith("~re"))
+    qv = np.asarray(usable.loc[qid, "bands"], dtype=np.float64)
+
+    def cos(v):
+        v = np.asarray(v, dtype=np.float64)
+        return float(v @ qv / (math.sqrt(v @ v) * math.sqrt(qv @ qv)))
+
+    scored = sorted(
+        ((round(cos(b), 4), cid) for cid, b in usable["bands"].items() if cid != qid),
+        key=lambda t: (-t[0], t[1]),
+    )
+    want = [(cid, c) for c, cid in scored[:10]]
+
+    feats = _spark_features(spark)
+    got = [(r["clip_id"], r["cosine"]) for r in audio_topk(feats, qid, k=10).collect()]
+    assert got == want
+    # the transcode twin's source is the nearest clip, essentially exact
+    assert got[0][0] == qid[: -len("~re")]
+    assert got[0][1] >= 0.999
+    bad = set(twin[~(twin["ok"] & (twin["peak"] > 0))]["clip_id"])
+    assert not bad & {cid for cid, _ in got}
+
+    lsh = [
+        (r["clip_id"], r["cosine"])
+        for r in audio_topk(feats, qid, k=10, method="lsh").collect()
+    ]
+    exact_rank = {cid: c for c, cid in scored}
+    assert all(exact_rank[cid] == c for cid, c in lsh)
+    assert [c for _, c in lsh] == sorted((c for _, c in lsh), reverse=True)
+    # the probe still surfaces the planted twin source
+    assert lsh and lsh[0][0] == qid[: -len("~re")]
+
+
+def test_audio_topk_rejects_unusable_query(spark):
+    from use_case_real_time_anomaly_detection_spark.functions.audio_features import (
+        audio_topk,
+    )
+
+    feats = _spark_features(spark)
+    with pytest.raises(ValueError, match="usable"):
+        audio_topk(feats, "no-such-clip")
+    with pytest.raises(ValueError, match="method"):
+        audio_topk(feats, "c000-000000003~re", method="exact")

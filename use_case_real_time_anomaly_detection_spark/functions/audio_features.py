@@ -1049,3 +1049,61 @@ def audio_drift(
         )
         scored = s if scored is None else scored.unionByName(s)
     return scored
+
+
+def audio_topk(
+    features: DataFrame,
+    query_clip_id: str,
+    *,
+    k: int = 10,
+    method: str = "brute",
+    n_planes: int = 6,
+    multi_probe: int = 1,
+) -> DataFrame:
+    """Acoustic similarity search: top-k nearest clips to
+    ``query_clip_id`` by cosine over the 64-dim band-energy vectors
+    (``bands``, produced by with_audio_features) — "find clips that
+    sound like this one" over a decoded-feature index, the audio twin
+    of the embedding ANN stack (functions/similarity).
+
+    ``method='brute'`` is the exact baseline: one scan + an ordered
+    k-row take (TakeOrderedAndProject — no full sort). ``method='lsh'``
+    is the scale path: sign-bit hyperplane buckets over the SAME
+    deterministic md5 plane family the embedding ANN uses, multi-probe
+    Hamming filter, brute-force only inside the probed buckets — at
+    corpus scale `bucket` is the write-time cluster key so the probe
+    prunes files instead of scanning 10^12 clips.
+
+    Degenerate clips (decode failures, all-silence: ``ok`` false or
+    ``peak`` = 0) carry no usable spectrum and are excluded from both
+    the index and the query side — a zero band vector has no cosine.
+    The query vector is fetched with one driver ``first()`` (it is a
+    scalar parameter of the search, same contract as similarity.
+    brute_force_topk's ``qvec``).
+
+    Returns (clip_id, cosine) with cosine rounded to 4 — ties broken by
+    clip_id for cross-engine determinism.
+    """
+    from .similarity import brute_force_topk, lsh_topk
+
+    base = features.where(F.col("ok") & (F.col("peak") > 0)).select(
+        "clip_id", "bands"
+    )
+    row = base.where(F.col("clip_id") == query_clip_id).select("bands").first()
+    if row is None:
+        raise ValueError(
+            f"audio_topk: query clip {query_clip_id!r} not in the usable "
+            "corpus (missing, decode-failed, or silent)"
+        )
+    qvec = [float(x) for x in row[0]]
+    if method == "brute":
+        return brute_force_topk(
+            base, qvec, k=k, id_col="clip_id", vec_col="bands",
+            exclude_id=query_clip_id,
+        )
+    if method == "lsh":
+        return lsh_topk(
+            base, qvec, k=k, n_planes=n_planes, multi_probe=multi_probe,
+            id_col="clip_id", vec_col="bands", exclude_id=query_clip_id,
+        )
+    raise ValueError(f"audio_topk: unknown method {method!r}")
