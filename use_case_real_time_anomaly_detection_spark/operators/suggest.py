@@ -1,0 +1,154 @@
+"""Constraint suggestion: profile a table once, emit a candidate ruleset.
+
+The reference ships its detectors pre-configured for one known table
+(tinybird/pipes/*.pipe pin thresholds as template defaults); a user
+adopting this engine on a NEW corpus starts from nothing. This module
+closes that bootstrap gap the way production validation engines do
+(Deequ's ConstraintSuggestion, Great Expectations' profiler): compute
+column facts in one aggregation pass, derive the rules the observed data
+already satisfies, and hand back a ruleset document that round-trips
+through operators/config — diffable, promotable, and immediately
+runnable with ZERO violations on the data that produced it (every bound
+is an observed bound). The human then tightens what the data merely
+suggests.
+
+Suggestion policy (deterministic — the DuckDB oracle replays it exactly):
+
+- ``not_null``   — every column whose observed null count is 0.
+- ``range``      — numeric columns: observed [min, max]. Exact observed
+  bounds, not quantile-padded: padding policy is a human decision, and
+  an invented margin would make the suggestion non-reproducible across
+  engines.
+- ``value_set``  — NULL-free string columns with 1 ≤ exact-distinct ≤
+  ``max_set_size`` values: the sorted observed set. ValueSetRule counts
+  NULL as outside any set, so suggesting one on a nullable column would
+  break the zero-violation contract.
+- ``unique``     — string columns where exact-distinct == row count and
+  no NULLs (a key). Numeric columns are excluded by policy: a float
+  measurement column being incidentally collision-free is not evidence
+  of a key contract.
+
+Scale shape (100 TB): pass 1 is ONE groupBy().agg() over the corpus —
+count / null counts / min / max / exact count_distinct per column.
+Exact distincts compile to Catalyst's expand (input fan-out × the
+distinct-column count) with map-side partial aggregation, so the shuffle
+carries one row per partition regardless of corpus size; this is a
+one-off bootstrap job, and exactness is what makes unique / value_set
+suggestions trustworthy. Pass 2 collects the actual value sets ONLY for
+columns pass 1 proved small (≤ max_set_size distinct values), reading
+just those columns — collect_set memory is bounded by proof before it
+runs. Nothing else is ever collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.stats import NUMERIC_TYPES
+from .config import rules_to_config
+from .rules import NotNullRule, RangeRule, Rule, UniqueRule, ValueSetRule
+
+
+def column_facts(
+    df: DataFrame, columns: list[str] | None = None
+) -> list[dict]:
+    """One aggregation pass → per-column facts, collected to the driver
+    (one tiny row per column): rows, non-null count, exact distinct
+    count, and min/max for numeric columns. The raw material every
+    suggestion derives from."""
+    dtypes = dict(df.dtypes)
+    cols = list(columns) if columns is not None else list(df.columns)
+    unknown = [c for c in cols if c not in dtypes]
+    if unknown:
+        raise ValueError(f"column_facts: unknown columns {unknown}")
+
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"{c}::nn"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"{c}::nd"))
+        if dtypes[c].split("(")[0] in NUMERIC_TYPES:
+            aggs.append(F.min(c).cast("double").alias(f"{c}::min"))
+            aggs.append(F.max(c).cast("double").alias(f"{c}::max"))
+    row = df.agg(*aggs).first().asDict()
+
+    out = []
+    for c in cols:
+        out.append(
+            {
+                "column": c,
+                "dtype": dtypes[c],
+                "rows": row["__rows"],
+                "non_null": row[f"{c}::nn"],
+                "distinct": row[f"{c}::nd"],
+                "min": row.get(f"{c}::min"),
+                "max": row.get(f"{c}::max"),
+            }
+        )
+    return out
+
+
+def suggest_rules(
+    df: DataFrame,
+    *,
+    columns: list[str] | None = None,
+    max_set_size: int = 16,
+) -> list[Rule]:
+    """Candidate rule list for ``df`` under the module's suggestion
+    policy. Per column, in column order: not_null, then range (numeric)
+    or value_set (small-domain string), then unique (string key) —
+    deterministic output for deterministic input, by construction."""
+    if max_set_size < 1:
+        raise ValueError(f"suggest_rules: max_set_size must be >= 1, got {max_set_size}")
+    facts = column_facts(df, columns)
+
+    set_cols = [
+        f["column"]
+        for f in facts
+        if f["dtype"].split("(")[0] == "string"
+        and f["rows"] > 0
+        and f["non_null"] == f["rows"]
+        and 1 <= f["distinct"] <= max_set_size
+    ]
+    value_sets: dict[str, tuple] = {}
+    if set_cols:
+        # pass 2: bounded by proof — every collected column has
+        # ≤ max_set_size distinct values; scan prunes to just them
+        row = df.agg(
+            *[F.collect_set(c).alias(c) for c in set_cols]
+        ).first()
+        value_sets = {c: tuple(sorted(row[c])) for c in set_cols}
+
+    rules: list[Rule] = []
+    for f in facts:
+        c, base = f["column"], f["dtype"].split("(")[0]
+        if f["rows"] > 0 and f["non_null"] == f["rows"]:
+            rules.append(NotNullRule(column=c))
+        if base in NUMERIC_TYPES and f["non_null"] > 0:
+            rules.append(
+                RangeRule(column=c, min_value=f["min"], max_value=f["max"])
+            )
+        if c in value_sets:
+            rules.append(ValueSetRule(column=c, allowed=value_sets[c]))
+        if (
+            base == "string"
+            and f["rows"] > 0
+            and f["non_null"] == f["rows"]
+            and f["distinct"] == f["rows"]
+        ):
+            rules.append(UniqueRule(columns=(c,)))
+    return rules
+
+
+def suggest_ruleset(
+    df: DataFrame,
+    *,
+    columns: list[str] | None = None,
+    max_set_size: int = 16,
+) -> dict:
+    """Suggested rules as a config DOCUMENT (operators/config schema) —
+    json.dump it, check it in, load_ruleset it back. The bootstrap
+    artifact a new corpus onboarding produces."""
+    return rules_to_config(
+        suggest_rules(df, columns=columns, max_set_size=max_set_size)
+    )
