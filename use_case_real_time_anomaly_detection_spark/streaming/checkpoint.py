@@ -90,6 +90,20 @@ class CheckpointStore:
 
         return merge_profile_states(self.catalog.read(PROFILE_TABLE).drop("pk"))
 
+    def anomalies(
+        self, *, threshold: float = 2.0, min_history: int = 3
+    ) -> DataFrame:
+        """Trend anomalies in the stored verdict history
+        (operators/monitor.lineage_anomalies): each run's violation rate
+        scored against its (partition, detector) series' prior runs —
+        the meta-monitoring view over this store's append-only lineage.
+        O(runs × partitions × detectors) input rows, zero corpus IO."""
+        from ..operators.monitor import lineage_anomalies
+
+        return lineage_anomalies(
+            self.lineage(), threshold=threshold, min_history=min_history
+        )
+
     def drift(self, column: str = "dur_ms") -> DataFrame:
         """Per-partition KS/PSI drift computed from the STORED state
         histograms (functions/stats.drift_from_states): after any runner
