@@ -208,3 +208,62 @@ def test_diff_runs_gates_added_failing_and_dedups_reused_run_id(
     assert out["by_status"]["added-failing"] == 1
     assert any(r["status"] == "added-failing" and r["partition_key"] == "p-new"
                for r in out["new_failures"])
+
+
+def test_runner_trend_gate(spark, tmp_path, capsys):
+    """--trend: rc 1 only when a series is anomalous at its LATEST run
+    (the page condition); historical flags that later recovered are
+    reported in total_flags but do not trip the gate; malformed
+    parameter → rc 2."""
+    from pyspark.sql import functions as F
+
+    from use_case_real_time_anomaly_detection_spark.sources.tables import (
+        get_catalog,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    cat = get_catalog(spark, ckpt)
+    schema = (
+        "partition_key string, detector string, run_id string, "
+        "completed_at_seq long, violation_count long, rows_checked long"
+    )
+
+    def append(series):
+        rows = []
+        for (pk, det), counts in series.items():
+            for i, vc in enumerate(counts):
+                rows.append((pk, det, f"r{i:02d}", 1000 + i, vc, 1000))
+        cat.append(spark.createDataFrame(rows, schema), "lineage")
+
+    # p0: clean alternation then a spike at the LATEST run → current flag
+    # p1: step at run 3, recovered after → historical flag only
+    append({
+        ("p0", "out-of-range"): [3, 4, 3, 4, 3, 4, 3, 40],
+        ("p1", "z-score"): [0, 0, 0, 9, 0, 0, 0, 0],
+    })
+    rc, out = _run(capsys, [
+        "--trend", "--checkpoint-dir", ckpt, "--master", "local[8]",
+    ])
+    assert rc == 1
+    assert out["total_flags"] >= 2  # the spike + the historical step
+    assert [(f["partition_key"], f["kind"]) for f in out["current_flags"]] == [
+        ("p0", "zscore")
+    ]
+
+    # p0 recovers in a later run → nothing anomalous NOW, gate opens
+    cat.append(
+        spark.createDataFrame(
+            [("p0", "out-of-range", "r08", 1008, 4, 1000)], schema
+        ),
+        "lineage",
+    )
+    rc, out = _run(capsys, [
+        "--trend", "--checkpoint-dir", ckpt, "--master", "local[8]",
+    ])
+    assert rc == 0
+    assert out["current_flags"] == [] and out["total_flags"] >= 2
+
+    rc, _ = _run(capsys, [
+        "--trend", "nope", "--checkpoint-dir", ckpt, "--master", "local[8]",
+    ])
+    assert rc == 2

@@ -64,6 +64,19 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "transition summary — exit code 1 if any new-failure rows exist, "
         "so an orchestrator can gate promotion on it",
     )
+    src.add_argument(
+        "--trend",
+        nargs="?",
+        const="2.0,3",
+        metavar="THRESHOLD,MIN_HISTORY",
+        help="meta-monitoring mode: score every run in the lineage table "
+        "against its (partition, detector) series' prior runs "
+        "(operators/monitor.lineage_anomalies — prefix z-score + "
+        "constant-history step flags) and print all trend anomalies — "
+        "exit code 1 if any series is anomalous at its LATEST run, so an "
+        "orchestrator can page on corpus degradation that per-run "
+        "verdicts miss. Default 2.0,3",
+    )
     p.add_argument("--manifest", help="parquet path of the clip manifest")
     p.add_argument(
         "--checkpoint-dir",
@@ -191,6 +204,45 @@ def main(argv: list[str] | None = None) -> int:
             "new_failures": gate_rows,
         }))
         return 1 if gate_rows else 0
+
+    if args.trend:
+        from .operators.monitor import lineage_anomalies
+
+        try:
+            thr_s, mh_s = (s.strip() for s in args.trend.split(","))
+            threshold, min_history = float(thr_s), int(mh_s)
+        except ValueError:
+            print(
+                "--trend takes THRESHOLD,MIN_HISTORY (e.g. 2.0,3)",
+                file=sys.stderr,
+            )
+            return 2
+        store = CheckpointStore(get_catalog(spark, args.checkpoint_dir))
+        lin = store.lineage()
+        flagged = lineage_anomalies(
+            lin, threshold=threshold, min_history=min_history
+        ).localCheckpoint()
+        # the page condition: the flag is the LAST observation of its
+        # series — the trend is anomalous NOW, not just historically
+        last = lin.groupBy("partition_key", "detector").agg(
+            F.max("completed_at_seq").alias("completed_at_seq")
+        )
+        current = flagged.join(
+            last, ["partition_key", "detector", "completed_at_seq"]
+        )
+        cols = (
+            "partition_key", "detector", "run_id", "completed_at_seq",
+            "rate", "prior_mean", "zscore", "kind",
+        )
+        cur_rows = [{k: r[k] for k in cols} for r in current.collect()]
+        print(json.dumps({
+            "mode": "trend",
+            "threshold": threshold,
+            "min_history": min_history,
+            "total_flags": flagged.count(),
+            "current_flags": cur_rows,
+        }))
+        return 1 if cur_rows else 0
 
     if args.stream:
         if not args.manifest:
