@@ -880,6 +880,12 @@ def _q_payload_bytes(spark, sf):
     parquet-metadata cost, zero decode on the Spark side."""
     from pyspark.sql import functions as F
 
+    from use_case_real_time_anomaly_detection_spark.operators.compiler import (
+        expected_payload_bytes,
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        PayloadSizeRule,
+    )
     from use_case_real_time_anomaly_detection_spark.sources.synth import (
         SynthSpec,
         generate_clips,
@@ -889,17 +895,9 @@ def _q_payload_bytes(spark, sf):
     spec = SynthSpec(partitions=4, clips_per_partition=150)
     _ensure_audio_features_oracle()
     clips = with_partition_cols(generate_clips(spark, spec))
-    n = F.greatest(
-        F.lit(1),
-        F.rint(
-            F.col("sr_hz").cast("double") * F.col("dur_ms").cast("double")
-            / F.lit(1000.0)
-        ).cast("long"),
-    )
-    expected = (
-        F.when(F.col("codec") == "pcm16", F.lit(44) + F.lit(2) * n)
-        .when(F.col("codec") == "mulaw", n)
-    )
+    # the SAME formula builder the compiled rule uses — the report can
+    # never drift from the rule it exercises
+    expected = expected_payload_bytes(PayloadSizeRule().codec_sizes)
     return (
         clips.where(expected.isNotNull() & F.col("bytes").isNotNull())
         # injected duplicate clip_ids carry byte-identical payloads; the
@@ -1486,7 +1484,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_rules": _q_suggest_rules,
         "lineage_anomalies": _q_lineage_anomalies,
         # --- officially green in r2 AND r3; rotated past the harness's
-        # observed 50-query horizon so the newer queries get recorded ---
+        # observed 50-query horizon so the newer queries get recorded.
+        # Rotation does NOT retire their verification: every key of
+        # oracle_sql() — head and tail alike — runs against DuckDB each
+        # CI pass via tests/test_oracle_parity.py (parametrized over
+        # sorted(oracle_sql())) and tools/parity_check.py, so a
+        # regression in a rotated query still fails the suite ------------
         "text_quality": _q_text_quality,
         "fingerprint": _q_fingerprint,
         "dedup_exact": _q_dedup_exact,

@@ -461,3 +461,35 @@ def test_transcript_distance_rule_validates_config():
 
     with _pytest.raises(ValueError, match=">= 0"):
         TranscriptDistanceRule(max_distance=-1)
+
+
+def test_payload_size_rule_skips_null_metadata(spark):
+    """NULL sr_hz/dur_ms must NOT be evaluated by PayloadSizeRule
+    (NotNullRule owns null policy): Spark's greatest() skips NULLs, so
+    without the explicit guard a NULL rate would collapse n_samples to 1
+    and false-flag an intact payload."""
+    from use_case_real_time_anomaly_detection_spark.operators.engine import (
+        ValidationEngine,
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        PayloadSizeRule,
+    )
+
+    # 44-byte header + 2 bytes/sample * 8 samples = 60 bytes, intact
+    payload = bytes(60)
+    rows = [
+        ("ok-row", bytes(44 + 2 * 8000), "pcm16", 8000, 1000, "p0", 0),
+        ("null-sr", payload, "pcm16", None, 1000, "p0", 1),
+        ("null-dur", payload, "pcm16", 8000, None, "p0", 2),
+        ("truncated", bytes(10), "pcm16", 8000, 1000, "p0", 3),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, codec string, sr_hz int, "
+        "dur_ms int, partition_key string, seq long",
+    )
+    engine = ValidationEngine(
+        key_col="clip_id", partition_col="partition_key", seq_col="seq"
+    )
+    v = engine.run(df, [PayloadSizeRule()]).violations.collect()
+    assert {r["clip_id"] for r in v} == {"truncated"}

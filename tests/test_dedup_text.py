@@ -354,3 +354,21 @@ def test_pii_scrub_leaves_plain_numerics_alone(spark):
     assert got[1]["n_phone"] == 0 and got[1]["text_redacted"] == rows[0][1]
     assert got[2]["n_phone"] == 0 and got[2]["text_redacted"] == rows[1][1]
     assert got[3]["n_phone"] == 2 and got[3]["text_redacted"].count("<phone>") == 2
+
+
+def test_connected_components_keeps_self_pair_only_nodes(spark):
+    """Contract: every id incident to a pair gets a cluster row — a node
+    whose only incidence is a reflexive (a, a) pair is its own singleton
+    cluster; a node with BOTH a self-pair and a real edge is not
+    duplicated."""
+    from use_case_real_time_anomaly_detection_spark.functions.dedup import (
+        connected_components,
+    )
+
+    pairs = [(9, 9), (1, 2), (2, 2)]
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(pdf).collect()
+    )
+    assert got == [(1, 1), (2, 1), (9, 9)]

@@ -97,3 +97,21 @@ def test_lineage_anomalies_accepts_real_engine_verdicts(spark):
     verdicts = engine.run(df, [NotNullRule(column="t")]).verdicts
     # a single run can never have enough history — empty, but runs clean
     assert lineage_anomalies(verdicts).count() == 0
+
+
+def test_lineage_anomalies_dedups_reused_run_id(spark):
+    """A re-recorded run (reused --run-id → duplicate lineage rows for
+    the same logical run) must not contaminate its own twin's prior
+    window or double-page: one observation per (series, run), worst
+    recorded rate wins."""
+    lin = _lineage(spark, {("p0", "d", 1000): [3, 4, 3, 4, 3, 4, 3, 40]})
+    # duplicate the spike row verbatim, and add a lower-count duplicate
+    dup = spark.createDataFrame(
+        [
+            ("p0", "d", "r07", 1007, 40, 1000),
+            ("p0", "d", "r07", 1007, 5, 1000),
+        ],
+        _SCHEMA,
+    )
+    got = lineage_anomalies(lin.unionByName(dup), min_history=3).collect()
+    assert [(r["run_id"], r["rate"]) for r in got] == [("r07", 0.04)]

@@ -484,7 +484,7 @@ def connected_components(
             f"rounds; raise max_iter"
         )
     # fixpoint: every edge is (member, root); roots map to themselves
-    return (
+    membership = (
         edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
         .unionByName(
             edges.select(
@@ -492,6 +492,20 @@ def connected_components(
             )
         )
         .distinct()
+    )
+    # contract: EVERY id incident to a pair gets a cluster row — a node
+    # whose only incidence is a reflexive pair (u == u, dropped from the
+    # edge relation above) is its own singleton cluster. The anti-join
+    # scans only the (normally empty) self-pair subset.
+    selfies = (
+        pairs.where(F.col(a_col) == F.col(b_col))
+        .select(F.col(a_col).alias("doc_id"))
+        .distinct()
+    )
+    return membership.unionByName(
+        selfies.join(membership, "doc_id", "left_anti").select(
+            "doc_id", F.col("doc_id").alias("cluster_id")
+        )
     )
 
 

@@ -90,6 +90,45 @@ class CompiledPlan:
     partition_level: list = field(default_factory=list)
 
 
+def expected_payload_bytes(
+    codec_sizes,
+    *,
+    codec_col: str = "codec",
+    sr_col: str = "sr_hz",
+    dur_col: str = "dur_ms",
+) -> Column:
+    """Expected payload octet length from declared metadata only — no
+    decode: n_samples = max(1, round(sr·dur/1000)) (the encoder
+    contract, functions/audio.py:64), expected = header + bps·n_samples
+    per ``codec_sizes`` triple. rint = round-half-to-even, matching
+    Python round() in the encoder (sr·dur/1000 lands on .5 for e.g.
+    44100 Hz × odd ms); sr·dur is exact in double far past any real
+    (sr, dur).
+
+    NULL when the codec is unknown (ValueSetRule owns the domain) or
+    when sr/dur is NULL (NotNullRule owns null policy — Spark's
+    ``greatest`` SKIPS nulls, so without the explicit guard a NULL rate
+    would collapse n_samples to 1 and false-flag an intact payload).
+
+    The single source of this formula — PayloadSizeRule's compiled
+    condition and the payload_bytes report query both build on it, so
+    the codec table and rounding contract cannot drift apart.
+    """
+    sr = F.col(sr_col).cast("double")
+    dur = F.col(dur_col).cast("double")
+    n_samples = F.when(
+        sr.isNotNull() & dur.isNotNull(),
+        F.greatest(F.lit(1), F.rint(sr * dur / F.lit(1000.0)).cast("long")),
+    )
+    expected = F.lit(None).cast("long")
+    for codec, header, bps in codec_sizes:
+        expected = F.when(
+            F.col(codec_col) == F.lit(codec),
+            F.lit(int(header)) + F.lit(int(bps)) * n_samples,
+        ).otherwise(expected)
+    return expected
+
+
 def compile_rules(
     df: DataFrame,
     rules: list,
@@ -316,26 +355,12 @@ def compile_rules(
             )
 
         elif isinstance(r, PayloadSizeRule):
-            # expected bytes from the declared metadata only — no decode:
-            # n_samples = max(1, round(sr·dur/1000)) (the synth/encoder
-            # contract, functions/audio.py:64), expected = header + bps·n.
-            # rint = round-half-to-even, matching Python round() in the
-            # encoder (sr·dur/1000 lands on .5 for e.g. 44100 Hz × odd ms);
-            # sr·dur is exact in double far past any real (sr, dur).
-            n_samples = F.greatest(
-                F.lit(1),
-                F.rint(
-                    F.col(r.sr_column).cast("double")
-                    * F.col(r.dur_column).cast("double")
-                    / F.lit(1000.0)
-                ).cast("long"),
+            expected = expected_payload_bytes(
+                r.codec_sizes,
+                codec_col=r.codec_column,
+                sr_col=r.sr_column,
+                dur_col=r.dur_column,
             )
-            expected = F.lit(None).cast("long")
-            for codec, header, bps in r.codec_sizes:
-                expected = F.when(
-                    F.col(r.codec_column) == F.lit(codec),
-                    F.lit(int(header)) + F.lit(int(bps)) * n_samples,
-                ).otherwise(expected)
             found = F.length(F.col(r.bytes_column)).cast("long")
             # unknown codecs not evaluated (ValueSetRule owns the domain);
             # NULL payloads not evaluated (NotNullRule owns null policy)

@@ -65,6 +65,19 @@ def lineage_anomalies(
         "completed_at_seq",
         rate.alias("rate"),
     )
+    # a reused --run-id appends DUPLICATE rows for the same logical run
+    # (the same hazard runner --diff-runs dedups): left in, a duplicated
+    # spike contaminates its own twin's prior window and double-pages.
+    # One observation per (series, run), pessimistic tie-break — the
+    # worst recorded rate wins, so dedup can only make the gate stricter.
+    from .limit_by import limit_by
+
+    series = limit_by(
+        series,
+        ["partition_key", "detector", "run_id"],
+        [F.col("rate").desc(), F.col("completed_at_seq").desc()],
+        1,
+    )
     w = (
         Window.partitionBy("partition_key", "detector")
         .orderBy("completed_at_seq", "run_id")

@@ -172,10 +172,18 @@ def main(argv: list[str] | None = None) -> int:
             # rows to the lineage table; dedup to ONE row per pair —
             # latest completed_at_seq wins — so the diff join never fans
             # out and statuses aren't double-counted
+            # ties (re-executions at the SAME frontier) break
+            # pessimistically and deterministically: the row with the
+            # most violations wins, so a reused id can only make the
+            # gate stricter, never flip it run-to-run
             frames[rid] = limit_by(
                 f,
                 ["partition_key", "detector"],
-                [F.col("completed_at_seq").desc()],
+                [
+                    F.col("completed_at_seq").desc(),
+                    F.col("violation_count").desc(),
+                    F.col("rows_checked").desc(),
+                ],
                 1,
             )
         diff = verdict_diff(frames[prev_id], frames[cur_id]).localCheckpoint()
