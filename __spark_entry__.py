@@ -1142,6 +1142,44 @@ def _q_transcript_distance(spark, sf):
     return res.violations
 
 
+def _q_sampled_validate(spark, sf):
+    """Smoke-mode validation (runner --sample): the rule engine over a
+    deterministic 20% content-hash sample of the clip metadata — the
+    cheap pre-gate before a full pass at corpus scale. The md5-bucket
+    selection is reproducible across engines, so the oracle replays BOTH
+    the sample membership and the range check; rand()-based sampling
+    could never be oracle-verified."""
+    from use_case_real_time_anomaly_detection_spark.functions.text import (
+        hash_sample,
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.engine import (
+        ValidationEngine,
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        RangeRule,
+    )
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        frontier_of,
+    )
+
+    _ensure_clips_oracle_files()
+    spec = SynthSpec(partitions=4, clips_per_partition=150)
+    meta = spark.read.parquet(_CLIPS_META)
+    sampled = hash_sample(
+        meta, id_col="clip_id", fraction=0.2, salt="validate"
+    )
+    engine = ValidationEngine(
+        key_col="clip_id", partition_col="partition_key", seq_col="seq"
+    )
+    res = engine.run(
+        sampled,
+        [RangeRule(column="dur_ms", min_value=100, max_value=1200)],
+        frontier=frontier_of(spec),
+    )
+    return res.violations
+
+
 def _q_suggest_rules(spark, sf):
     """Constraint suggestion (operators/suggest): one profiling pass
     over the clip metadata corpus → the candidate ruleset the observed
@@ -1451,7 +1489,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _q_dup_clusters,
         "dedup_corpus_ids": _q_dedup_corpus_ids,
         "ngram_jaccard": _q_ngram_jaccard,
-        "simhash_pairs": _q_simhash_pairs,
         "ingest_gate": _q_ingest_gate,
         "ann_brute": _q_ann_brute,
         "ann_ivf": _q_ann_ivf,
@@ -1483,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_ann_lsh": _q_audio_ann_lsh,
         "suggest_rules": _q_suggest_rules,
         "lineage_anomalies": _q_lineage_anomalies,
+        "sampled_validate": _q_sampled_validate,
         # --- officially green in r2 AND r3; rotated past the harness's
         # observed 50-query horizon so the newer queries get recorded.
         # Rotation does NOT retire their verification: every key of
@@ -1494,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "corpus_filter": _q_corpus_filter,
+        "simhash_pairs": _q_simhash_pairs,
         "token_counts": _q_token_counts,
         "hash_sample": _q_hash_sample,
         "pii_scrub": _q_pii_scrub,
@@ -3318,6 +3357,24 @@ LIMIT {k}
 _SQL_AUDIO_ANN_LSH = _audio_ann_lsh_sql()
 
 
+def _sampled_validate_sql() -> str:
+    """Replays the 20% md5-bucket sample membership AND the range check
+    over the metadata twin — the two together are the smoke-mode
+    contract."""
+    bucket = _hex8_sql("md5('validate:' || clip_id)")
+    return f"""
+SELECT partition_key, clip_id, 'out-of-range' AS detector,
+       CAST(dur_ms AS VARCHAR) AS observed,
+       'min:100 max:1200' AS note
+FROM read_parquet('{_CLIPS_META}/*.parquet')
+WHERE ({bucket} % 10000) < 2000
+  AND (dur_ms < 100 OR dur_ms > 1200)
+"""
+
+
+_SQL_SAMPLED_VALIDATE = _sampled_validate_sql()
+
+
 _SQL_LINEAGE_ANOMALIES = f"""
 WITH s AS (
   SELECT partition_key, detector, run_id, completed_at_seq,
@@ -3591,4 +3648,5 @@ def oracle_sql() -> dict[str, str]:
         "audio_ann_lsh": _SQL_AUDIO_ANN_LSH,
         "suggest_rules": _SQL_SUGGEST_RULES,
         "lineage_anomalies": _SQL_LINEAGE_ANOMALIES,
+        "sampled_validate": _SQL_SAMPLED_VALIDATE,
     }

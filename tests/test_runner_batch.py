@@ -267,3 +267,54 @@ def test_runner_trend_gate(spark, tmp_path, capsys):
         "--trend", "nope", "--checkpoint-dir", ckpt, "--master", "local[8]",
     ])
     assert rc == 2
+
+
+def test_runner_sample_mode(spark, tmp_path, capsys):
+    """--sample: the smoke pre-gate validates a deterministic hash
+    subset — rows_checked shrinks accordingly, two invocations select
+    the IDENTICAL subset (reproducibility is the point vs rand()), and
+    an out-of-range fraction is rejected before any job."""
+    from pyspark.sql import functions as F
+
+    from use_case_real_time_anomaly_detection_spark.sources.tables import (
+        get_catalog,
+    )
+
+    base = [
+        "--synth", "4x120", "--no-audio", "--no-resume",
+        "--master", "local[8]",
+    ]
+    full_ckpt = str(tmp_path / "full")
+    rc, _ = _run(capsys, base + ["--checkpoint-dir", full_ckpt, "--run-id", "full"])
+    assert rc == 0
+
+    s_ckpt = str(tmp_path / "sampled")
+    rc, _ = _run(capsys, base + [
+        "--checkpoint-dir", s_ckpt, "--run-id", "s1", "--sample", "0.3",
+    ])
+    assert rc == 0
+    rc, _ = _run(capsys, base + [
+        "--checkpoint-dir", s_ckpt, "--run-id", "s2", "--sample", "0.3",
+    ])
+    assert rc == 0
+
+    lin = get_catalog(spark, s_ckpt).read("lineage")
+    full_lin = get_catalog(spark, full_ckpt).read("lineage")
+
+    def checked(df, rid):
+        return {
+            (r["partition_key"], r["detector"]): r["rows_checked"]
+            for r in df.filter(F.col("run_id") == rid).collect()
+        }
+
+    s1, s2, full = checked(lin, "s1"), checked(lin, "s2"), checked(full_lin, "full")
+    assert s1 == s2  # deterministic subset → identical verdict rows
+    row_level = [k for k, v in full.items() if v > 0]
+    assert row_level
+    for k in row_level:
+        assert 0 < s1[k] < full[k]  # a real, strict subset
+
+    rc, _ = _run(capsys, base + [
+        "--checkpoint-dir", str(tmp_path / "bad"), "--sample", "1.5",
+    ])
+    assert rc == 2

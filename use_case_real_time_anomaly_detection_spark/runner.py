@@ -118,6 +118,19 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "0.0 = reference semantics: any violation fails the partition); "
         "violations are always all emitted and quarantined regardless",
     )
+    p.add_argument(
+        "--sample",
+        type=float,
+        default=None,
+        metavar="FRACTION",
+        help="smoke mode: validate only a deterministic content-hash "
+        "sample of the clips (md5-bucket on clip_id — reproducible "
+        "across runs, partitionings, and engines, unlike rand() "
+        "sampling). The cheap pre-gate before a full validation pass at "
+        "corpus scale; verdicts' rows_checked reflect the sample, and "
+        "quarantine/profile maintenance apply to the sampled subset "
+        "only",
+    )
     p.add_argument("--no-resume", action="store_true", help="revalidate everything")
     p.add_argument("--run-id", default=None)
     p.add_argument(
@@ -327,6 +340,18 @@ def main(argv: list[str] | None = None) -> int:
     # The ruleset document's "schema" key overrides the built-in clip
     # contract (BASELINE.json input_hint shape).
     clips = enforce_schema(clips, declared_schema or CLIPS_TABLE_SCHEMA)
+    if args.sample is not None:
+        if not (0.0 < args.sample <= 1.0):
+            print("--sample needs a fraction in (0, 1]", file=sys.stderr)
+            return 2
+        from .functions.text import hash_sample
+
+        # applied AFTER the schema gate (the contract is checked on the
+        # full table) and BEFORE validation, so every downstream artifact
+        # consistently describes the sampled subset
+        clips = hash_sample(
+            clips, id_col="clip_id", fraction=args.sample, salt="validate"
+        )
     t0 = time.time()
     result = validate_clips(
         clips,
