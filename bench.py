@@ -86,10 +86,21 @@ def main() -> None:
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
 
+    from use_case_real_time_anomaly_detection_spark.session import release_pinned
+
     def _timed(name: str) -> float:
         t0 = time.time()
         _materialize(qs[name](spark, sf_dir))
-        return round(time.time() - t0, 3)
+        dt = round(time.time() - t0, 3)
+        # Between reps, OUTSIDE the timed window: drop the rep's pinned
+        # localCheckpoint blocks (each rep rebuilds its own — they are
+        # never reused across reps, only leaked). Without this, 64
+        # queries × 3 reps of accumulated storage blocks squeeze the
+        # execution pool and late queries measure 5× slower than they
+        # run in isolation (a session artifact, not engine cost; a
+        # spark-submit-per-job deployment never accumulates).
+        release_pinned(spark)
+        return dt
 
     for name in HEADLINE:
         cold[name] = _timed(name)  # first run: JIT + shuffle-file warmup
@@ -145,7 +156,9 @@ def main() -> None:
         _materialize(res.violations)
         _materialize(res.verdicts)
         res.violations.unpersist()
-        return time.time() - t0
+        dt = time.time() - t0
+        release_pinned(spark)  # untimed: drop any pinned blocks between reps
+        return dt
 
     _one_clip_run()  # warmup (untimed)
     clip_secs = min(_one_clip_run() for _ in range(2))

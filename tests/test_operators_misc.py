@@ -495,3 +495,124 @@ def test_pattern_rule_semantics(spark):
 
     with _pytest.raises(ValueError, match="empty pattern"):
         PatternRule("transcript", "")
+
+
+def test_release_pinned_drops_checkpoint_blocks(spark):
+    """release_pinned: every block-manager-persisted RDD (the dedup
+    operators' localCheckpoint pin points) is dropped so long-lived
+    multi-query sessions don't accumulate storage that squeezes the
+    execution pool. Released frames are gone for good — callers only
+    invoke it between independent jobs."""
+    from use_case_real_time_anomaly_detection_spark.functions.dedup import (
+        simhash_near_pairs,
+    )
+    from use_case_real_time_anomaly_detection_spark.session import release_pinned
+
+    release_pinned(spark)  # start from a clean slate (session is shared)
+    docs = spark.createDataFrame(
+        [(i, f"some shared boilerplate text body number {i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    pairs = simhash_near_pairs(docs, max_hamming=3)
+    n_pairs = pairs.count()
+    assert n_pairs > 0
+
+    jsc = spark.sparkContext._jsc
+    assert jsc.getPersistentRDDs().size() > 0  # the pin is real
+    released = release_pinned(spark)
+    assert released > 0
+    assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_capped_limit_by_matches_single_window(spark):
+    """The two-phase skew-proof cap must equal the single-window
+    formulation whenever the order is total within each group (here v is
+    unique per key) — phase 1 only drops rows phase 2 would drop."""
+    from pyspark.sql import functions as F
+
+    from use_case_real_time_anomaly_detection_spark.operators.limit_by import (
+        capped_limit_by,
+        limit_by,
+    )
+
+    data = [("hot", i) for i in range(500)] + [("cold", i) for i in range(3)]
+    df = spark.createDataFrame(data, "k string, v long").repartition(8)
+    got = capped_limit_by(df, ["k"], [F.col("v")], 5)
+    want = limit_by(df, ["k"], [F.col("v")], 5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.filter(F.col("k") == "hot").count() == 5
+    assert got.filter(F.col("k") == "cold").count() == 3
+
+
+def test_max_violations_caps_evidence_not_verdicts(spark):
+    """max_violations_per_group bounds the EMITTED evidence per
+    (partition, detector) while verdict counts stay exact — the verdict
+    aggregation binds to the uncapped frame."""
+    from pyspark.sql import functions as F
+
+    from use_case_real_time_anomaly_detection_spark.plans.clips import (
+        default_rules,
+        validate_clips,
+    )
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        frontier_of,
+        generate_clips,
+        generate_manifest,
+    )
+
+    spec = SynthSpec(partitions=3, clips_per_partition=100)
+    clips = generate_clips(spark, spec)
+    manifest = generate_manifest(spark, spec)
+    kw = dict(
+        frontier=frontier_of(spec), rules=default_rules(with_audio=False),
+        run_id="cap",
+    )
+    full = validate_clips(clips, manifest, **kw)
+    capped = validate_clips(clips, manifest, max_violations_per_group=2, **kw)
+
+    # verdicts identical, including exact violation_count
+    vf = sorted(map(tuple, full.verdicts.collect()))
+    vc = sorted(map(tuple, capped.verdicts.collect()))
+    assert vf == vc
+
+    per_group = (
+        capped.violations.groupBy("partition_key", "detector")
+        .count()
+        .collect()
+    )
+    assert per_group and all(r["count"] <= 2 for r in per_group)
+
+    # deterministic first-n: capped evidence == first 2 clip_ids of the
+    # full evidence within every group
+    full_rows = full.violations.select(
+        "partition_key", "detector", "clip_id"
+    ).collect()
+    by_group: dict = {}
+    for r in full_rows:
+        by_group.setdefault((r[0], r[1]), []).append(r[2])
+    want = {
+        (g[0], g[1], cid)
+        for g, cids in by_group.items()
+        for cid in sorted(cids)[:2]
+    }
+    got = {
+        (r[0], r[1], r[2])
+        for r in capped.violations.select(
+            "partition_key", "detector", "clip_id"
+        ).collect()
+    }
+    assert got == want
+
+    import pytest as _pytest
+
+    from use_case_real_time_anomaly_detection_spark.operators.engine import (
+        ValidationEngine,
+    )
+
+    with _pytest.raises(ValueError, match="max_violations_per_group"):
+        ValidationEngine().run(
+            clips, default_rules(with_audio=False),
+            frontier=frontier_of(spec), refs={"clip_manifest": manifest},
+            max_violations_per_group=0,
+        )

@@ -63,7 +63,10 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
-    from use_case_real_time_anomaly_detection_spark.session import get_spark
+    from use_case_real_time_anomaly_detection_spark.session import (
+        get_spark,
+        release_pinned,
+    )
 
     spark = get_spark(
         "local[8]", extra_confs={"spark.ui.showConsoleProgress": "false"}
@@ -85,6 +88,7 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
+            release_pinned(spark)  # drop this query's localCheckpoint blocks
         except Exception as exc:
             print(f"FAIL  {name:22s} spark error: {exc}")
             failures.append(name)

@@ -68,6 +68,7 @@ class ValidationEngine:
         persist: bool = False,
         window_chunk_size: int | None = None,
         fail_threshold: float = 0.0,
+        max_violations_per_group: int | None = None,
     ) -> RunResult:
         """Compile + evaluate ``rules`` over ``df`` (lazy: returned
         DataFrames trigger execution on action).
@@ -84,11 +85,25 @@ class ValidationEngine:
         on a rate (e.g. 0.001 = tolerate 0.1% bad clips, quarantine
         them, still promote the partition). Violations are always all
         emitted — the threshold moves only the verdict.
+
+        ``max_violations_per_group`` — cap the EMITTED evidence rows at n
+        per (partition, detector), deterministically (first n clip_ids).
+        At 10^12-clip scale a fully-drifted partition would otherwise
+        materialize ~10^9 violation rows for one verdict the operator
+        reads five of; verdict counts stay EXACT (aggregated from the
+        uncapped frame before the cap), and the cap itself is skew-proof
+        (two-phase ``capped_limit_by`` — a hot group never lands on one
+        task). Default None emits everything, the reference's semantics.
         """
         if not 0.0 <= fail_threshold < 1.0:
             # ≙ {{ error(...) }}: an impossible tolerance is a config bug
             raise ValueError(
                 f"fail_threshold must be in [0, 1), got {fail_threshold}"
+            )
+        if max_violations_per_group is not None and max_violations_per_group < 1:
+            raise ValueError(
+                "max_violations_per_group must be >= 1, got "
+                f"{max_violations_per_group}"
             )
         run_id = run_id or uuid.uuid4().hex[:12]
 
@@ -142,6 +157,19 @@ class ValidationEngine:
             violations, plan.rows_checked, plan.detectors, run_id, frontier,
             fail_threshold, partition_level=plan.partition_level,
         )
+
+        if max_violations_per_group is not None:
+            # cap AFTER the verdict aggregation is bound to the uncapped
+            # frame: counts are exact, evidence is bounded. With persist
+            # the two consumers share one materialization.
+            from .limit_by import capped_limit_by
+
+            violations = capped_limit_by(
+                violations,
+                ["partition_key", "detector"],
+                [F.col("clip_id")],
+                max_violations_per_group,
+            )
 
         profile = None
         specs = [r for r in rules if isinstance(r, ProfileSpec)]

@@ -69,6 +69,7 @@ def validate_clips(
     persist: bool = False,
     window_chunk_size: int | None = None,
     fail_threshold: float = 0.0,
+    max_violations_per_group: int | None = None,
 ) -> RunResult:
     """Run the full rule set over a clip table (any source)."""
     engine = ValidationEngine(
@@ -84,6 +85,7 @@ def validate_clips(
         persist=persist,
         window_chunk_size=window_chunk_size,
         fail_threshold=fail_threshold,
+        max_violations_per_group=max_violations_per_group,
     )
 
 

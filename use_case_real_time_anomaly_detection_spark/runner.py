@@ -119,6 +119,18 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "violations are always all emitted and quarantined regardless",
     )
     p.add_argument(
+        "--max-violations",
+        type=int,
+        default=None,
+        metavar="N",
+        help="cap emitted violation evidence at N rows per (partition, "
+        "detector), deterministic first-N by clip_id (skew-proof two-"
+        "phase cap — a fully-drifted partition otherwise materializes "
+        "every bad row). Verdict counts stay exact; quarantine then "
+        "covers only the capped evidence, so pair with --fail-threshold "
+        "gating rather than clean-corpus derivation",
+    )
+    p.add_argument(
         "--sample",
         type=float,
         default=None,
@@ -340,6 +352,9 @@ def main(argv: list[str] | None = None) -> int:
     # The ruleset document's "schema" key overrides the built-in clip
     # contract (BASELINE.json input_hint shape).
     clips = enforce_schema(clips, declared_schema or CLIPS_TABLE_SCHEMA)
+    if args.max_violations is not None and args.max_violations < 1:
+        print("--max-violations needs an integer >= 1", file=sys.stderr)
+        return 2
     if args.sample is not None:
         if not (0.0 < args.sample <= 1.0):
             print("--sample needs a fraction in (0, 1]", file=sys.stderr)
@@ -362,6 +377,7 @@ def main(argv: list[str] | None = None) -> int:
         run_id=args.run_id,
         persist=True,
         fail_threshold=args.fail_threshold,
+        max_violations_per_group=args.max_violations,
     )
     store.record_run(result, frontier=frontier)
 

@@ -67,6 +67,31 @@ def adaptive_reader_batch(
     return 512 if waves <= 1.5 else 4096
 
 
+def release_pinned(spark: SparkSession) -> int:
+    """Drop every block-manager-persisted RDD — including the
+    `localCheckpoint` blocks the dedup/similarity/incremental operators
+    pin (`functions/dedup.py:_pin`) — plus the SQL cache. Returns the
+    number of RDDs released.
+
+    Why it exists: a pinned frame's lineage is truncated, so the frame
+    itself can never unpersist its blocks while callers might still
+    consume it; in a long-lived session running many independent
+    queries (bench harness, correctness driver, notebook) those blocks
+    accumulate in the unified memory manager's storage pool and squeeze
+    execution memory — measured as a 5× steady-state slowdown on
+    queries run late in a 64-query session vs in isolation. A
+    spark-submit-per-job deployment never needs this (the JVM exits);
+    a multi-query session calls it BETWEEN jobs, after each job's
+    results are materialized. Any live DataFrame still referencing a
+    pinned frame cannot be recomputed after this call."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    released = int(jmap.size())
+    for jrdd in list(jmap.values()):
+        jrdd.unpersist(False)
+    spark.catalog.clearCache()
+    return released
+
+
 def get_spark(
     master: str | None = None,
     app_name: str = "constraint-validation-engine",
