@@ -192,3 +192,132 @@ def write_clips_layout(df: DataFrame, catalog: ParquetCatalog, name: str = "clip
         "id_bucket", F.abs(F.hash("clip_id")) % 8
     ).sortWithinPartitions("clip_id")
     catalog.append(bucketed, name, partition_by=["codec", "id_bucket"])
+
+
+def compact_partitions(
+    catalog: ParquetCatalog,
+    name: str,
+    partition_by: list[str],
+    *,
+    shard_col: str = "clip_id",
+    target_file_bytes: int = 128 << 20,
+    min_files: int = 2,
+) -> dict:
+    """Bin-pack fragmented partitions back to ~target-sized files.
+
+    The scheduled copy cadence (streaming/pipeline.py foreachBatch ≙ the
+    reference's per-minute copy pipes, SURVEY.md S4) APPENDS one small
+    file per partition per cycle — at 1-minute cadence that is ~1,440
+    files/partition/day, and scan-task scheduling + footer reads come to
+    dominate the read path long before data volume does. This is the
+    maintenance pass that undoes it:
+
+    1. plan from file METADATA, not data: one column-pruned scan of the
+       `_metadata.file_path/file_size` hidden columns + the (directory-
+       derived) partition columns — no payload IO. A partition needs
+       compaction when its file count exceeds both ``min_files`` and
+       ceil(bytes / target_file_bytes);
+    2. rewrite ONLY those partitions: literal predicates on the
+       partition columns (partition-pruned scan), a per-partition
+       ``files_wanted`` shard id pmod(xxhash64(shard_col)) +
+       repartition on (partition, shard) so a hot partition's rewrite
+       runs files_wanted-wide, not on one task;
+    3. the file-SIZE contract is enforced by ``maxRecordsPerFile``
+       (target bytes / measured avg row bytes), not by task placement —
+       AQE is free to coalesce or split the shard exchange (at toy scale
+       it will) without breaking the output layout;
+    4. commit via dynamic partition overwrite — idempotent, and
+       partitions not in the plan are never touched.
+
+    The collects are the partition PLAN (verdict-sized), never data. On
+    Iceberg the same maintenance is `CALL system.rewrite_data_files`
+    (IcebergCatalog users should prefer it — it also compacts across
+    snapshots transactionally); this is the parquet-layout analog.
+
+    Returns {"partitions_compacted", "files_before", "files_after"}
+    with files_after re-measured from metadata after the commit.
+    """
+    tbl = catalog.read(name)
+    meta = (
+        tbl.select(
+            *partition_by,
+            F.col("_metadata.file_path").alias("__fp"),
+            F.col("_metadata.file_size").alias("__fb"),
+        )
+        .groupBy(*partition_by, "__fp")
+        .agg(F.first("__fb").alias("__fb"))
+        .groupBy(*partition_by)
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("__fb").alias("bytes"),
+        )
+    )
+    plan = (
+        meta.withColumn(
+            "files_wanted",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("bytes") / F.lit(target_file_bytes))
+            ).cast("int"),
+        )
+        .filter(
+            (F.col("n_files") > F.lit(min_files))
+            & (F.col("n_files") > F.col("files_wanted"))
+        )
+        .collect()
+    )
+    if not plan:
+        return {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
+
+    # literal OR-of-AND predicate on partition columns → partition-pruned
+    # scan of exactly the fragmented partitions
+    pred = None
+    for r in plan:
+        conj = None
+        for c in partition_by:
+            term = F.col(c) == F.lit(r[c])
+            conj = term if conj is None else (conj & term)
+        pred = conj if pred is None else (pred | conj)
+
+    spark = tbl.sparkSession
+    wanted = F.broadcast(
+        spark.createDataFrame(
+            [tuple(r[c] for c in partition_by) + (r["files_wanted"],) for r in plan],
+            tbl.select(*partition_by).schema.add("files_wanted", "integer"),
+        )
+    )
+    data = tbl.filter(pred).join(wanted, partition_by)
+    sharded = (
+        data.withColumn(
+            "__shard",
+            F.pmod(F.xxhash64(shard_col), F.col("files_wanted")).cast("int"),
+        )
+        .drop("files_wanted")
+        .repartition(*partition_by, "__shard")
+        .sortWithinPartitions(shard_col)
+        .drop("__shard")
+    )
+    # size bound independent of task placement: rows-per-file from the
+    # measured on-disk row width (clip tables are width-homogeneous; a
+    # mixed-width table would take the min over partitions instead)
+    total_rows = data.count()  # partition-pruned, column-pruned scan
+    total_bytes = sum(r["bytes"] for r in plan)
+    rows_per_file = max(1, int(target_file_bytes * total_rows / max(total_bytes, 1)))
+    (
+        sharded.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", str(rows_per_file))
+        .partitionBy(*partition_by)
+        .parquet(catalog.path(name))
+    )
+    after = (
+        catalog.read(name)
+        .filter(pred)
+        .select(F.col("_metadata.file_path").alias("__fp"))
+        .distinct()
+        .count()
+    )
+    return {
+        "partitions_compacted": len(plan),
+        "files_before": int(sum(r["n_files"] for r in plan)),
+        "files_after": int(after),
+    }
