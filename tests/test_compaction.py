@@ -65,3 +65,23 @@ def test_compact_respects_target_file_bytes(spark, tmp_path):
     # every row still present exactly once
     counts = cat.read("t").groupBy("partition_key", "clip_id").count()
     assert counts.filter(F.col("count") != 1).count() == 0
+
+
+def test_compact_unpartitioned_whole_table(spark, tmp_path):
+    """partition_by=[] → whole-table rewrite (the lineage-history case):
+    eager pin decouples the read from the static overwrite, content is
+    preserved, and a healthy table is a no-op."""
+    cat = ParquetCatalog(spark, str(tmp_path))
+    for w in range(12):
+        cat.append(
+            spark.createDataFrame(
+                [(f"r{w}", i) for i in range(30)], "run string, v long"
+            ).coalesce(1),
+            "lineage",
+        )
+    before = sorted(map(tuple, cat.read("lineage").collect()))
+    stats = compact_partitions(cat, "lineage", [])
+    assert stats["files_before"] == 12 and stats["files_after"] == 1
+    assert sorted(map(tuple, cat.read("lineage").collect())) == before
+    again = compact_partitions(cat, "lineage", [])
+    assert again["partitions_compacted"] == 0

@@ -318,3 +318,44 @@ def test_runner_sample_mode(spark, tmp_path, capsys):
         "--checkpoint-dir", str(tmp_path / "bad"), "--sample", "1.5",
     ])
     assert rc == 2
+
+
+def test_runner_compact_maintenance(spark, tmp_path, capsys):
+    """--compact: the append-only lineage history (one file per run)
+    is bin-packed after the run; verdict content and resumability are
+    untouched."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from use_case_real_time_anomaly_detection_spark.sources.tables import (
+        get_catalog,
+    )
+
+    ckpt = str(tmp_path / "ck")
+    base = [
+        "--synth", "3x100", "--no-audio", "--no-resume",
+        "--master", "local[8]", "--checkpoint-dir", ckpt,
+    ]
+    for rid in ("r1", "r2", "r3"):
+        rc, _ = _run(capsys, base + ["--run-id", rid])
+        assert rc == 0
+    files_before = len(glob.glob(f"{ckpt}/lineage/part-*.parquet"))
+    assert files_before >= 3
+
+    lineage_before = sorted(
+        map(tuple, get_catalog(spark, ckpt).read("lineage").collect())
+    )
+    rc, out = _run(capsys, base + ["--run-id", "r4", "--compact"])
+    assert rc == 0
+    assert out["compaction"]["lineage"]["files_before"] >= 4
+
+    files_after = len(glob.glob(f"{ckpt}/lineage/part-*.parquet"))
+    assert files_after < files_before
+
+    lineage_after = get_catalog(spark, ckpt).read("lineage")
+    # all four runs' verdicts survive the rewrite byte-for-byte
+    kept = sorted(
+        map(tuple, lineage_after.filter(F.col("run_id") != "r4").collect())
+    )
+    assert kept == lineage_before

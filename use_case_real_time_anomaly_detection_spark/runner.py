@@ -119,6 +119,15 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "violations are always all emitted and quarantined regardless",
     )
     p.add_argument(
+        "--compact",
+        action="store_true",
+        help="after the run, bin-pack the checkpoint store's fragmented "
+        "tables (the append-only lineage history grows one file per run; "
+        "violations one dir per partition). Metadata-planned, rewrites "
+        "only what exceeds the file-count target — a no-op on a healthy "
+        "store (sources/tables.compact_partitions)",
+    )
+    p.add_argument(
         "--max-violations",
         type=int,
         default=None,
@@ -425,6 +434,17 @@ def main(argv: list[str] | None = None) -> int:
         )
     )
 
+    compaction = None
+    if args.compact:
+        from .sources.tables import compact_partitions
+
+        compaction = {
+            "lineage": compact_partitions(store.catalog, "lineage", []),
+            "violations": compact_partitions(
+                store.catalog, "violations", ["pk"], shard_col="clip_id"
+            ),
+        }
+
     verdicts = store.lineage().filter(F.col("run_id") == result.run_id)
     agg = verdicts.agg(
         F.sum("rows_checked").alias("rows"),
@@ -457,6 +477,7 @@ def main(argv: list[str] | None = None) -> int:
                 "per_detector": per_det,
                 "seconds": round(dt, 2),
                 "clips_per_sec": round(clips_n / dt, 1) if dt > 0 else None,
+                **({"compaction": compaction} if compaction else {}),
             }
         )
     )

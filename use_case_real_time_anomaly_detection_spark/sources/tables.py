@@ -236,7 +236,18 @@ def compact_partitions(
 
     Returns {"partitions_compacted", "files_before", "files_after"}
     with files_after re-measured from metadata after the commit.
+
+    ``partition_by=[]`` compacts an UNPARTITIONED table (e.g. the
+    append-only lineage history, one file per run) as a whole-table
+    rewrite: the data is eagerly localCheckpointed first — a static
+    parquet overwrite deletes the directory it would otherwise still be
+    reading from.
     """
+    if not partition_by:
+        return _compact_unpartitioned(
+            catalog, name,
+            target_file_bytes=target_file_bytes, min_files=min_files,
+        )
     tbl = catalog.read(name)
     meta = (
         tbl.select(
@@ -321,3 +332,42 @@ def compact_partitions(
         "files_before": int(sum(r["n_files"] for r in plan)),
         "files_after": int(after),
     }
+
+
+def _compact_unpartitioned(
+    catalog: ParquetCatalog,
+    name: str,
+    *,
+    target_file_bytes: int,
+    min_files: int,
+) -> dict:
+    """Whole-table rewrite for unpartitioned tables (compact_partitions
+    with partition_by=[]). The table is assumed history-sized (lineage,
+    profile states — O(runs × partitions) rows), so the eager
+    localCheckpoint that decouples the read from the static overwrite is
+    cheap; corpus-sized tables are always partitioned and take the
+    dynamic-overwrite path instead."""
+    tbl = catalog.read(name)
+    files = (
+        tbl.select(
+            F.col("_metadata.file_path").alias("__fp"),
+            F.col("_metadata.file_size").alias("__fb"),
+        )
+        .groupBy("__fp")
+        .agg(F.first("__fb").alias("__fb"))
+        .collect()
+    )
+    n_files = len(files)
+    total_bytes = sum(r["__fb"] for r in files)
+    wanted = max(1, -(-total_bytes // target_file_bytes))
+    if n_files <= min_files or n_files <= wanted:
+        return {"partitions_compacted": 0, "files_before": n_files,
+                "files_after": n_files}
+    pinned = tbl.repartition(int(wanted)).localCheckpoint()
+    pinned.write.mode("overwrite").parquet(catalog.path(name))
+    pinned._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    after = (
+        catalog.read(name).select("_metadata.file_path").distinct().count()
+    )
+    return {"partitions_compacted": 1, "files_before": n_files,
+            "files_after": int(after)}
