@@ -616,3 +616,48 @@ def test_max_violations_caps_evidence_not_verdicts(spark):
             frontier=frontier_of(spec), refs={"clip_manifest": manifest},
             max_violations_per_group=0,
         )
+
+
+def test_iqr_max_per_sensor_throttle(spark):
+    """≙ content/interquartile-range.md:104 `LIMIT {{max_per_sensor}} BY
+    id`: around a step change, cap reported events per sensor at the n
+    MOST RECENT (the reference's trailing-edge selection); None returns
+    everything (the copy-pipe variant)."""
+    from pyspark.sql import functions as F
+
+    from use_case_real_time_anomaly_detection_spark.plans import detectors as D
+
+    # sensor 1: stable value 10 for 50 ticks, then a step to 100 for 20
+    # ticks — every post-step event breaches the stale fences. sensor 2:
+    # all stable (no detections).
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    sec = dt.timedelta(seconds=1)
+    rows = (
+        [(1, t0 + t * sec, 10.0 + (t % 3) * 0.1, f"e1{t:03d}") for t in range(60)]
+        + [(1, t0 + (60 + t) * sec, 1000.0 + t, f"e1x{t:03d}") for t in range(10)]
+        + [(2, t0 + t * sec, 5.0, f"e2{t:03d}") for t in range(70)]
+    )
+    events = spark.createDataFrame(
+        rows, "id int, ts timestamp, value double, event_id string"
+    )
+    frontier = t0 + 69 * sec
+
+    full = D.iqr(
+        events, frontier,
+        stats_window_seconds=70, detect_window_seconds=70,
+    ).collect()
+    assert {r["id"] for r in full} == {1}
+    n_full = len(full)
+    assert n_full > 3
+
+    capped = D.iqr(
+        events, frontier,
+        stats_window_seconds=70, detect_window_seconds=70,
+        max_per_sensor=3,
+    ).collect()
+    assert len(capped) == 3
+    # trailing edge: the 3 most recent of the full set, still ts DESC
+    want = sorted(full, key=lambda r: r["ts"], reverse=True)[:3]
+    assert [r["ts"] for r in capped] == [r["ts"] for r in want]

@@ -334,6 +334,7 @@ def iqr(
     stats_window_seconds: int = 14 * SECONDS_PER_DAY,
     detect_window_seconds: int = 3 * SECONDS_PER_DAY,
     exact: bool = True,
+    max_per_sensor: int | None = None,
 ) -> DataFrame:
     """≙ pipes/iqr.pipe: exact quartiles per id (A3), IQR = (q3-q1)*k
     (A4), fences lower=q1-IQR upper=q3+IQR, detect rows outside (P9).
@@ -341,6 +342,15 @@ def iqr(
     ``exact=True`` matches the reference's quantileExact (test scale);
     ``exact=False`` switches to approx_percentile for the 10^12-row path
     (SURVEY.md §4.2.5) — parity asserted in tests.
+
+    ``max_per_sensor`` ≙ the endpoint's throttling parameter
+    (content/interquartile-range.md:104 `LIMIT {{max_per_sensor}} BY id`,
+    iqr.pipe:6 note): around a step change every event breaches the
+    stale fences until the window re-normalizes, so cap the reported
+    events per sensor at the n MOST RECENT — the reference's trailing-
+    edge selection (its own TODO notes leading-edge might be preferable;
+    we mirror the shipped semantics). Default None = uncapped, matching
+    the copy-pipe variant which writes all detections.
 
     We implement the *intended* window semantics (stats window anchored
     at the frontier); the reference's copy_iqr anchors at midnight —
@@ -362,7 +372,7 @@ def iqr(
     )
     # filter on UNROUNDED fences, display rounded, SELECT DISTINCT —
     # exactly the reference endpoint node's shape (iqr.pipe:43-53)
-    return (
+    out = (
         events.filter(_between(frontier, detect_window_seconds))
         .join(F.broadcast(stats), "id")
         .filter(
@@ -377,6 +387,15 @@ def iqr(
             F.round(F.col("upper_quartile") + F.col("iqr"), 2).alias("upper_bound"),
         )
         .distinct()
-        # ≙ iqr.pipe:54 ORDER BY timestamp DESC (O1)
-        .orderBy(F.desc("ts"), "id")
     )
+    if max_per_sensor is not None:
+        # LIMIT n BY id after DISTINCT, ordered ts DESC (most recent —
+        # trailing edge, as shipped). ties broken by value for
+        # engine-independent determinism
+        from ..operators.limit_by import limit_by
+
+        out = limit_by(
+            out, ["id"], [F.desc("ts"), F.col("value")], max_per_sensor
+        )
+    # ≙ iqr.pipe:54 ORDER BY timestamp DESC (O1)
+    return out.orderBy(F.desc("ts"), "id")
