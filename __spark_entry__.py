@@ -1180,6 +1180,19 @@ def _q_sampled_validate(spark, sf):
     return res.violations
 
 
+def _q_repeated_chunks(spark, sf):
+    """Chunk-level repeated-passage detection (functions/dedup.
+    repeated_chunks): sliding 20-token windows, stride 10, md5-keyed;
+    every occurrence of a chunk seen in >= 2 distinct documents is
+    marked with its corpus-wide counts. The substring-granular dedup
+    layer document-level near-dup can't express."""
+    from use_case_real_time_anomaly_detection_spark.functions.dedup import (
+        repeated_chunks,
+    )
+
+    return repeated_chunks(_docs(spark, sf), chunk_tokens=20, stride=10)
+
+
 def _q_capped_validate(spark, sf):
     """Evidence capping (operators/limit_by.capped_limit_by via
     ValidationEngine max_violations_per_group): emit at most 3 violation
@@ -1517,7 +1530,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_events": _q_unique_events,
         "ref_orphans": _q_ref_orphans,
         "pricing_summary": _q_pricing_summary,
-        "top_customers": _q_top_customers,
         "minhash_lsh": _q_minhash_lsh,
         "dup_clusters": _q_dup_clusters,
         "dedup_corpus_ids": _q_dedup_corpus_ids,
@@ -1555,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_anomalies": _q_lineage_anomalies,
         "sampled_validate": _q_sampled_validate,
         "capped_validate": _q_capped_validate,
+        "repeated_chunks": _q_repeated_chunks,
         # --- officially green in r2 AND r3; rotated past the harness's
         # observed 50-query horizon so the newer queries get recorded.
         # Rotation does NOT retire their verification: every key of
@@ -1563,6 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sorted(oracle_sql())) and tools/parity_check.py, so a
         # regression in a rotated query still fails the suite ------------
         "text_quality": _q_text_quality,
+        "top_customers": _q_top_customers,
         "sessionize": _q_sessionize,
         "fingerprint": _q_fingerprint,
         "dedup_exact": _q_dedup_exact,
@@ -3410,6 +3424,34 @@ WHERE ({bucket} % 10000) < 2000
 _SQL_SAMPLED_VALIDATE = _sampled_validate_sql()
 
 
+# Chunk-level repeated passages: identical sliding-window + md5 chunk
+# keys in DuckDB (list_slice is 1-based inclusive; range() stop is
+# exclusive, so +1 mirrors Spark's inclusive sequence()).
+_SQL_REPEATED_CHUNKS = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         u.start AS start_token,
+         md5(array_to_string(
+           list_slice(toks, u.start + 1, u.start + 20), ' '
+         )) AS chunk_md5
+  FROM t, unnest(range(0, len(toks) - 20 + 1, 10)) AS u(start)
+  WHERE len(toks) >= 20
+), hot AS (
+  SELECT chunk_md5,
+         COUNT(DISTINCT doc_id) AS n_docs,
+         COUNT(*) AS n_occurrences
+  FROM c GROUP BY chunk_md5
+  HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT c.doc_id, c.start_token, c.chunk_md5, hot.n_docs, hot.n_occurrences
+FROM c JOIN hot USING (chunk_md5)
+ORDER BY c.doc_id, c.start_token, c.chunk_md5
+"""
+
+
 # Evidence cap: first-3 clip_ids per (partition, detector) — the cap's
 # determinism (order by unique clip_id) is exactly what makes it
 # oracle-verifiable; verdict exactness is pytest-verified
@@ -3707,4 +3749,5 @@ def oracle_sql() -> dict[str, str]:
         "lineage_anomalies": _SQL_LINEAGE_ANOMALIES,
         "sampled_validate": _SQL_SAMPLED_VALIDATE,
         "capped_validate": _SQL_CAPPED_VALIDATE,
+        "repeated_chunks": _SQL_REPEATED_CHUNKS,
     }

@@ -372,3 +372,37 @@ def test_connected_components_keeps_self_pair_only_nodes(spark):
         for r in connected_components(pdf).collect()
     )
     assert got == [(1, 1), (2, 1), (9, 9)]
+
+
+def test_repeated_chunks_marks_shared_passage_only(spark):
+    """A boilerplate paragraph shared verbatim by three otherwise-unique
+    documents is marked in every document at the right start offset;
+    unique text produces no rows; docs shorter than one window are
+    skipped."""
+    from use_case_real_time_anomaly_detection_spark.functions.dedup import (
+        repeated_chunks,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(10))  # exactly one window
+    docs = [
+        # boilerplate at token offset 0
+        (1, boiler + " " + " ".join(f"u1x{i}" for i in range(15))),
+        # boilerplate at token offset 5 (a window-aligned start)
+        (2, " ".join(f"u2x{i}" for i in range(5)) + " " + boiler
+            + " " + " ".join(f"u2y{i}" for i in range(10))),
+        # boilerplate at the exact end, offset 10
+        (3, " ".join(f"u3x{i}" for i in range(10)) + " " + boiler),
+        # all-unique doc: long enough, never marked
+        (4, " ".join(f"u4x{i}" for i in range(30))),
+        # too short for one window: skipped entirely
+        (5, "tiny doc"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = repeated_chunks(
+        df, chunk_tokens=10, stride=5, min_docs=2
+    ).collect()
+
+    marked = {(r["doc_id"], r["start_token"]) for r in out}
+    assert marked == {(1, 0), (2, 5), (3, 10)}
+    assert all(r["n_docs"] == 3 and r["n_occurrences"] == 3 for r in out)
+    assert len({r["chunk_md5"] for r in out}) == 1

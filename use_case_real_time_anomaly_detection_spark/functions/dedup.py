@@ -612,3 +612,82 @@ def simhash_near_pairs(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def repeated_chunks(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 20,
+    stride: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-passage detection: exact substring dedup
+    at CHUNK granularity (the boilerplate/license-header/navigation-bar
+    case that document-level near-dup misses — two long documents
+    sharing one paragraph are not near-dups, but the paragraph should
+    still be counted once in a training corpus).
+
+    Sliding token windows (``chunk_tokens`` wide, ``stride`` apart,
+    whitespace tokens on lowercased text — the corpus tokenization
+    idiom, functions/text.tokens) are keyed by md5 of the joined window;
+    a chunk key occurring in >= ``min_docs`` DISTINCT documents marks
+    every occurrence. Output: one row per (doc, start_token) occurrence
+    of a repeated chunk, with the chunk's corpus-wide doc/occurrence
+    counts — the span map a curation pass needs to excise or
+    count-weight repeated passages.
+
+    Scale shape: the chunk frame is slim (doc, start, 32-byte key) with
+    bounded fan-out (~tokens/stride rows per doc); hot-key counts are a
+    partial-aggregating groupBy on the key; the mark-back is an
+    equi-join of two slim frames (NOT a broadcast — at corpus scale the
+    repeated-chunk set is unbounded: think licence headers across 10^8
+    docs). The chunk frame is pinned so tokenize→hash runs once, not
+    once per consumer. Docs shorter than one window are skipped (no
+    full window exists).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = (
+        df.select(F.col(id_col).alias("doc"), toks.alias("t"))
+        .filter(F.size("t") >= chunk_tokens)
+    )
+    starts = F.sequence(
+        F.lit(0), F.size("t") - chunk_tokens, F.lit(stride)
+    )
+    chunked = _pin(
+        base.select(
+            "doc",
+            F.explode(starts).alias("start_token"),
+            "t",
+        ).select(
+            "doc",
+            "start_token",
+            F.md5(
+                F.encode(
+                    F.array_join(
+                        F.slice("t", F.col("start_token") + 1, chunk_tokens),
+                        " ",
+                    ),
+                    "UTF-8",
+                )
+            ).alias("chunk_md5"),
+        )
+    )
+    hot = (
+        chunked.groupBy("chunk_md5")
+        .agg(
+            F.count_distinct("doc").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    # no global sort: this is a curation span map, not an endpoint — a
+    # full-corpus orderBy would add a range exchange for nothing
+    return chunked.join(hot, "chunk_md5").select(
+        F.col("doc").alias(id_col),
+        "start_token",
+        "chunk_md5",
+        "n_docs",
+        "n_occurrences",
+    )
