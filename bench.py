@@ -38,6 +38,7 @@ HEADLINE = [
     "minhash_lsh",
     "simhash_pairs",
     "ngram_jaccard",       # frequency-capped blocking (the O(N²) guard)
+    "repeated_chunks",     # substring-granular dedup (r4)
     "ingest_gate",         # incremental dedup-gated ingestion (4 gates)
     "ann_brute",
     "ann_ivf",
