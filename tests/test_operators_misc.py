@@ -661,3 +661,46 @@ def test_iqr_max_per_sensor_throttle(spark):
     # trailing edge: the 3 most recent of the full set, still ts DESC
     want = sorted(full, key=lambda r: r["ts"], reverse=True)[:3]
     assert [r["ts"] for r in capped] == [r["ts"] for r in want]
+
+
+def test_capped_limit_by_property(spark):
+    """Property: for RANDOM key skews, group sizes, cap values, and input
+    partitionings, the two-phase skew-proof cap equals the single-window
+    LIMIT n BY exactly — the pre-cap can only drop rows the global cap
+    would drop (order is total: v is made unique per key)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from use_case_real_time_anomaly_detection_spark.operators.limit_by import (
+        capped_limit_by,
+        limit_by,
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        sizes=st.lists(st.integers(min_value=0, max_value=120),
+                       min_size=1, max_size=5),
+        n=st.integers(min_value=1, max_value=7),
+        parts=st.integers(min_value=1, max_value=16),
+    )
+    def check(sizes, n, parts):
+        data = [
+            (f"k{ki}", ki * 1000 + j)
+            for ki, sz in enumerate(sizes)
+            for j in range(sz)
+        ]
+        if not data:
+            return
+        df = spark.createDataFrame(data, "k string, v long").repartition(parts)
+        got = sorted(
+            map(tuple, capped_limit_by(df, ["k"], [F.col("v")], n).collect())
+        )
+        want = sorted(map(tuple, limit_by(df, ["k"], [F.col("v")], n).collect()))
+        assert got == want
+
+    check()
