@@ -3486,17 +3486,24 @@ WITH s AS (
          stddev_pop(rate) OVER win AS sd,
          count(rate) OVER win AS n,
          min(rate) OVER win AS mn,
-         max(rate) OVER win AS mx
+         max(rate) OVER win AS mx,
+         {{'seq': completed_at_seq, 'rid': run_id}}
+           = max({{'seq': completed_at_seq, 'rid': run_id}}) OVER allw
+           AS is_latest
   FROM s
   WINDOW win AS (
     PARTITION BY partition_key, detector
     ORDER BY completed_at_seq, run_id
-    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+  allw AS (
+    PARTITION BY partition_key, detector
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 )
 SELECT partition_key, detector, run_id, completed_at_seq, rate,
        {_R("m", 4)} AS prior_mean,
        CASE WHEN mn <> mx THEN {_R("(rate - m) / sd", 4)} END AS zscore,
-       CASE WHEN mn <> mx THEN 'zscore' ELSE 'step' END AS kind
+       CASE WHEN mn <> mx THEN 'zscore' ELSE 'step' END AS kind,
+       is_latest
 FROM w
 WHERE n >= 3
   AND ((mn <> mx AND sd > 0 AND abs((rate - m) / sd) > 2.0)

@@ -156,7 +156,7 @@ def main() -> None:
         )
         _materialize(res.violations)
         _materialize(res.verdicts)
-        res.violations.unpersist()
+        res.unpersist()
         dt = time.time() - t0
         release_pinned(spark)  # untimed: drop any pinned blocks between reps
         return dt

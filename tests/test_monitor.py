@@ -115,3 +115,23 @@ def test_lineage_anomalies_dedups_reused_run_id(spark):
     )
     got = lineage_anomalies(lin.unionByName(dup), min_history=3).collect()
     assert [(r["run_id"], r["rate"]) for r in got] == [("r07", 0.04)]
+
+
+def test_lineage_anomalies_is_latest_survives_runid_dedup(spark):
+    """The page-condition flag must come from the SAME deduped frame the
+    scoring uses: when a reused run-id's pessimistic dedup keeps the
+    worst-rate row whose seq is NOT the raw lineage max, the flag is
+    still the series' latest observation — a consumer re-deriving
+    'latest' from raw lineage would drop it and fail to page."""
+    lin = _lineage(spark, {("p0", "d", 1000): [3, 4, 3, 4, 3]})
+    dup = spark.createDataFrame(
+        [
+            ("p0", "d", "r05", 1005, 40, 1000),  # worst rate, smaller seq
+            ("p0", "d", "r05", 1007, 5, 1000),   # raw max seq, benign rate
+        ],
+        _SCHEMA,
+    )
+    got = lineage_anomalies(lin.unionByName(dup), min_history=3).collect()
+    assert [
+        (r["run_id"], r["completed_at_seq"], r["is_latest"]) for r in got
+    ] == [("r05", 1005, True)]

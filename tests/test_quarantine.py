@@ -233,3 +233,55 @@ def test_fail_threshold_rate_tolerance(spark, split):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="fail_threshold"):
         eng.run(clips, rules, fail_threshold=1.0, **kw)
+
+
+def test_batch_quarantine_supersedes_stream_dirs(spark, tmp_path):
+    """An authoritative batch --quarantine pass clears the streaming
+    accumulator's dirs for the partitions it validated, so
+    store.quarantine()'s union can't resurrect clips the full validation
+    just cleared; stream evidence for partitions OUTSIDE the batch run
+    survives."""
+    from use_case_real_time_anomaly_detection_spark import runner
+    from use_case_real_time_anomaly_detection_spark.sources.tables import (
+        ParquetCatalog,
+    )
+    from use_case_real_time_anomaly_detection_spark.streaming.checkpoint import (
+        CheckpointStore,
+    )
+
+    ckpt = str(tmp_path / "ck")
+    cat = ParquetCatalog(spark, ckpt)
+    store = CheckpointStore(cat)
+
+    # simulate a streaming wave: per-(partition, batch) quarantine dirs,
+    # including one partition (zzz) the batch run will never validate
+    stream_rows = spark.createDataFrame(
+        [
+            ("c000", "stale-clip-1", 1, "out-of-range", 0),
+            ("c001", "stale-clip-2", 1, "z-score", 0),
+            ("zzz", "other-corpus-clip", 1, "timeout-gap", 1),
+        ],
+        "partition_key string, clip_id string, n_violations long, "
+        "detectors string, batch_id int",
+    )
+    cat.overwrite_partitions(
+        stream_rows, "quarantine_stream",
+        partition_by=["partition_key", "batch_id"],
+    )
+    assert {r["clip_id"] for r in store.quarantine().collect()} == {
+        "stale-clip-1", "stale-clip-2", "other-corpus-clip",
+    }
+
+    rc = runner.main([
+        "--synth", "4x120", "--no-audio", "--no-resume", "--quarantine",
+        "--master", "local[8]", "--checkpoint-dir", ckpt, "--run-id", "full",
+    ])
+    assert rc == 0
+
+    merged = store.quarantine()
+    ids = {r["clip_id"] for r in merged.collect()}
+    # stream rows for the validated partitions are gone; the foreign
+    # partition's evidence survives; real batch evidence is present
+    assert "stale-clip-1" not in ids and "stale-clip-2" not in ids
+    assert "other-corpus-clip" in ids
+    assert any(i.startswith("c00") for i in ids)  # c{part}-{seq} ids

@@ -314,6 +314,23 @@ def test_runner_sample_mode(spark, tmp_path, capsys):
     for k in row_level:
         assert 0 < s1[k] < full[k]  # a real, strict subset
 
+    # NON-AUTHORITATIVE contract: smoke verdicts carry completed_at_seq
+    # -1, never satisfy resume, and write no other store table — a later
+    # full run (resume ON) still validates every partition
+    assert {
+        r["completed_at_seq"]
+        for r in lin.filter(F.col("run_id").isin("s1", "s2")).collect()
+    } == {-1}
+    import os
+
+    assert not os.path.exists(f"{s_ckpt}/violations")
+    assert not os.path.exists(f"{s_ckpt}/profile_state")
+    rc, out = _run(capsys, [
+        "--synth", "4x120", "--no-audio", "--master", "local[8]",
+        "--checkpoint-dir", s_ckpt, "--run-id", "full-after",
+    ])
+    assert rc == 0 and out["partitions_validated"] == 4
+
     rc, _ = _run(capsys, base + [
         "--checkpoint-dir", str(tmp_path / "bad"), "--sample", "1.5",
     ])

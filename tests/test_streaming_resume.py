@@ -403,7 +403,7 @@ def test_stream_clips_validation_two_waves(spark, tmp_path):
     # quarantine table maintained per micro-batch, same idempotence
     # contract: wave-2 adds its partitions without touching wave-1 rows,
     # and every quarantined clip is backed by a clip-level violation
-    quar = cat.read("quarantine")
+    quar = cat.read("quarantine_stream")
     qparts = {r["partition_key"] for r in quar.select("partition_key").distinct().collect()}
     assert qparts == {"c000", "c001", "c002", "c003"}
     v_ids = {

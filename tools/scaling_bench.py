@@ -127,7 +127,7 @@ def worker(cpus: int, data_dir: str, shard: int = 0, nshards: int = 1) -> None:
     )
     warm.violations.write.mode("overwrite").format("noop").save()
     warm.verdicts.write.mode("overwrite").format("noop").save()
-    warm.violations.unpersist()
+    warm.unpersist()
 
     # best-of-2: this box is a shared VM (observed ~2x run-to-run noise
     # from CPU steal / page-cache writeback); min is the steady-state
@@ -141,7 +141,7 @@ def worker(cpus: int, data_dir: str, shard: int = 0, nshards: int = 1) -> None:
         res.violations.write.mode("overwrite").format("noop").save()
         res.verdicts.write.mode("overwrite").format("noop").save()
         dt = min(dt, time.time() - t0)
-        res.violations.unpersist()
+        res.unpersist()
     print(json.dumps({"cpus": cpus, "seconds": dt, "clips": n}))
 
 

@@ -113,7 +113,7 @@ def clip_throughput(spark, partitions, clips_per) -> dict:
         )
         res.violations.write.mode("overwrite").format("noop").save()
         res.verdicts.write.mode("overwrite").format("noop").save()
-        res.violations.unpersist()
+        res.unpersist()
         return time.time() - t0
 
     one()  # warmup

@@ -40,6 +40,14 @@ class RunResult:
     verdicts: DataFrame  # VERDICT_COLUMNS
     profile: DataFrame | None  # per (partition, column) stats, if requested
     run_id: str
+    # the persisted frame when run(persist=True). With evidence capping,
+    # `violations` is a DIFFERENT plan layered over this one, so
+    # violations.unpersist() would uncache nothing — release through
+    # unpersist() below, which always targets the cached plan.
+    cached: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        (self.cached if self.cached is not None else self.violations).unpersist()
 
 
 class ValidationEngine:
@@ -152,6 +160,7 @@ class ValidationEngine:
             # the at-scale pattern too (write violations, aggregate the
             # written table). Lazy — materialized by the first action.
             violations = violations.persist()
+        cached = violations if persist else None
 
         verdicts = self._verdicts(
             violations, plan.rows_checked, plan.detectors, run_id, frontier,
@@ -181,7 +190,8 @@ class ValidationEngine:
             )
 
         return RunResult(
-            violations=violations, verdicts=verdicts, profile=profile, run_id=run_id
+            violations=violations, verdicts=verdicts, profile=profile,
+            run_id=run_id, cached=cached,
         )
 
     def _verdicts(

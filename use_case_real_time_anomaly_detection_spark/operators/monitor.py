@@ -50,7 +50,12 @@ def lineage_anomalies(
     """Anomalous runs in the verdict-history table, one row per flagged
     (partition_key, detector, run_id). Columns: partition_key, detector,
     run_id, completed_at_seq, rate, prior_mean, zscore (NULL for step
-    flags), kind ('zscore' | 'step')."""
+    flags), kind ('zscore' | 'step'), is_latest (true iff this flag is
+    the LAST observation of its deduped series — the page condition;
+    computed here, on the SAME deduped frame the scoring uses, because a
+    reused run-id's pessimistic dedup keeps the worst-rate row whose seq
+    may not be the raw lineage max, so a consumer re-deriving 'latest'
+    from raw lineage would silently drop the flag)."""
     if min_history < 1:
         raise ValueError(
             f"lineage_anomalies: min_history must be >= 1, got {min_history}"
@@ -83,6 +88,10 @@ def lineage_anomalies(
         .orderBy("completed_at_seq", "run_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    wall = Window.partitionBy("partition_key", "detector").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    obs = F.struct("completed_at_seq", "run_id")
     scored = series.select(
         "partition_key",
         "detector",
@@ -94,6 +103,7 @@ def lineage_anomalies(
         F.count("rate").over(w).alias("__n"),
         F.min("rate").over(w).alias("__mn"),
         F.max("rate").over(w).alias("__mx"),
+        (obs == F.max(obs).over(wall)).alias("is_latest"),
     ).where(F.col("__n") >= min_history)
     flat = F.col("__mn") == F.col("__mx")  # exact — no accumulation error
     z = (F.col("rate") - F.col("__mean")) / F.col("__std")
@@ -110,4 +120,5 @@ def lineage_anomalies(
         F.round("__mean", 4).alias("prior_mean"),
         F.when(~flat, F.round(z, 4)).alias("zscore"),
         F.when(~flat, F.lit("zscore")).otherwise(F.lit("step")).alias("kind"),
+        "is_latest",
     )

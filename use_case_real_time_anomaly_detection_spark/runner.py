@@ -148,9 +148,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "sample of the clips (md5-bucket on clip_id — reproducible "
         "across runs, partitionings, and engines, unlike rand() "
         "sampling). The cheap pre-gate before a full validation pass at "
-        "corpus scale; verdicts' rows_checked reflect the sample, and "
-        "quarantine/profile maintenance apply to the sampled subset "
-        "only",
+        "corpus scale. NON-AUTHORITATIVE: verdicts are recorded with "
+        "completed_at_seq=-1 (never counted by resume) and the "
+        "violations/quarantine/profile tables are left untouched — only "
+        "full passes own store state",
     )
     p.add_argument("--no-resume", action="store_true", help="revalidate everything")
     p.add_argument("--run-id", default=None)
@@ -265,13 +266,12 @@ def main(argv: list[str] | None = None) -> int:
             lin, threshold=threshold, min_history=min_history
         ).localCheckpoint()
         # the page condition: the flag is the LAST observation of its
-        # series — the trend is anomalous NOW, not just historically
-        last = lin.groupBy("partition_key", "detector").agg(
-            F.max("completed_at_seq").alias("completed_at_seq")
-        )
-        current = flagged.join(
-            last, ["partition_key", "detector", "completed_at_seq"]
-        )
+        # series — the trend is anomalous NOW, not just historically.
+        # is_latest comes from lineage_anomalies itself (same deduped
+        # frame as the scoring): re-deriving max(seq) from RAW lineage
+        # would miss flags whose reused-run-id dedup kept a worst-rate
+        # row with a non-max seq.
+        current = flagged.filter(F.col("is_latest"))
         cols = (
             "partition_key", "detector", "run_id", "completed_at_seq",
             "rate", "prior_mean", "zscore", "kind",
@@ -388,9 +388,17 @@ def main(argv: list[str] | None = None) -> int:
         fail_threshold=args.fail_threshold,
         max_violations_per_group=args.max_violations,
     )
-    store.record_run(result, frontier=frontier)
+    if args.sample is not None:
+        # smoke runs are NON-AUTHORITATIVE: verdicts recorded for
+        # inspection only (completed_at_seq=-1 never satisfies resume);
+        # violations/quarantine/profile stay owned by full passes — a 1%
+        # pre-gate must not mark partitions validated, replace full
+        # evidence, or clear quarantine derived from the whole corpus
+        store.record_smoke(result)
+    else:
+        store.record_run(result, frontier=frontier)
 
-    if args.quarantine:
+    if args.quarantine and args.sample is None:
         from .operators.engine import quarantine_split, reindex_quarantine
 
         _, quar = quarantine_split(clips, result.violations)
@@ -405,6 +413,17 @@ def main(argv: list[str] | None = None) -> int:
             "quarantine",
             partition_by=["partition_key"],
         )
+        # this batch pass is AUTHORITATIVE for the partitions it
+        # validated: clear any streaming-accumulated quarantine dirs it
+        # supersedes so store.quarantine()'s union doesn't resurrect
+        # clips this full validation just cleared (idempotent — a re-run
+        # drops nothing new)
+        if store.catalog.exists("quarantine_stream"):
+            store.catalog.drop_partitions(
+                "quarantine_stream",
+                "partition_key",
+                [r["partition_key"] for r in validated_parts.collect()],
+            )
 
     # maintain the mergeable profile-state table alongside lineage: only
     # the partitions this run actually validated get their state row
@@ -412,38 +431,46 @@ def main(argv: list[str] | None = None) -> int:
     # profile then rolls up from the slim state table with no corpus IO.
     # bytes is deliberately NOT profiled here: the state scan stays
     # column-pruned to the slim metadata columns.
-    from .functions.stats import profile_state
-    from .sources.synth import with_partition_cols
+    if args.sample is None:
+        from .functions.stats import profile_state
+        from .sources.synth import with_partition_cols
 
-    keyed = with_partition_cols(clips)
-    validated = (
-        keyed.join(F.broadcast(skip), "partition_key", "left_anti")
-        if skip is not None
-        else keyed
-    )
-    store.record_profile(
-        profile_state(
-            validated,
-            partition_col="partition_key",
-            numeric_columns=["dur_ms", "sr_hz"],
-            distinct_columns=["codec", "clip_id"],
-            # fixed across runs (merge contract): 2x the RangeRule upper
-            # bound so out-of-range clips land in real bins, 40 bins →
-            # quantile error ≤ 100 ms
-            histogram_columns={"dur_ms": (0.0, 4000.0, 40)},
+        keyed = with_partition_cols(clips)
+        validated = (
+            keyed.join(F.broadcast(skip), "partition_key", "left_anti")
+            if skip is not None
+            else keyed
         )
-    )
+        store.record_profile(
+            profile_state(
+                validated,
+                partition_col="partition_key",
+                numeric_columns=["dur_ms", "sr_hz"],
+                distinct_columns=["codec", "clip_id"],
+                # fixed across runs (merge contract): 2x the RangeRule
+                # upper bound so out-of-range clips land in real bins,
+                # 40 bins → quantile error ≤ 100 ms
+                histogram_columns={"dur_ms": (0.0, 4000.0, 40)},
+            )
+        )
 
     compaction = None
     if args.compact:
-        from .sources.tables import compact_partitions
+        from .sources.tables import IcebergCatalog, compact_partitions
 
-        compaction = {
-            "lineage": compact_partitions(store.catalog, "lineage", []),
-            "violations": compact_partitions(
-                store.catalog, "violations", ["pk"], shard_col="clip_id"
-            ),
-        }
+        if isinstance(store.catalog, IcebergCatalog):
+            # never crash a successful run on maintenance: Iceberg does
+            # its own compaction transactionally
+            compaction = {
+                "skipped": "iceberg catalog — use CALL system.rewrite_data_files"
+            }
+        else:
+            compaction = {
+                "lineage": compact_partitions(store.catalog, "lineage", []),
+                "violations": compact_partitions(
+                    store.catalog, "violations", ["pk"], shard_col="clip_id"
+                ),
+            }
 
     verdicts = store.lineage().filter(F.col("run_id") == result.run_id)
     agg = verdicts.agg(
@@ -457,7 +484,7 @@ def main(argv: list[str] | None = None) -> int:
         .collect()
     }
     dt = time.time() - t0
-    result.violations.unpersist()
+    result.unpersist()
     # rows_checked is per (partition, detector); clips = rows of one detector
     n_parts = verdicts.select("partition_key").distinct().count()
     clips_n = (

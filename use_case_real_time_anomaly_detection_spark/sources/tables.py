@@ -80,6 +80,23 @@ class ParquetCatalog:
             .parquet(self.path(name))
         )
 
+    def drop_partitions(self, name: str, column: str, values: list) -> int:
+        """Remove whole top-level partition directories (all sub-levels
+        included) — the supersession primitive dynamic overwrite can't
+        express when the table is partitioned one level DEEPER than the
+        replacement grain (e.g. quarantine_stream's (partition_key,
+        batch_id) dirs being cleared by an authoritative batch pass at
+        partition_key grain). Returns the number of directories removed."""
+        import shutil
+
+        dropped = 0
+        for v in values:
+            d = os.path.join(self.path(name), f"{column}={v}")
+            if os.path.exists(d):
+                shutil.rmtree(d)
+                dropped += 1
+        return dropped
+
 
 class IcebergCatalog(ParquetCatalog):
     """Iceberg-backed tables (used when the runtime jar is on the
@@ -128,6 +145,20 @@ class IcebergCatalog(ParquetCatalog):
         overwritePartitions commit (partition_by is carried by the table
         spec, not the write)."""
         df.writeTo(self.qualified(name)).overwritePartitions()
+
+    def drop_partitions(
+        self, name: str, column: str, values: list
+    ) -> int:  # pragma: no cover — needs jar
+        """Partition-grain DELETE (metadata-only when `column` is a
+        partition transform source) — the Iceberg analog of the parquet
+        directory removal."""
+        if not values:
+            return 0
+        vals = ", ".join(f"'{v}'" for v in values)
+        self.spark.sql(
+            f"DELETE FROM {self.qualified(name)} WHERE {column} IN ({vals})"
+        )
+        return len(values)
 
     def merge_dedup(
         self, updates: DataFrame, name: str, keys: list[str]
@@ -238,11 +269,17 @@ def compact_partitions(
     with files_after re-measured from metadata after the commit.
 
     ``partition_by=[]`` compacts an UNPARTITIONED table (e.g. the
-    append-only lineage history, one file per run) as a whole-table
-    rewrite: the data is eagerly localCheckpointed first — a static
-    parquet overwrite deletes the directory it would otherwise still be
-    reading from.
+    append-only lineage history, one file per run) as a crash-safe
+    whole-table rewrite (staging dir + rename swap).
     """
+    if isinstance(catalog, IcebergCatalog):
+        # the `_metadata` hidden column does not exist on Iceberg reads,
+        # and a raw parquet rewrite would bypass the commit protocol
+        raise TypeError(
+            "compact_partitions is the parquet-layout maintenance pass; "
+            "on Iceberg run `CALL <catalog>.system.rewrite_data_files` "
+            "(transactional, snapshot-aware) instead"
+        )
     if not partition_by:
         return _compact_unpartitioned(
             catalog, name,
@@ -342,11 +379,30 @@ def _compact_unpartitioned(
     min_files: int,
 ) -> dict:
     """Whole-table rewrite for unpartitioned tables (compact_partitions
-    with partition_by=[]). The table is assumed history-sized (lineage,
-    profile states — O(runs × partitions) rows), so the eager
-    localCheckpoint that decouples the read from the static overwrite is
-    cheap; corpus-sized tables are always partitioned and take the
-    dynamic-overwrite path instead."""
+    with partition_by=[]). The rewrite is CRASH-SAFE for the audit
+    history it targets: the compacted copy is fully written to a sibling
+    staging directory first, then swapped in with two directory renames
+    (old → .pre_compact, staged → table), and the backup is removed only
+    after the swap — at no point is the lineage history's only copy
+    in-memory or deleted-before-replaced. A crash mid-swap is recovered
+    on the next call (backup restored if the table dir is missing).
+    On object stores without atomic rename, use Iceberg's
+    rewrite_data_files instead (transactional snapshots)."""
+    import shutil
+
+    path = catalog.path(name)
+    bak = path + "._pre_compact"
+    staging = path + "._compacting"
+    # crash recovery: a previous swap that lost the table dir leaves the
+    # full history in the backup — restore it before planning
+    if os.path.exists(bak):
+        if not os.path.exists(path):
+            os.rename(bak, path)
+        else:
+            shutil.rmtree(bak)
+    if os.path.exists(staging):
+        shutil.rmtree(staging)  # incomplete earlier rewrite: discard
+
     tbl = catalog.read(name)
     files = (
         tbl.select(
@@ -363,9 +419,10 @@ def _compact_unpartitioned(
     if n_files <= min_files or n_files <= wanted:
         return {"partitions_compacted": 0, "files_before": n_files,
                 "files_after": n_files}
-    pinned = tbl.repartition(int(wanted)).localCheckpoint()
-    pinned.write.mode("overwrite").parquet(catalog.path(name))
-    pinned._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    tbl.repartition(int(wanted)).write.mode("overwrite").parquet(staging)
+    os.rename(path, bak)
+    os.rename(staging, path)
+    shutil.rmtree(bak)
     after = (
         catalog.read(name).select("_metadata.file_path").distinct().count()
     )

@@ -43,6 +43,21 @@ class CheckpointStore:
         )
         self.catalog.append(result.verdicts, LINEAGE_TABLE)
 
+    def record_smoke(self, result) -> None:
+        """Persist a SAMPLED (smoke) run's verdicts for inspection
+        without granting them any authority: completed_at_seq is forced
+        to -1 so completed_partitions() (which requires >= frontier)
+        never counts them toward resume, and no other table is touched —
+        a 1% pre-gate must not mark partitions validated, replace the
+        full-evidence violations, or clear quarantine/profile state that
+        full passes derived."""
+        self.catalog.append(
+            result.verdicts.withColumn(
+                "completed_at_seq", F.lit(-1).cast("long")
+            ),
+            LINEAGE_TABLE,
+        )
+
     def record_profile(self, states: DataFrame) -> None:
         """Persist per-partition MERGEABLE profile states
         (functions/stats.profile_state): exact decimal moments + HLL
@@ -73,12 +88,31 @@ class CheckpointStore:
         return self.catalog.read(VIOLATIONS_TABLE)
 
     def quarantine(self) -> DataFrame:
-        """Quarantined-clip evidence, with the NULL-clip_id marker rows
-        (reindex_quarantine's partition-clearing mechanism) filtered out —
-        consumers see only genuinely quarantined clips."""
-        return self.catalog.read("quarantine").filter(
-            F.col("clip_id").isNotNull()
-        )
+        """Quarantined-clip evidence across BOTH maintenance paths: the
+        batch runner's authoritative per-partition snapshot (`quarantine`,
+        NULL-clip_id marker rows from reindex_quarantine filtered out)
+        unioned with the streaming accumulator (`quarantine_stream`,
+        per-(partition, batch) dirs; batch_id dropped). The two are
+        separate tables because their partition grains differ; a batch
+        pass clears the stream dirs it supersedes (runner --quarantine),
+        so the union never double-represents a re-validated partition."""
+        parts = []
+        if self.catalog.exists("quarantine"):
+            parts.append(
+                self.catalog.read("quarantine").filter(
+                    F.col("clip_id").isNotNull()
+                )
+            )
+        if self.catalog.exists("quarantine_stream"):
+            parts.append(self.catalog.read("quarantine_stream").drop("batch_id"))
+        if not parts:
+            raise FileNotFoundError(
+                "no quarantine table in this store (run with --quarantine)"
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def lineage(self) -> DataFrame:
         return self.catalog.read(LINEAGE_TABLE)

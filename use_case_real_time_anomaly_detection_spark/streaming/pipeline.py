@@ -97,12 +97,20 @@ def stream_clips_validation(
             from ..operators.engine import quarantine_split
 
             _, quar = quarantine_split(clips, res.violations)
+            # a SEPARATE table from the batch runner's `quarantine`:
+            # streaming accumulates per-batch evidence dirs ((pk, batch)
+            # grain — a replayed batch overwrites only itself), while the
+            # batch table is an authoritative per-pk snapshot. One table
+            # can't carry both layouts (conflicting partition depths);
+            # CheckpointStore.quarantine() unions the two views, and an
+            # authoritative batch pass clears the stream dirs it
+            # supersedes (runner.py --quarantine).
             store.catalog.overwrite_partitions(
                 quar.withColumn("batch_id", F.lit(int(batch_id))),
-                "quarantine",
+                "quarantine_stream",
                 partition_by=["partition_key", "batch_id"],
             )
-        res.violations.unpersist()
+        res.unpersist()
 
     writer = (
         clip_stream.writeStream.foreachBatch(process)
