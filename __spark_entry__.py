@@ -173,6 +173,92 @@ def _q_ref_orphans(spark, sf):
     )
 
 
+def _q_agg_bounds(spark, sf):
+    """Partition-stat constraints (operators/rules.AggregateRule): every
+    declared aggregate fence — avg band, null-rate cap, max cap, exact
+    distinct floor, count floor — fuses into ONE groupBy pass over ONE
+    scan (≙ the stats CTE of tinybird/pipes/iqr.pipe:26-37, made directly
+    fenceable). Violations are partition-level: clip_id NULL, one row per
+    breached fence."""
+    from use_case_real_time_anomaly_detection_spark.operators.compiler import (
+        compile_rules,
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        AggregateRule,
+    )
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.col("event_type").alias("partition_key"),
+        F.col("event_id").alias("clip_id"),
+        "value",
+    )
+    plan = compile_rules(
+        ev,
+        [
+            AggregateRule("value", agg="avg", min_value=48.4, max_value=50.0),
+            AggregateRule("value", agg="null_rate", max_value=0.005),
+            AggregateRule("value", agg="max", max_value=400.0),
+            AggregateRule("value", agg="distinct", min_value=1800),
+            AggregateRule("value", agg="count", min_value=2000),
+        ],
+    )
+    return plan.violations.select("partition_key", "detector", "observed", "note")
+
+
+def _q_completeness(spark, sf):
+    """Missing-row detection (operators/rules.CompletenessRule): manifest
+    keys with NO row in the fact table — the inverse direction of
+    ref_orphans (RefIntegrityRule), which no row-level rule can flag
+    because the defective rows aren't there to scan. Left-anti from the
+    manifest onto the table's keys; each missing key lands in the
+    MANIFEST's partition so wholly-missing partitions still get verdicts."""
+    from use_case_real_time_anomaly_detection_spark.operators.compiler import (
+        compile_rules,
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        CompletenessRule,
+    )
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.lit("events").alias("partition_key"),
+        F.col("event_id").alias("clip_id"),
+        "user_id",
+    )
+    manifest = (
+        spark.read.parquet(f"{sf}/customer.parquet")
+        .filter(F.col("c_custkey") <= 200)
+        .select(
+            F.col("c_mktsegment").alias("partition_key"),
+            F.col("c_custkey").alias("user_id"),
+        )
+    )
+    plan = compile_rules(
+        ev,
+        [CompletenessRule(column="user_id", ref_table="m", ref_column="user_id")],
+        refs={"m": manifest},
+    )
+    return plan.violations
+
+
+def _q_decontaminate(spark, sf):
+    """Benchmark decontamination (functions/dedup.contamination_scores):
+    corpus docs sharing ≥1 distinct word 8-gram with a held-out
+    benchmark split (docs 0-99), with the per-doc contaminated-gram
+    fraction — the substring-granular eval-leak gate near-dup dedup
+    can't express. One corpus shingle pass + one broadcast gram-set
+    join + one partial agg."""
+    from use_case_real_time_anomaly_detection_spark.functions.dedup import (
+        contamination_scores,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    corpus = docs.filter(F.col("doc_id") >= 100)
+    return contamination_scores(corpus, bench, n=8, min_score=0.0)
+
+
 def _q_sessionize(spark, sf):
     """Gap-based sessionization (6 h): lag + conditional cumsum windows."""
     from pyspark.sql import Window
@@ -1527,13 +1613,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violations_log": _q_violations_log,
         "profile_events": _q_profile_events,
         "profile_incremental": _q_profile_incremental,
-        "unique_events": _q_unique_events,
         "ref_orphans": _q_ref_orphans,
-        "pricing_summary": _q_pricing_summary,
+        "agg_bounds": _q_agg_bounds,
+        "completeness_check": _q_completeness,
+        "decontaminate": _q_decontaminate,
         "minhash_lsh": _q_minhash_lsh,
         "dup_clusters": _q_dup_clusters,
         "dedup_corpus_ids": _q_dedup_corpus_ids,
-        "ngram_jaccard": _q_ngram_jaccard,
         "ingest_gate": _q_ingest_gate,
         "ann_brute": _q_ann_brute,
         "ann_ivf": _q_ann_ivf,
@@ -1597,6 +1683,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "get_anomalies": _q_get_anomalies,
         "clips_profile": _q_clips_profile,
         "anomalies_summary": _q_anomalies_summary,
+        "unique_events": _q_unique_events,
+        "pricing_summary": _q_pricing_summary,
+        "ngram_jaccard": _q_ngram_jaccard,
     }
 
 
@@ -1873,6 +1962,68 @@ WHERE user_id NOT IN (
 )
 """
 
+def _fmt_sql(expr: str, d: int = 2) -> str:
+    """≙ compiler._fmt: ROUND(x, d) → string, with Spark's shortest-repr
+    half-up rounding (via _R)."""
+    return f"CAST({_R(expr, d)} AS VARCHAR)"
+
+
+# ≙ _q_agg_bounds: one stats pass per partition, then each fence as a
+# filter over the SAME stats row. avg goes through exact decimal sums
+# (summation-order-independent; same contract as _S1/_S2 below).
+_SQL_AGG_BOUNDS = f"""
+WITH s AS (
+  SELECT event_type AS partition_key,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value) AS avg_v,
+         AVG(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END) AS null_rate,
+         CAST(MAX(value) AS DOUBLE) AS max_v,
+         CAST(COUNT(DISTINCT value) AS DOUBLE) AS nd,
+         CAST(COUNT(value) AS DOUBLE) AS cnt
+  FROM events GROUP BY 1
+)
+SELECT partition_key, detector, observed, note FROM (
+  SELECT partition_key, 'agg-avg-value' AS detector,
+         {_fmt_sql("avg_v", 4)} AS observed,
+         'agg:avg(value) min:48.4 max:50' AS note,
+         (avg_v < 48.4 OR avg_v > 50.0) AS bad
+  FROM s
+  UNION ALL
+  SELECT partition_key, 'agg-null_rate-value',
+         {_fmt_sql("null_rate", 4)},
+         'agg:null_rate(value) max:0.005', null_rate > 0.005
+  FROM s
+  UNION ALL
+  SELECT partition_key, 'agg-max-value', {_fmt_sql("max_v", 4)},
+         'agg:max(value) max:400', max_v > 400.0
+  FROM s
+  UNION ALL
+  SELECT partition_key, 'agg-distinct-value', {_fmt_sql("nd", 4)},
+         'agg:distinct(value) min:1800', nd < 1800.0
+  FROM s
+  UNION ALL
+  SELECT partition_key, 'agg-count-value', {_fmt_sql("cnt", 4)},
+         'agg:count(value) min:2000', cnt < 2000.0
+  FROM s
+) WHERE bad
+"""
+
+# ≙ _q_completeness: manifest keys (customers ≤ 200, partitioned by
+# market segment) with no event row — anti-join, manifest side's
+# partition key carries the verdict axis.
+_SQL_COMPLETENESS = """
+SELECT c_mktsegment AS partition_key,
+       CAST(c_custkey AS VARCHAR) AS clip_id,
+       'completeness' AS detector,
+       'missing' AS observed,
+       'user_id present in m but absent from table' AS note
+FROM customer
+WHERE c_custkey <= 200
+  AND NOT EXISTS (
+    SELECT 1 FROM events e
+    WHERE CAST(e.user_id AS VARCHAR) = CAST(c_custkey AS VARCHAR)
+  )
+"""
+
 _SQL_SESSIONIZE = """
 WITH o AS (
   SELECT user_id, ts, event_id,
@@ -2009,6 +2160,32 @@ SELECT doc_id,
             ELSE 'en' END AS lang_pred,
        greatest(s_en, s_es, s_fr) AS lang_score
 FROM sc
+"""
+
+_SQL_DECONTAMINATE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, u.start + 1, u.start + 8), ' ') AS gram
+  FROM t, unnest(range(0, len(toks) - 8 + 1)) AS u(start)
+  WHERE len(toks) >= 8
+), b AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id < 100
+), c AS (
+  SELECT doc_id, gram FROM g WHERE doc_id >= 100
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS shared_grams,
+       {_R("sum(CASE WHEN b.gram IS NOT NULL THEN 1.0 ELSE 0.0 END) / count(*)", 4)}
+         AS score
+FROM c LEFT JOIN b USING (gram)
+GROUP BY doc_id
+HAVING score > 0.0
 """
 
 _SQL_DEDUP_EXACT = """
@@ -2470,12 +2647,6 @@ FROM h4 GROUP BY pk
 # sequence as the Spark side (exact integer/decimal sums → double ops), so
 # strings and values compare bit-for-bit.
 # ---------------------------------------------------------------------------
-
-
-def _fmt_sql(expr: str, d: int = 2) -> str:
-    """≙ compiler._fmt: ROUND(x, d) → string, with Spark's shortest-repr
-    half-up rounding (via _R)."""
-    return f"CAST({_R(expr, d)} AS VARCHAR)"
 
 
 # detectors evaluated by the no-audio clip rule set (set-compared)
@@ -3697,6 +3868,9 @@ def oracle_sql() -> dict[str, str]:
         "profile_incremental": _SQL_PROFILE_INCREMENTAL,
         "unique_events": _SQL_UNIQUE_EVENTS,
         "ref_orphans": _SQL_REF_ORPHANS,
+        "agg_bounds": _SQL_AGG_BOUNDS,
+        "completeness_check": _SQL_COMPLETENESS,
+        "decontaminate": _SQL_DECONTAMINATE,
         "sessionize": _SQL_SESSIONIZE,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "top_customers": _SQL_TOP_CUSTOMERS,

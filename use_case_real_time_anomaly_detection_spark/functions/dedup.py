@@ -691,3 +691,100 @@ def repeated_chunks(
         "n_docs",
         "n_occurrences",
     )
+
+
+def contamination_pairs(
+    docs: DataFrame,
+    bench: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    n: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination pairs: (doc, benchmark item, number of
+    shared word n-grams) for every corpus doc that shares ≥ min_shared
+    distinct n-grams with a benchmark item.
+
+    The training-data decontamination primitive (the n-gram-collision
+    check of GPT-3 appendix C / PaLM §7, at the standard 8-13 word
+    granularity): before training, every doc overlapping an eval set is
+    flagged so the pipeline can drop it — near-dup dedup can't do this
+    job because the benchmark side must be matched at SUBSTRING
+    granularity (one leaked eval question inside a long doc is a tiny
+    Jaccard but a real leak).
+
+    Scale shape (10^12 docs × 10^3..10^5 benchmark items): the benchmark
+    gram set is eval-set-sized and BROADCAST; the corpus side is one
+    shingle explode + one broadcast-hash join + one partial-aggregating
+    groupBy — a single corpus scan, no wide shuffle of corpus text.
+    Docs shorter than n tokens produce no grams and cannot be flagged
+    (document-level exact/near dedup owns short texts).
+    """
+    if n < 1:
+        raise ValueError(f"contamination_pairs: n must be >= 1, got {n}")
+    if min_shared < 1:
+        raise ValueError(
+            f"contamination_pairs: min_shared must be >= 1, got {min_shared}"
+        )
+    cg = shingles(docs, id_col, text_col, n)
+    bg = shingles(bench, bench_id_col, bench_text_col, n).select(
+        F.col(bench_id_col).alias("bench_id"), "gram"
+    )
+    return (
+        cg.join(F.broadcast(bg), "gram")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .filter(F.col("shared_grams") >= min_shared)
+    )
+
+
+def contamination_scores(
+    docs: DataFrame,
+    bench: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    n: int = 8,
+    min_score: float = 0.0,
+) -> DataFrame:
+    """Per-doc contamination fraction: of the doc's distinct word
+    n-grams, the share also present in ANY benchmark item —
+    (id, n_grams, shared_grams, score) for docs with score > min_score
+    (score is exact: both counts come from the same distinct-gram
+    relation).
+
+    ONE corpus pass: the corpus gram relation is built once, left-joined
+    against the broadcast benchmark gram SET (identity of the benchmark
+    item doesn't matter for gating), and both counts fall out of a
+    single partial-aggregating groupBy — no re-derivation of the shingle
+    pipeline per count (the round-2 multiple-FileScan class).
+    """
+    if not 0.0 <= min_score < 1.0:
+        raise ValueError(
+            f"contamination_scores: min_score must be in [0, 1), got {min_score}"
+        )
+    cg = shingles(docs, id_col, text_col, n)
+    bset = (
+        shingles(bench, bench_id_col, bench_text_col, n)
+        .select("gram")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        cg.join(F.broadcast(bset), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("shared_grams"),
+        )
+        .withColumn(
+            "score",
+            F.round(F.col("shared_grams") / F.col("n_grams"), 4),
+        )
+        .filter(F.col("score") > F.lit(min_score))
+    )

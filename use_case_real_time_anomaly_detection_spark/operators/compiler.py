@@ -41,7 +41,9 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .rules import (
+    AggregateRule,
     AudioDecodeRule,
+    CompletenessRule,
     DriftRule,
     GapRule,
     IqrRule,
@@ -508,8 +510,8 @@ def compile_rules(
             )
             _entry(r.detector, cond, snr_s, note)
 
-        elif isinstance(r, (UniqueRule, DriftRule)):
-            continue  # aggregate-level; handled below
+        elif isinstance(r, (UniqueRule, DriftRule, AggregateRule, CompletenessRule)):
+            continue  # aggregate-/table-level; handled below
         elif isinstance(r, ProfileSpec):
             continue
         else:
@@ -581,6 +583,109 @@ def compile_rules(
             if r.detector not in detectors:
                 detectors.append(r.detector)
 
+    # ---- aggregate bounds: ONE fused groupBy for every AggregateRule -----
+    agg_rules = [r for r in rules if isinstance(r, AggregateRule)]
+    if agg_rules:
+        # one shuffle of partial aggregates for ALL declared bounds (the
+        # same fusion contract as the row-local projection: adding a rule
+        # never adds a scan). Pre-audio frame: these read slim metadata
+        # columns only.
+        fences = df.groupBy(partition_col).agg(
+            *[
+                _agg_value(r).alias(f"__agg_{i}")
+                for i, r in enumerate(agg_rules)
+            ]
+        )
+        agg_entries: list[Column] = []
+        for i, r in enumerate(agg_rules):
+            v = F.col(f"__agg_{i}")
+            conds = []
+            note_bits = [f"agg:{r.agg}({r.column})"]
+            if r.min_value is not None:
+                conds.append(v < F.lit(float(r.min_value)))
+                note_bits.append(f"min:{r.min_value:g}")
+            if r.max_value is not None:
+                conds.append(v > F.lit(float(r.max_value)))
+                note_bits.append(f"max:{r.max_value:g}")
+            agg_entries.append(
+                F.when(
+                    reduce(lambda a, b: a | b, conds),
+                    F.struct(
+                        F.lit(r.detector).alias("detector"),
+                        _fmt(v, 4).alias("observed"),
+                        F.lit(" ".join(note_bits)).alias("note"),
+                    ),
+                )
+            )
+            if r.detector not in detectors:
+                detectors.append(r.detector)
+            if r.detector not in partition_level:
+                # a breached aggregate is ONE violation per partition
+                # regardless of partition size — a rate tolerance would
+                # silently disable it at production row counts
+                partition_level.append(r.detector)
+        # same array_compact+explode shape as the row projection: every
+        # rule's fence check reads the ONE fences row per partition —
+        # per-rule filter branches would re-derive the aggregation (and
+        # its corpus scan) once per rule, since Catalyst does not CSE
+        # across union branches.
+        fused_parts.append(
+            fences.select(
+                F.col(partition_col).alias("partition_key"),
+                F.lit(None).cast("string").alias("clip_id"),
+                F.explode(F.array_compact(F.array(*agg_entries))).alias("v"),
+            ).select(
+                "partition_key",
+                "clip_id",
+                F.col("v.detector").alias("detector"),
+                F.col("v.observed").alias("observed"),
+                F.col("v.note").alias("note"),
+            )
+        )
+
+    # ---- completeness: manifest keys missing from the table --------------
+    comp_rules = [r for r in rules if isinstance(r, CompletenessRule)]
+    comp_ref_parts: list[DataFrame] = []
+    for r in comp_rules:
+        if r.ref_table not in refs:
+            raise ValueError(f"rule references unknown table {r.ref_table!r}")
+        ref = refs[r.ref_table]
+        if partition_col not in ref.columns:
+            raise ValueError(
+                f"CompletenessRule: ref table {r.ref_table!r} must expose "
+                f"the partition column {partition_col!r} (the verdict axis "
+                "for missing keys)"
+            )
+        # left-anti from the manifest onto the table's keys: the inverse
+        # direction of RefIntegrityRule. At 10^12 scale with both sides
+        # bucketed by the key this is a storage-partitioned join; anti
+        # joins never multiply rows, so no distinct on the probe side.
+        missing = ref.select(
+            F.col(partition_col).alias("partition_key"),
+            F.col(r.ref_column).cast("string").alias("clip_id"),
+        ).join(
+            df.select(F.col(r.column).cast("string").alias("clip_id")),
+            "clip_id",
+            "left_anti",
+        )
+        fused_parts.append(
+            missing.select(
+                "partition_key",
+                "clip_id",
+                F.lit(r.detector).alias("detector"),
+                F.lit("missing").alias("observed"),
+                F.lit(
+                    f"{r.ref_column} present in {r.ref_table} "
+                    "but absent from table"
+                ).alias("note"),
+            )
+        )
+        if r.detector not in detectors:
+            detectors.append(r.detector)
+        comp_ref_parts.append(
+            ref.select(F.col(partition_col).alias("partition_key")).distinct()
+        )
+
     # ---- drift (KS + PSI over binned histograms) -------------------------
     drift_rules = [r for r in rules if isinstance(r, DriftRule)]
     if drift_rules:
@@ -614,6 +719,19 @@ def compile_rules(
     rows_checked = df.groupBy(F.col(partition_col).alias("partition_key")).agg(
         F.count(F.lit(1)).alias("rows_checked")
     )
+    if comp_ref_parts:
+        # a partition whose EVERY row is missing never appears in the
+        # table's groupBy — union the manifest's partitions in at
+        # rows_checked=0 so a wholly-missing partition still gets (and
+        # fails) its verdict instead of silently vanishing from the grid
+        extra = reduce(DataFrame.unionByName, comp_ref_parts).withColumn(
+            "rows_checked", F.lit(0).cast("long")
+        )
+        rows_checked = (
+            rows_checked.unionByName(extra)
+            .groupBy("partition_key")
+            .agg(F.max("rows_checked").alias("rows_checked"))
+        )
     # de-dup detector list, preserving order
     seen: set[str] = set()
     det = [d for d in detectors if not (d in seen or seen.add(d))]
@@ -623,6 +741,42 @@ def compile_rules(
         detectors=det,
         partition_level=partition_level,
     )
+
+
+def _agg_value(r: AggregateRule) -> Column:
+    """The aggregate a single AggregateRule fences, as a double column.
+
+    avg/stddev_pop go through EXACT decimal sums first (the same
+    determinism contract as profile_table: the test columns are
+    ≤2-decimal quantized, so the frame sums are exact and the derived
+    double is one fixed IEEE op sequence any engine reproduces —
+    partial-aggregation order can't flip a rounded digit).
+    """
+    c = F.col(r.column)
+    if r.agg in ("avg", "stddev_pop"):
+        d = c.cast("decimal(28,6)")
+        s1 = F.sum(d).cast("double")
+        n = F.count(c)
+        mean = s1 / n
+        if r.agg == "avg":
+            return mean
+        s2 = F.sum(d * d).cast("double")
+        return F.sqrt(F.greatest(s2 / n - mean * mean, F.lit(0.0)))
+    if r.agg == "min":
+        return F.min(c).cast("double")
+    if r.agg == "max":
+        return F.max(c).cast("double")
+    if r.agg == "sum":
+        return F.sum(c.cast("decimal(28,6)")).cast("double")
+    if r.agg == "count":
+        return F.count(c).cast("double")
+    if r.agg == "null_rate":
+        return F.avg(c.isNull().cast("double"))
+    if r.agg == "distinct":
+        return F.count_distinct(c).cast("double")
+    if r.agg == "approx_distinct":
+        return F.approx_count_distinct(c).cast("double")
+    raise ValueError(f"unknown aggregate {r.agg!r}")  # pragma: no cover
 
 
 def _drift_violations(

@@ -23,7 +23,9 @@ import dataclasses
 import json
 
 from .rules import (
+    AggregateRule,
     AudioDecodeRule,
+    CompletenessRule,
     DriftRule,
     GapRule,
     IqrRule,
@@ -54,6 +56,8 @@ RULE_TYPES = {
     "gap": GapRule,
     "z_score": ZScoreRule,
     "iqr": IqrRule,
+    "aggregate": AggregateRule,
+    "completeness": CompletenessRule,
     "unique": UniqueRule,
     "ref_integrity": RefIntegrityRule,
     "drift": DriftRule,

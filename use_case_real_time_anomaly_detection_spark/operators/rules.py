@@ -218,6 +218,91 @@ class RefIntegrityRule(Rule):
     detector: str = "referential"
 
 
+#: aggregates AggregateRule can fence. Exact-arithmetic aggregates only by
+#: default — 'approx_distinct' (HLL) is allowed but its estimate is
+#: engine-specific, so cross-engine oracles should fence 'distinct' instead.
+AGGREGATE_FUNCS = (
+    "avg",
+    "min",
+    "max",
+    "sum",
+    "count",
+    "null_rate",
+    "distinct",
+    "approx_distinct",
+    "stddev_pop",
+)
+
+
+@dataclass(frozen=True)
+class AggregateRule(Rule):
+    """A per-partition AGGREGATE outside [min_value, max_value] → one
+    violation for the whole partition.
+
+    Graft addition (north rule: column-stat profiling *as constraints* —
+    null rate, min/max, approx-distinct bounds). Row-level rules can't
+    express "this partition's null rate exceeds 5%" or "avg duration
+    collapsed" — the defect is a property of the distribution, not of
+    any single row. The closest reference analog is the stats CTE the
+    IQR pipe computes per key (tinybird/pipes/iqr.pipe:26-37); this rule
+    makes that stats layer directly fenceable.
+
+    All AggregateRules in a run fuse into ONE groupBy(partition) pass
+    (one shuffle of partial aggregates, ~1 output row per partition)
+    regardless of how many bounds are declared. Violations are
+    partition-level (clip_id NULL, exempt from the fail_threshold rate
+    tolerance — a breached aggregate is one violation no matter how many
+    rows produced it).
+    """
+
+    column: str
+    agg: str = "avg"
+    min_value: float | None = None
+    max_value: float | None = None
+    detector: str = ""  # defaults to agg-<agg>-<column>
+
+    def __post_init__(self) -> None:
+        if self.agg not in AGGREGATE_FUNCS:
+            # ≙ reference {{ error(...) }} on a bad template parameter
+            raise ValueError(
+                f"AggregateRule({self.column}): agg must be one of "
+                f"{AGGREGATE_FUNCS}, got {self.agg!r}"
+            )
+        if self.min_value is None and self.max_value is None:
+            raise ValueError(
+                f"AggregateRule({self.column}): need at least one of "
+                "min_value/max_value"
+            )
+        if not self.detector:
+            object.__setattr__(self, "detector", f"agg-{self.agg}-{self.column}")
+
+
+@dataclass(frozen=True)
+class CompletenessRule(Rule):
+    """Manifest keys ABSENT from the validated table → violations.
+
+    Graft addition: the inverse direction of RefIntegrityRule. The
+    referential rule catches rows that shouldn't exist (corpus keys with
+    no manifest entry); this rule catches rows that should exist but
+    don't — which no row-level rule can flag, because the defective rows
+    aren't there to scan. Compiled to a left-anti join from the manifest
+    onto the table's keys; with both sides Iceberg-bucketed by the key
+    this is a storage-partitioned join (no shuffle) at 10^12 scale.
+
+    The manifest frame must carry the run's partition column (the
+    verdict axis) so each missing key lands in its partition's verdict —
+    including partitions with ZERO surviving corpus rows, which are
+    added to the verdict grid with rows_checked=0 (a wholly-missing
+    partition is exactly the failure this rule exists to surface; it
+    must not silently vanish from the verdict set).
+    """
+
+    column: str = "clip_id"
+    ref_table: str = "clip_manifest"
+    ref_column: str = "clip_id"
+    detector: str = "completeness"
+
+
 @dataclass(frozen=True)
 class DriftRule(Rule):
     """Per-partition distribution drift vs the global distribution.
