@@ -205,6 +205,27 @@ def _q_agg_bounds(spark, sf):
     return plan.violations.select("partition_key", "detector", "observed", "note")
 
 
+def _q_mad_outliers(spark, sf):
+    """Robust z-score detector (operators/rules.MadRule): modified z-score
+    |0.6745*(x-median)/MAD| > 3.5 per partition (Iglewicz & Hoaglin) —
+    the 50%-breakdown sibling of z_score/iqr whose fence survives heavy
+    contamination. Exact percentiles at test scale (≙ the IqrRule
+    exact/approx contract); two slim stats aggs broadcast back onto one
+    corpus scan."""
+    from use_case_real_time_anomaly_detection_spark.operators.compiler import (
+        compile_rules,
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.rules import MadRule
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.col("event_type").alias("partition_key"),
+        F.col("event_id").alias("clip_id"),
+        "value",
+    )
+    plan = compile_rules(ev, [MadRule("value", threshold=3.5, exact=True)])
+    return plan.violations
+
+
 def _q_completeness(spark, sf):
     """Missing-row detection (operators/rules.CompletenessRule): manifest
     keys with NO row in the fact table — the inverse direction of
@@ -1607,7 +1628,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "out_of_range": _q_out_of_range,
         "rate_of_change": _q_rate_of_change,
         "timeout": _q_timeout,
-        "most_recent": _q_most_recent,
         "z_score": _q_z_score,
         "iqr": _q_iqr,
         "violations_log": _q_violations_log,
@@ -1616,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ref_orphans": _q_ref_orphans,
         "agg_bounds": _q_agg_bounds,
         "completeness_check": _q_completeness,
+        "mad_outliers": _q_mad_outliers,
         "decontaminate": _q_decontaminate,
         "minhash_lsh": _q_minhash_lsh,
         "dup_clusters": _q_dup_clusters,
@@ -1661,6 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CI pass via tests/test_oracle_parity.py (parametrized over
         # sorted(oracle_sql())) and tools/parity_check.py, so a
         # regression in a rotated query still fails the suite ------------
+        "most_recent": _q_most_recent,
         "text_quality": _q_text_quality,
         "top_customers": _q_top_customers,
         "sessionize": _q_sessionize,
@@ -2006,6 +2028,34 @@ SELECT partition_key, detector, observed, note FROM (
   FROM s
 ) WHERE bad
 """
+
+# ≙ _q_mad_outliers: two-level exact median/MAD per partition, modified
+# z-score fence. quantile_cont ≙ Spark exact percentile (same linear
+# interpolation); MAD=0 partitions produce no rows in both engines.
+_SQL_MAD_OUTLIERS = f"""
+WITH m AS (
+  SELECT event_type AS pk, quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), s AS (
+  SELECT e.event_type AS pk,
+         any_value(m.med) AS med,
+         quantile_cont(abs(CAST(e.value AS DOUBLE) - m.med), 0.5) AS mad
+  FROM events e JOIN m ON e.event_type = m.pk
+  WHERE e.value IS NOT NULL
+  GROUP BY 1
+)
+SELECT e.event_type AS partition_key,
+       e.event_id AS clip_id,
+       'robust-z' AS detector,
+       {_fmt_sql("0.6745 * (CAST(e.value AS DOUBLE) - s.med) / s.mad", 4)}
+         AS observed,
+       'median:' || {_fmt_sql("s.med", 2)} || '| mad:' || {_fmt_sql("s.mad", 2)}
+         || '| threshold:3.5' AS note
+FROM events e JOIN s ON e.event_type = s.pk
+WHERE s.mad > 0
+  AND abs(0.6745 * (CAST(e.value AS DOUBLE) - s.med) / s.mad) > 3.5
+"""
+
 
 # ≙ _q_completeness: manifest keys (customers ≤ 200, partitioned by
 # market segment) with no event row — anti-join, manifest side's
@@ -3870,6 +3920,7 @@ def oracle_sql() -> dict[str, str]:
         "ref_orphans": _SQL_REF_ORPHANS,
         "agg_bounds": _SQL_AGG_BOUNDS,
         "completeness_check": _SQL_COMPLETENESS,
+        "mad_outliers": _SQL_MAD_OUTLIERS,
         "decontaminate": _SQL_DECONTAMINATE,
         "sessionize": _SQL_SESSIONIZE,
         "pricing_summary": _SQL_PRICING_SUMMARY,

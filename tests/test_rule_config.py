@@ -49,7 +49,7 @@ def test_every_rule_type_roundtrips():
             samples.append(cls("clip_id", ref_table="m", ref_column="clip_id"))
         elif tag == "aggregate":
             samples.append(cls("dur_ms", agg="null_rate", max_value=0.05))
-        elif tag in ("not_null", "rate_of_change", "z_score", "iqr", "drift"):
+        elif tag in ("not_null", "rate_of_change", "z_score", "iqr", "mad", "drift"):
             samples.append(cls("dur_ms"))
         else:
             samples.append(cls())

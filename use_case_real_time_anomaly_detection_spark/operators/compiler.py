@@ -47,6 +47,7 @@ from .rules import (
     DriftRule,
     GapRule,
     IqrRule,
+    MadRule,
     NotNullRule,
     PatternRule,
     PayloadSizeRule,
@@ -295,6 +296,33 @@ def compile_rules(
         # stats-CTE join, iqr.pipe:49-50, which ClickHouse keeps in memory).
         base = base.join(F.broadcast(stats), partition_col, "left")
 
+    # ---- per-partition median/MAD: two sequential aggs + broadcast join ---
+    mad_rules = [r for r in rules if isinstance(r, MadRule)]
+    for r in mad_rules:
+        vcol = F.col(r.column).cast("double")
+        if r.exact:
+            med_agg = F.percentile(vcol, F.lit(0.5))
+        else:
+            med_agg = F.percentile_approx(vcol, 0.5, r.accuracy)
+        # MAD is doubly holistic (median of |x - median|): pass 1 computes
+        # the per-partition median, pass 2 the median deviation. Both read
+        # ONE slim column off the pre-audio frame (column pruning keeps
+        # payloads out) and reduce to ~1 row per partition.
+        med = df.groupBy(partition_col).agg(med_agg.alias(f"__med_{r.column}"))
+        dev = df.select(partition_col, r.column).join(
+            F.broadcast(med), partition_col
+        )
+        absdev = F.abs(vcol - F.col(f"__med_{r.column}"))
+        if r.exact:
+            mad_agg = F.percentile(absdev, F.lit(0.5))
+        else:
+            mad_agg = F.percentile_approx(absdev, 0.5, r.accuracy)
+        stats = dev.groupBy(partition_col).agg(
+            F.first(f"__med_{r.column}").alias(f"__med_{r.column}"),
+            mad_agg.alias(f"__mad_{r.column}"),
+        )
+        base = base.join(F.broadcast(stats), partition_col, "left")
+
     # ---- fused violation projection --------------------------------------
     entries: list[Column] = []
     detectors: list[str] = []
@@ -458,6 +486,23 @@ def compile_rules(
                 F.lit("| upper_bound:"), _fmt(hi),
             )  # ≙ copy_iqr.pipe:80
             _entry(r.detector, cond, F.col(r.column), note)
+
+        elif isinstance(r, MadRule):
+            medc = F.col(f"__med_{r.column}")
+            madc = F.col(f"__mad_{r.column}")
+            # MAD == 0 → score undefined → never flagged (also the ANSI
+            # division guard); NULL values propagate to NULL cond → dropped
+            z = F.when(
+                madc > 0,
+                F.lit(0.6745) * (F.col(r.column).cast("double") - medc) / madc,
+            )
+            cond = F.abs(z) > F.lit(r.threshold)
+            note = F.concat(
+                F.lit("median:"), _fmt(medc),
+                F.lit("| mad:"), _fmt(madc),
+                F.lit(f"| threshold:{r.threshold:g}"),
+            )
+            _entry(r.detector, cond, _fmt(z, 4), note)
 
         elif isinstance(r, TranscriptDistanceRule):
             # ordered before the exact branch: isinstance(r, TranscriptRule)

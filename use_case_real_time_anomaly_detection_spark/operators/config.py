@@ -29,6 +29,7 @@ from .rules import (
     DriftRule,
     GapRule,
     IqrRule,
+    MadRule,
     NotNullRule,
     PatternRule,
     PayloadSizeRule,
@@ -56,6 +57,7 @@ RULE_TYPES = {
     "gap": GapRule,
     "z_score": ZScoreRule,
     "iqr": IqrRule,
+    "mad": MadRule,
     "aggregate": AggregateRule,
     "completeness": CompletenessRule,
     "unique": UniqueRule,

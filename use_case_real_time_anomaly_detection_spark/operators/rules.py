@@ -186,6 +186,37 @@ class IqrRule(Rule):
     detector: str = "interquartile-range"
 
 
+@dataclass(frozen=True)
+class MadRule(Rule):
+    """Modified z-score via MAD outside ±threshold → violation.
+
+    Graft addition: the robust sibling of ZScoreRule/IqrRule. Mean/stddev
+    are themselves dragged by the outliers they're meant to expose — one
+    wild sensor reading inflates stddev enough to hide the next three.
+    The median/MAD pair has a 50% breakdown point, so the fence holds
+    even when a large fraction of the partition is already corrupt (the
+    realistic corpus-QC case: a mis-transcoded batch inside a partition).
+
+    Fence: |0.6745 * (x - median) / MAD| > threshold, the Iglewicz &
+    Hoaglin modified z-score (0.6745 ≈ Φ⁻¹(0.75) rescales MAD to σ under
+    normality; their recommended threshold is 3.5). MAD == 0 (over half
+    the partition identical) leaves the score undefined — such rows are
+    not flagged (a constant column is DriftRule/AggregateRule territory).
+
+    Like IqrRule: exact percentiles at test scale for cross-engine
+    oracles, approx_percentile at 10^12 scale. MAD is doubly holistic
+    (a median OF deviations FROM a median), so the stats side is two
+    sequential single-column aggregations — still ~1 row per partition,
+    always broadcast back.
+    """
+
+    column: str
+    threshold: float = 3.5
+    exact: bool = False
+    accuracy: int = 10000
+    detector: str = "robust-z"
+
+
 # --------------------------------------------------------------------------
 # Table-level rules.
 # --------------------------------------------------------------------------
