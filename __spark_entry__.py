@@ -280,6 +280,21 @@ def _q_decontaminate(spark, sf):
     return contamination_scores(corpus, bench, n=8, min_score=0.0)
 
 
+def _q_seq_pack(spark, sf):
+    """GPT-style sequence packing metadata (functions/packing.pack_sequences):
+    docs concatenated in id order into one token stream, cut into
+    2048-token training sequences; per doc its stream interval and
+    first/last sequence. Global prefix sum computed as the two-level
+    distributed scan (in-bucket window + tiny per-bucket offset cumsum
+    broadcast back) — never a global single-partition window."""
+    from use_case_real_time_anomaly_detection_spark.functions.packing import (
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return pack_sequences(docs, 2048, bucket_width=100)
+
+
 def _q_sessionize(spark, sf):
     """Gap-based sessionization (6 h): lag + conditional cumsum windows."""
     from pyspark.sql import Window
@@ -1637,9 +1652,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_bounds": _q_agg_bounds,
         "completeness_check": _q_completeness,
         "mad_outliers": _q_mad_outliers,
+        "seq_pack": _q_seq_pack,
         "decontaminate": _q_decontaminate,
         "minhash_lsh": _q_minhash_lsh,
-        "dup_clusters": _q_dup_clusters,
         "dedup_corpus_ids": _q_dedup_corpus_ids,
         "ingest_gate": _q_ingest_gate,
         "ann_brute": _q_ann_brute,
@@ -1683,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sorted(oracle_sql())) and tools/parity_check.py, so a
         # regression in a rotated query still fails the suite ------------
         "most_recent": _q_most_recent,
+        "dup_clusters": _q_dup_clusters,
         "text_quality": _q_text_quality,
         "top_customers": _q_top_customers,
         "sessionize": _q_sessionize,
@@ -2072,6 +2088,30 @@ WHERE c_custkey <= 200
     SELECT 1 FROM events e
     WHERE CAST(e.user_id AS VARCHAR) = CAST(c_custkey AS VARCHAR)
   )
+"""
+
+# ≙ _q_seq_pack: plain global cumsum over doc_id order (the oracle may be
+# single-threaded; the Spark side must not be). Same tokenizer as
+# token_counts (lowercase, split on single space, empties dropped).
+_SQL_SEQ_PACK = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS token_end
+  FROM t
+)
+SELECT doc_id,
+       n_tokens,
+       token_end - n_tokens AS token_start,
+       (token_end - n_tokens) // 2048 AS seq_start,
+       (token_end - 1) // 2048 AS seq_end
+FROM c
+WHERE n_tokens > 0
 """
 
 _SQL_SESSIONIZE = """
@@ -3921,6 +3961,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_bounds": _SQL_AGG_BOUNDS,
         "completeness_check": _SQL_COMPLETENESS,
         "mad_outliers": _SQL_MAD_OUTLIERS,
+        "seq_pack": _SQL_SEQ_PACK,
         "decontaminate": _SQL_DECONTAMINATE,
         "sessionize": _SQL_SESSIONIZE,
         "pricing_summary": _SQL_PRICING_SUMMARY,
