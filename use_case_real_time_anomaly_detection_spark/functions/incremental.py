@@ -52,6 +52,7 @@ from .dedup import (
     ROWS_PER_BAND,
     SHINGLE_N,
     _pin,
+    _pin_many,
     _signatures_from_shingles,
     band_frame,
     set_jaccard2,
@@ -82,16 +83,16 @@ def build_signature_index(
     """One pass over the corpus text → the two index relations. Pinned:
     the gate consumes each at least once per batch, and on a real
     cluster these are the frames you would persist as tables instead."""
-    hashes = _pin(
-        corpus.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
-    )
     sig = _signatures_from_shingles(
         shingles(corpus, id_col, text_col, shingle_n),
         id_col=id_col,
         n_hashes=n_hashes,
     )
-    bands = _pin(
-        band_frame(sig, id_col=id_col, n_hashes=n_hashes, rows_per_band=rows_per_band)
+    # the two index relations are independent scans of the same corpus —
+    # materialize them concurrently (_pin_many) instead of back-to-back
+    hashes, bands = _pin_many(
+        corpus.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash")),
+        band_frame(sig, id_col=id_col, n_hashes=n_hashes, rows_per_band=rows_per_band),
     )
     return SignatureIndex(hashes=hashes, bands=bands)
 
