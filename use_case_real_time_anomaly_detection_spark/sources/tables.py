@@ -58,13 +58,77 @@ class ParquetCatalog:
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.path(name))
 
+    def _stage(
+        self, df: DataFrame, name: str, partition_by: list[str] | None
+    ) -> str:
+        """Write df to a job-unique staging sibling of the table dir.
+
+        Direct concurrent writes into one parquet directory are UNSAFE:
+        every Spark job commits through `{dir}/_temporary/0`, so two live
+        writers (the at-scale deployment shape: per-minute copy runners on
+        disjoint partition sets sharing one checkpoint store) race — one
+        job's commit cleanup deletes the other's in-flight task files
+        (observed as FileOutputCommitter.getAllCommittedTaskPaths throwing
+        mid-suite). Staging gives each writer a private commit dir; the
+        caller then moves finished part-files into the live table, which
+        is per-file atomic on a posix filesystem. Iceberg replaces this
+        whole dance with real ACID commits (IcebergCatalog overrides)."""
+        import uuid
+
+        staging = self.path(name) + f"._stage_{uuid.uuid4().hex}"
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(staging)
+        return staging
+
+    @staticmethod
+    def _leaf_dirs(staging: str) -> list[str]:
+        """Relative dirs under staging that directly hold data files."""
+        leaves = []
+        for root_, _dirs, files in os.walk(staging):
+            if any(not f.startswith(("_", ".")) for f in files):
+                leaves.append(os.path.relpath(root_, staging))
+        return leaves
+
+    @staticmethod
+    def _move_files(src_dir: str, dest_dir: str) -> None:
+        """Move data part-files (+ their checksum siblings) src → dest;
+        rename is atomic per file, and part-file names embed the writing
+        job's UUID so two concurrent committers can never collide on a
+        name. Commit markers (_SUCCESS and their .crc) stay behind."""
+        os.makedirs(dest_dir, exist_ok=True)
+        data = [
+            f
+            for f in os.listdir(src_dir)
+            if os.path.isfile(os.path.join(src_dir, f))
+            and not f.startswith(("_", "."))
+        ]
+        for f in data:
+            for g in (f, f".{f}.crc"):
+                full = os.path.join(src_dir, g)
+                if os.path.exists(full):
+                    os.rename(full, os.path.join(dest_dir, g))
+
     def append(
         self, df: DataFrame, name: str, partition_by: list[str] | None = None
     ) -> None:
-        w = df.write.mode("append")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(self.path(name))
+        """Concurrency-safe append: stage, then move part-files in.
+        Appends add files and never touch existing ones, so any number of
+        concurrent appenders compose."""
+        import shutil
+
+        staging = self._stage(df, name, partition_by)
+        try:
+            live = self.path(name)
+            os.makedirs(live, exist_ok=True)
+            for rel in self._leaf_dirs(staging):
+                self._move_files(
+                    os.path.join(staging, rel) if rel != "." else staging,
+                    live if rel == "." else os.path.join(live, rel),
+                )
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
 
     def overwrite_partitions(
         self, df: DataFrame, name: str, partition_by: list[str]
@@ -72,13 +136,30 @@ class ParquetCatalog:
         """Idempotent per-partition replace (dynamic partition overwrite) —
         the parquet analog of Iceberg's MERGE/replace-partition commit, and
         the mechanism that makes re-validating a partition idempotent
-        (≙ the reference's at-least-once + dedup contract, SURVEY.md §2.8.4)."""
-        (
-            df.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*partition_by)
-            .parquet(self.path(name))
-        )
+        (≙ the reference's at-least-once + dedup contract, SURVEY.md §2.8.4).
+
+        Committed from a job-unique staging dir (see _stage): each leaf
+        partition present in the output replaces the live leaf dir.
+        Concurrent writers on DISJOINT partition sets (the documented
+        contract) replace disjoint leaves and never interfere; same-leaf
+        concurrency needs Iceberg's transactional commit."""
+        import shutil
+
+        staging = self._stage(df, name, partition_by)
+        try:
+            live = self.path(name)
+            for rel in self._leaf_dirs(staging):
+                dest = live if rel == "." else os.path.join(live, rel)
+                if os.path.exists(dest):
+                    for f in os.listdir(dest):
+                        full = os.path.join(dest, f)
+                        if os.path.isfile(full):
+                            os.remove(full)
+                self._move_files(
+                    os.path.join(staging, rel) if rel != "." else staging, dest
+                )
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
 
     def drop_partitions(self, name: str, column: str, values: list) -> int:
         """Remove whole top-level partition directories (all sub-levels
