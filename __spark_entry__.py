@@ -716,7 +716,33 @@ _ORACLE_DIR = "/root/repo/dist/oracle"
 _CLIPS_META = f"{_ORACLE_DIR}/clips_meta.parquet"
 _CLIPS_MAN = f"{_ORACLE_DIR}/manifest.parquet"
 _CLIPS_AUDIO = f"{_ORACLE_DIR}/clips_audio_violations.parquet"
+_CLIPS_QC = f"{_ORACLE_DIR}/clips_qc_violations.parquet"
 _CLIPS_FRONTIER = 149  # SynthSpec(clips_per_partition=150) → frontier 149
+
+# Bump whenever sources/synth.py or functions/audio.py change the RENDERED
+# BYTES (waveform, codecs, injection moduli): every cached twin under
+# dist/oracle is a bit-exact function of those bytes, so a stale cache
+# would silently compare fresh Spark results against old-universe parquet.
+# r4 bump: reference_waveform gained the QC gain buckets (AudioQcRule).
+_FIXTURE_VERSION = "2"
+
+
+def _ensure_fixture_version() -> None:
+    """Wipe dist/oracle once when _FIXTURE_VERSION changes; every
+    _ensure_* twin builder calls this first, then rebuilds lazily."""
+    import os
+    import shutil
+
+    vfile = f"{_ORACLE_DIR}/VERSION"
+    cur = None
+    if os.path.exists(vfile):
+        with open(vfile) as fh:
+            cur = fh.read().strip()
+    if cur != _FIXTURE_VERSION:
+        shutil.rmtree(_ORACLE_DIR, ignore_errors=True)
+        os.makedirs(_ORACLE_DIR, exist_ok=True)
+        with open(vfile, "w") as fh:
+            fh.write(_FIXTURE_VERSION)
 
 
 def _ensure_clips_oracle_files() -> None:
@@ -731,21 +757,25 @@ def _ensure_clips_oracle_files() -> None:
 
     from use_case_real_time_anomaly_detection_spark.sources.synth import (
         SynthSpec,
+        audio_qc_violations_pandas,
         audio_violations_pandas,
         manifest_pandas,
         metadata_pandas,
     )
 
+    _ensure_fixture_version()
     if (
         os.path.exists(f"{_CLIPS_META}/data.parquet")
         and os.path.exists(f"{_CLIPS_MAN}/data.parquet")
         and os.path.exists(f"{_CLIPS_AUDIO}/data.parquet")
+        and os.path.exists(f"{_CLIPS_QC}/data.parquet")
     ):
         return
     spec = SynthSpec(partitions=4, clips_per_partition=150)
     os.makedirs(_CLIPS_META, exist_ok=True)
     os.makedirs(_CLIPS_MAN, exist_ok=True)
     os.makedirs(_CLIPS_AUDIO, exist_ok=True)
+    os.makedirs(_CLIPS_QC, exist_ok=True)
     pq.write_table(
         pa.Table.from_pandas(metadata_pandas(spec), preserve_index=False),
         f"{_CLIPS_META}/data.parquet",
@@ -757,6 +787,10 @@ def _ensure_clips_oracle_files() -> None:
     pq.write_table(
         pa.Table.from_pandas(audio_violations_pandas(spec), preserve_index=False),
         f"{_CLIPS_AUDIO}/data.parquet",
+    )
+    pq.write_table(
+        pa.Table.from_pandas(audio_qc_violations_pandas(spec), preserve_index=False),
+        f"{_CLIPS_QC}/data.parquet",
     )
 
 
@@ -926,6 +960,45 @@ def _q_clips_validate_audio(spark, sf):
     return res.violations
 
 
+def _q_audio_qc(spark, sf):
+    """Decoded-signal QC fences (AudioQcRule): hard-clipping fraction,
+    dead-air fraction and RMS bounds on the DECODED waveform — the audio
+    sibling of RangeRule, catching mis-gained captures that are
+    metadata-valid and even SNR-valid (the defect is in the golden copy).
+    One mapInArrow decode pass, shared with the decode rule when both are
+    declared (plan-asserted in tests/test_audio_qc.py). Oracle: the
+    pure-pandas twin parquet (same check_clip_qc numpy over the same
+    rendered bytes → bit-identical metric doubles and formatted rows)."""
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        AudioQcRule,
+    )
+    from use_case_real_time_anomaly_detection_spark.plans.clips import (
+        validate_clips,
+    )
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        frontier_of,
+        generate_clips,
+        generate_manifest,
+    )
+
+    spec = SynthSpec(partitions=4, clips_per_partition=150)
+    _ensure_clips_oracle_files()
+    res = validate_clips(
+        generate_clips(spark, spec),
+        generate_manifest(spark, spec),
+        frontier=frontier_of(spec),
+        rules=[AudioQcRule()],
+    )
+    return res.violations
+
+
+_SQL_AUDIO_QC = f"""
+SELECT partition_key, clip_id, detector, observed, note
+FROM read_parquet('{_CLIPS_QC}/*.parquet')
+"""
+
+
 _AUDIO_FEATS = f"{_ORACLE_DIR}/audio_features.parquet"
 
 
@@ -943,6 +1016,7 @@ def _ensure_audio_features_oracle() -> None:
         audio_features_pandas,
     )
 
+    _ensure_fixture_version()
     if os.path.exists(f"{_AUDIO_FEATS}/data.parquet"):
         return
     os.makedirs(_AUDIO_FEATS, exist_ok=True)
@@ -1112,6 +1186,7 @@ def _ensure_audio_resample_oracle() -> None:
         audio_resample_features_pandas,
     )
 
+    _ensure_fixture_version()
     if os.path.exists(f"{_AUDIO_RESAMPLED}/data.parquet"):
         return
     os.makedirs(_AUDIO_RESAMPLED, exist_ok=True)
@@ -1162,6 +1237,7 @@ def _ensure_audio_trim_oracle() -> None:
         audio_trim_features_pandas,
     )
 
+    _ensure_fixture_version()
     if os.path.exists(f"{_AUDIO_TRIMMED}/data.parquet"):
         return
     os.makedirs(_AUDIO_TRIMMED, exist_ok=True)
@@ -1404,6 +1480,7 @@ def _ensure_lineage_oracle() -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    _ensure_fixture_version()
     if os.path.exists(f"{_LINEAGE_HIST}/data.parquet"):
         return
     os.makedirs(_LINEAGE_HIST, exist_ok=True)
@@ -1469,6 +1546,7 @@ def _ensure_audio_normalize_oracle() -> None:
         audio_normalize_features_pandas,
     )
 
+    _ensure_fixture_version()
     if os.path.exists(f"{_AUDIO_NORM}/data.parquet"):
         return
     os.makedirs(_AUDIO_NORM, exist_ok=True)
@@ -1519,6 +1597,7 @@ def _ensure_audio_pipeline_oracle() -> None:
         audio_pipeline_features_pandas,
     )
 
+    _ensure_fixture_version()
     if os.path.exists(f"{_AUDIO_PIPE}/data.parquet"):
         return
     os.makedirs(_AUDIO_PIPE, exist_ok=True)
@@ -1667,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_check": _q_pattern_check,
         "verdict_regression": _q_verdict_regression,
         "clips_validate_audio": _q_clips_validate_audio,
+        "audio_qc": _q_audio_qc,
         "embed_neardup": _q_embed_neardup,
         "speech_rate": _q_speech_rate,
         "transcript_distance": _q_transcript_distance,
@@ -4005,6 +4085,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_profile": _SQL_CLIPS_PROFILE,
         "image_features": _SQL_IMAGE_FEATURES,
         "clips_validate_audio": _SQL_CLIPS_VALIDATE_AUDIO,
+        "audio_qc": _SQL_AUDIO_QC,
         "payload_bytes": _SQL_PAYLOAD_BYTES,
         "audio_features": _SQL_AUDIO_FEATURES,
         "audio_dup": _SQL_AUDIO_DUP,

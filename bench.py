@@ -49,6 +49,7 @@ HEADLINE = [
     "audio_dup",           # decoded-PCM features -> blocked near-dup pairs
     "audio_pipeline",      # fused trim->resample->normalize->features, 1 Arrow pass
     "audio_ann",           # acoustic top-k over band vectors (r4)
+    "audio_qc",            # decoded-signal QC fences, shared Arrow pass (r4)
 ]
 
 CLIPS_SPEC = dict(partitions=32, clips_per_partition=1000, sr_hz=8000)

@@ -73,7 +73,21 @@ def reference_waveform(clip_id: str, sr_hz: int, dur_ms: int, seed: int = 42) ->
     ) & np.uint64(0xFFFFFFFF)
     x = (x * np.uint64(2246822519)) & np.uint64(0xFFFFFFFF)
     noise = (x.astype(np.float64) / 2.0**32 - 0.5) * 0.0346
-    return np.clip(sig + noise, -1.0, 1.0).astype(np.float32)
+    # QC buckets (~1% each, hash-spread uniformly across partitions so no
+    # partition-level drift signal): a deliberately mis-gained capture —
+    # overdriven (hard-clipped) or near-silent (dead air). The reference
+    # and the synthesized payload share this function, so SNR stays high
+    # (the defect is IN the golden copy, exactly like a field recording
+    # captured at the wrong gain) — only AudioQcRule's decoded-signal
+    # fences can see it. Gains keep μ-law quantization SNR ≥ ~37 dB so
+    # the audio-decode rule's 30 dB bar is untouched.
+    # quiet gain 0.012: max |x| = (0.75 + 0.0173)·0.012 ≈ 0.0092 < 0.01 so
+    # silence_ratio stays exactly 1.0, while μ-law quantization SNR keeps
+    # ≥ ~34 dB (measured min across buckets; 0.008 left only 0.5 dB over
+    # the 30 dB decode bar)
+    q = stable_hash(f"qc:{seed}:{clip_id}") % 97
+    gain = 3.0 if q == 13 else (0.012 if q == 41 else 1.0)
+    return np.clip((sig + noise) * gain, -1.0, 1.0).astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -124,6 +138,13 @@ DECODERS = {
     "pcm16": lambda b, sr: pcm16_wav_decode(b)[0],
     "mulaw": lambda b, sr: mulaw_decode(b),
 }
+
+# decoded-signal QC thresholds (shared with functions/audio_features.py,
+# which re-exports them): |x| below SILENCE_ABS ⇒ silent sample; |x| at or
+# above CLIP_ABS ⇒ hard-clipped sample. Defined here (not in
+# audio_features) because audio_features imports this module.
+SILENCE_ABS = 0.01
+CLIP_ABS = 0.999
 
 
 def snr_db(ref: np.ndarray, dec: np.ndarray) -> float:
@@ -186,6 +207,50 @@ def check_clip(
         return False, None, str(exc)[:120]
 
 
+def check_clip_qc(
+    clip_id, payload, codec, sr, dur, *, min_snr_db: float, ref_seed: int
+) -> tuple[bool, float | None, str | None, float | None, float | None, float | None]:
+    """check_clip plus decoded-signal QC metrics, ONE decode:
+    (ok, snr_db, err, silence_ratio, clip_ratio, rms).
+
+    The metric formulas are byte-for-byte the ones in
+    audio_features.signal_features (float64, mean of boolean masks,
+    sqrt-of-mean-square) so AudioQcRule violations hash-compare against
+    the pandas twin AND against the feature table. Decode failures return
+    NULL metrics — a payload that can't decode is AudioDecodeRule's
+    violation, never a QC one. Must stay semantically identical to
+    check_clip on the (ok, snr_db, err) prefix (asserted in tests)."""
+    try:
+        dec_fn = DECODERS.get(codec)
+        if dec_fn is None:
+            raise ValueError(f"no decoder for codec {codec!r}")
+        if payload is None or len(payload) == 0:
+            raise ValueError("empty payload")
+        s = int(sr) if sr is not None else 0
+        dec = dec_fn(payload, s)
+        ref = reference_waveform(str(clip_id), s, int(dur or 0), seed=ref_seed)
+        db = snr_db(ref, dec)
+        len_ok = abs(len(dec) - len(ref)) <= 1
+        if len(dec):
+            x = dec.astype(np.float64)
+            ax = np.abs(x)
+            sil = float(np.mean(ax < SILENCE_ABS))
+            cr = float(np.mean(ax >= CLIP_ABS))
+            rms = float(np.sqrt(np.mean(x * x)))
+        else:
+            sil = cr = rms = None
+        return (
+            bool(len_ok and db >= min_snr_db),
+            db if np.isfinite(db) else None,
+            None if len_ok else "length mismatch",
+            sil,
+            cr,
+            rms,
+        )
+    except Exception as exc:  # decode failures are data, not bugs
+        return False, None, str(exc)[:120], None, None, None
+
+
 def make_audio_check_udf(min_snr_db: float, ref_seed: int):
     """Build the vectorized (clip_id, bytes, codec, sr, dur) → struct UDF."""
 
@@ -216,9 +281,16 @@ def make_audio_check_udf(min_snr_db: float, ref_seed: int):
     return check
 
 
-def with_audio_checks(df: DataFrame, rule, *, key_col: str = "clip_id") -> DataFrame:
+def with_audio_checks(
+    df: DataFrame, rule, *, key_col: str = "clip_id", qc: bool = False
+) -> DataFrame:
     """Append __audio_ok / __audio_snr_db / __audio_err; DROP the payload
-    column (nothing downstream of the check needs `bytes`).
+    column (nothing downstream of the check needs `bytes`). With
+    ``qc=True`` additionally emits __audio_silence_ratio /
+    __audio_clip_ratio / __audio_rms from the SAME single decode
+    (check_clip_qc) — AudioQcRule's inputs never cost a second pass, and
+    they are NULL on decode failure so QC fences silently skip payloads
+    the decode rule already owns.
 
     Implementation: `mapInArrow`, not a pandas UDF. The Arrow→pandas
     conversion of a binary column materializes every payload as a Python
@@ -236,14 +308,19 @@ def with_audio_checks(df: DataFrame, rule, *, key_col: str = "clip_id") -> DataF
     min_snr, ref_seed = float(rule.min_snr_db), int(rule.ref_seed)
 
     passthrough = [f for f in df.schema.fields if f.name != bytes_col]
-    out_schema = StructType(
-        list(passthrough)
-        + [
-            StructField("__audio_ok", BooleanType()),
-            StructField("__audio_snr_db", DoubleType()),
-            StructField("__audio_err", StringType()),
+    extra = [
+        StructField("__audio_ok", BooleanType()),
+        StructField("__audio_snr_db", DoubleType()),
+        StructField("__audio_err", StringType()),
+    ]
+    if qc:
+        extra += [
+            StructField("__audio_silence_ratio", DoubleType()),
+            StructField("__audio_clip_ratio", DoubleType()),
+            StructField("__audio_rms", DoubleType()),
         ]
-    )
+    out_schema = StructType(list(passthrough) + extra)
+    out_names = [f.name for f in passthrough] + [f.name for f in extra]
 
     def run(batches):
         for b in batches:
@@ -255,19 +332,20 @@ def with_audio_checks(df: DataFrame, rule, *, key_col: str = "clip_id") -> DataF
             durs = b.column(names.index(dur_c)).to_pylist()
             n = len(barr)
             oks, snrs, errs = [], [], []
+            sils, crs, rmss = [], [], []
             for i in range(n):
                 sc = barr[i]
                 # zero-copy buffer slice; None for a null payload
                 mv = memoryview(sc.as_buffer()) if sc.is_valid else None
-                ok, db, err = check_clip(
-                    cids[i],
-                    mv,
-                    codecs[i],
-                    srs[i],
-                    durs[i],
-                    min_snr_db=min_snr,
-                    ref_seed=ref_seed,
-                )
+                args = (cids[i], mv, codecs[i], srs[i], durs[i])
+                kw = dict(min_snr_db=min_snr, ref_seed=ref_seed)
+                if qc:
+                    ok, db, err, sil, cr, rms = check_clip_qc(*args, **kw)
+                    sils.append(sil)
+                    crs.append(cr)
+                    rmss.append(rms)
+                else:
+                    ok, db, err = check_clip(*args, **kw)
                 oks.append(ok)
                 snrs.append(db)
                 errs.append(err)
@@ -275,9 +353,10 @@ def with_audio_checks(df: DataFrame, rule, *, key_col: str = "clip_id") -> DataF
             arrays.append(pa.array(oks, type=pa.bool_()))
             arrays.append(pa.array(snrs, type=pa.float64()))
             arrays.append(pa.array(errs, type=pa.string()))
-            yield pa.RecordBatch.from_arrays(
-                arrays, names=[f.name for f in passthrough]
-                + ["__audio_ok", "__audio_snr_db", "__audio_err"]
-            )
+            if qc:
+                arrays.append(pa.array(sils, type=pa.float64()))
+                arrays.append(pa.array(crs, type=pa.float64()))
+                arrays.append(pa.array(rmss, type=pa.float64()))
+            yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
     return df.mapInArrow(run, out_schema)

@@ -60,7 +60,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .audio import DECODERS, mulaw_encode, pcm16_wav_encode
+from .audio import CLIP_ABS, DECODERS, SILENCE_ABS, mulaw_encode, pcm16_wav_encode
 
 # ---------------------------------------------------------------------------
 # band grid + per-clip feature math (shared with the pandas oracle twin)
@@ -73,8 +73,8 @@ BAND_EDGES = np.geomspace(50.0, 3800.0, N_BANDS + 1)
 _BAND_WIDTHS = BAND_EDGES[1:] - BAND_EDGES[:-1]
 _GRID_WIDTH = float(BAND_EDGES[-1] - BAND_EDGES[0])
 
-SILENCE_ABS = 0.01  # |x| below ⇒ silent sample
-CLIP_ABS = 0.999  # |x| at/above ⇒ hard-clipped sample
+# SILENCE_ABS / CLIP_ABS are re-exported from .audio (the import above)
+# so the QC thresholds have one home shared with AudioQcRule's checks.
 SUPPORT_MARGIN = 10.0  # fingerprint bit ⇔ band density > 10x flat average
 RMS_BUCKETS_PER_DECADE = 50  # log-RMS block-key quantization
 

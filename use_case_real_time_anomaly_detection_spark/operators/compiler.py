@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from .rules import (
     AggregateRule,
     AudioDecodeRule,
+    AudioQcRule,
     CompletenessRule,
     DriftRule,
     GapRule,
@@ -162,11 +163,23 @@ def compile_rules(
     # payload column, so everything downstream — manifest join, window
     # shuffle, aggregates — flows narrow rows only) -----------------------
     audio_rules = [r for r in rules if isinstance(r, AudioDecodeRule)]
-    if audio_rules:
+    qc_rules = [r for r in rules if isinstance(r, AudioQcRule)]
+    if audio_rules or qc_rules:
         from ..functions.audio import with_audio_checks
 
-        (rule,) = audio_rules  # one audio rule per run
-        base = with_audio_checks(base, rule, key_col=key_col)
+        if audio_rules:
+            (rule,) = audio_rules  # one audio rule per run
+        else:
+            # QC-only run: synthesize a column-spec carrier for the pass
+            # (its __audio_ok/snr outputs are computed but unconsumed)
+            (q0,) = qc_rules[:1]
+            rule = AudioDecodeRule(
+                bytes_column=q0.bytes_column,
+                codec_column=q0.codec_column,
+                sr_column=q0.sr_column,
+                dur_column=q0.dur_column,
+            )
+        base = with_audio_checks(base, rule, key_col=key_col, qc=bool(qc_rules))
 
     # ---- one manifest join serves referential + transcript rules --------
     ref_rules = [r for r in rules if isinstance(r, (RefIntegrityRule, TranscriptRule))]
@@ -554,6 +567,33 @@ def compile_rules(
                 F.lit("| decode_error:"), F.coalesce(F.col("__audio_err"), F.lit("")),
             )
             _entry(r.detector, cond, snr_s, note)
+
+        elif isinstance(r, AudioQcRule):
+            cr = F.col("__audio_clip_ratio")
+            sil = F.col("__audio_silence_ratio")
+            rms = F.col("__audio_rms")
+            conds = []
+            bound_bits = []
+            if r.max_clip_ratio is not None:
+                conds.append(cr > F.lit(float(r.max_clip_ratio)))
+                bound_bits.append(f"max_clip_ratio:{r.max_clip_ratio:g}")
+            if r.max_silence_ratio is not None:
+                conds.append(sil > F.lit(float(r.max_silence_ratio)))
+                bound_bits.append(f"max_silence_ratio:{r.max_silence_ratio:g}")
+            if r.min_rms is not None:
+                conds.append(rms < F.lit(float(r.min_rms)))
+                bound_bits.append(f"min_rms:{r.min_rms:g}")
+            if r.max_rms is not None:
+                conds.append(rms > F.lit(float(r.max_rms)))
+                bound_bits.append(f"max_rms:{r.max_rms:g}")
+            # decode failures: all metrics NULL → cond NULL → never flagged
+            cond = reduce(lambda a, b: a | b, conds)
+            observed = F.concat(
+                F.lit("clip_ratio:"), _fmt(cr, 4),
+                F.lit("| silence_ratio:"), _fmt(sil, 4),
+                F.lit("| rms:"), _fmt(rms, 4),
+            )
+            _entry(r.detector, cond, observed, F.lit("| ".join(bound_bits)))
 
         elif isinstance(r, (UniqueRule, DriftRule, AggregateRule, CompletenessRule)):
             continue  # aggregate-/table-level; handled below

@@ -25,6 +25,7 @@ import json
 from .rules import (
     AggregateRule,
     AudioDecodeRule,
+    AudioQcRule,
     CompletenessRule,
     DriftRule,
     GapRule,
@@ -64,6 +65,7 @@ RULE_TYPES = {
     "ref_integrity": RefIntegrityRule,
     "drift": DriftRule,
     "audio_decode": AudioDecodeRule,
+    "audio_qc": AudioQcRule,
     "transcript": TranscriptRule,
     "transcript_distance": TranscriptDistanceRule,
     "speech_rate": SpeechRateRule,

@@ -381,6 +381,53 @@ class AudioDecodeRule(Rule):
 
 
 @dataclass(frozen=True)
+class AudioQcRule(Rule):
+    """Decoded-signal QC fences: hard-clipping fraction, dead-air
+    fraction, and RMS level bounds on the DECODED waveform.
+
+    Graft addition: the audio sibling of RangeRule, but over properties
+    that exist only after the codec — the clips it catches (a capture
+    overdriven into clipping, a channel recorded at near-zero gain) are
+    byte-valid, metadata-valid, and can even match their golden copy at
+    high SNR (the defect was in the capture itself), so no metadata rule
+    and not even the SNR rule can see them.
+
+    Cost model: the metrics come from the SAME single mapInArrow decode
+    pass the AudioDecodeRule runs (with_audio_checks(qc=True)) — three
+    extra vector ops per already-decoded clip, zero extra decodes, zero
+    extra scans. Undecodable payloads yield NULL metrics and are never
+    QC-flagged (they are the decode rule's violations).
+
+    At least one bound must be declared. A breach of ANY declared bound
+    flags the clip once (observed carries all three metrics).
+    """
+
+    max_clip_ratio: float | None = 0.05
+    max_silence_ratio: float | None = 0.9
+    min_rms: float | None = None
+    max_rms: float | None = None
+    bytes_column: str = "bytes"
+    codec_column: str = "codec"
+    sr_column: str = "sr_hz"
+    dur_column: str = "dur_ms"
+    detector: str = "audio-qc"
+
+    def __post_init__(self) -> None:
+        if (
+            self.max_clip_ratio is None
+            and self.max_silence_ratio is None
+            and self.min_rms is None
+            and self.max_rms is None
+        ):
+            # ≙ reference {{ error(...) }} on a bad template parameter
+            raise ValueError("AudioQcRule: need at least one bound")
+        for nm in ("max_clip_ratio", "max_silence_ratio"):
+            v = getattr(self, nm)
+            if v is not None and not 0.0 <= v <= 1.0:
+                raise ValueError(f"AudioQcRule: {nm} must be in [0, 1], got {v}")
+
+
+@dataclass(frozen=True)
 class TranscriptRule(Rule):
     """Transcript must equal the manifest's expected transcript.
 

@@ -349,6 +349,81 @@ def audio_violations_pandas(
     )
 
 
+def audio_qc_violations_pandas(
+    spec: SynthSpec = SynthSpec(),
+    *,
+    max_clip_ratio: float | None = 0.05,
+    max_silence_ratio: float | None = 0.9,
+    min_rms: float | None = None,
+    max_rms: float | None = None,
+    detector: str = "audio-qc",
+) -> pd.DataFrame:
+    """Expected AudioQcRule violation rows, pure pandas/numpy — oracle
+    twin of the engine's decoded-signal QC fences. Same check_clip_qc
+    numpy path over the same rendered bytes ⇒ bit-identical metric
+    doubles ⇒ the formatted observed/note strings hash-compare. Decode
+    failures (NULL metrics) are never flagged, mirroring the engine's
+    NULL-condition drop."""
+    from ..functions.audio import check_clip_qc
+
+    bound_bits = []
+    if max_clip_ratio is not None:
+        bound_bits.append(f"max_clip_ratio:{max_clip_ratio:g}")
+    if max_silence_ratio is not None:
+        bound_bits.append(f"max_silence_ratio:{max_silence_ratio:g}")
+    if min_rms is not None:
+        bound_bits.append(f"min_rms:{min_rms:g}")
+    if max_rms is not None:
+        bound_bits.append(f"max_rms:{max_rms:g}")
+    note = "| ".join(bound_bits)
+
+    rows = []
+    for p in range(spec.partitions):
+        rendered = _render_rows(p, spec)
+        for row in rendered.itertuples(index=False):
+            _ok, _db, _err, sil, cr, rms = check_clip_qc(
+                row.clip_id,
+                row.bytes,
+                row.codec,
+                row.sr_hz,
+                row.dur_ms,
+                min_snr_db=30.0,
+                ref_seed=spec.seed,
+            )
+            if sil is None:  # decode failure: QC never fires
+                continue
+            breach = (
+                (max_clip_ratio is not None and cr > max_clip_ratio)
+                or (max_silence_ratio is not None and sil > max_silence_ratio)
+                or (min_rms is not None and rms < min_rms)
+                or (max_rms is not None and rms > max_rms)
+            )
+            if not breach:
+                continue
+            rows.append(
+                {
+                    "partition_key": partition_tag(p),
+                    "clip_id": row.clip_id,
+                    "detector": detector,
+                    "observed": (
+                        f"clip_ratio:{_spark_round_str(cr, 4)}"
+                        f"| silence_ratio:{_spark_round_str(sil, 4)}"
+                        f"| rms:{_spark_round_str(rms, 4)}"
+                    ),
+                    "note": note,
+                }
+            )
+    out = pd.DataFrame(
+        rows, columns=["partition_key", "clip_id", "detector", "observed", "note"]
+    )
+    return (
+        out.sort_values(["observed", "note"], kind="mergesort")
+        .drop_duplicates(["partition_key", "clip_id", "detector"], keep="first")
+        .sort_values(["partition_key", "clip_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
 REENCODE_MOD = (50, 3)  # seq arithmetic picking the transcoded-twin subset
 
 
@@ -500,6 +575,13 @@ def audio_pipeline_features_pandas(
             rec = {"clip_id": row.clip_id, "codec": row.codec}
             feat = {"ok": False, "err": None}
             feat.update({f.name: None for f in FEATURE_FIELDS})
+            # EXACTLY clip_pipeline's commit discipline: sr/dur commit iff
+            # the decode+op chain succeeds; a later feature failure keeps
+            # the committed values, an op-chain failure keeps the input
+            # ones. (Both cases exist: a fully-silent clip whose trim
+            # empties the signal fails IN the resample when to_sr != sr —
+            # original metadata — but fails only at signal_features when
+            # to_sr == sr — committed dur_ms 0.)
             try:
                 dec_fn = DECODERS.get(row.codec)
                 if dec_fn is None or not row.bytes:
@@ -507,9 +589,14 @@ def audio_pipeline_features_pandas(
                 sig = dec_fn(row.bytes, sr)
                 for name, kw in ops:
                     sig, sr, dur = _apply_signal_op(name, sig, sr, dur, kw)
-                feat.update(ok=True, **signal_features(sig, sr))
             except Exception as exc:
+                sr, dur = int(row.sr_hz), int(row.dur_ms)
                 feat["err"] = str(exc)[:120]
+            else:
+                try:
+                    feat.update(ok=True, **signal_features(sig, sr))
+                except Exception as exc:
+                    feat.update(ok=False, err=str(exc)[:120])
             rec.update(sr_hz=sr, dur_ms=dur, **feat)
             rows.append(rec)
     cols = ["clip_id", "codec", "sr_hz", "dur_ms", "ok", "err"] + [
