@@ -147,6 +147,50 @@ def _q_profile_incremental(spark, sf):
     ).orderBy("column", "stat")
 
 
+def _q_profile_merge(spark, sf):
+    """PER-PARTITION profile from COMBINED wave-split mergeable states —
+    the streaming-accumulation primitive (functions/stats.
+    combine_profile_states): three disjoint ingest waves are profiled
+    independently and their state rows merged per partition; exact
+    decimal moments make the result wave-count- and order-invariant, and
+    HLL register-wise unions give the same registers as sketching the
+    union directly. The oracle computes the same per-partition stats in
+    one direct pass — equality IS the accumulation claim. (The streaming
+    pipeline stores exactly these state rows keyed (partition, batch);
+    streaming/checkpoint.streamed_profile_states runs this merge.)"""
+    from use_case_real_time_anomaly_detection_spark.functions.stats import (
+        combine_profile_states,
+        profile_state,
+    )
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        "pk", F.pmod("user_id", F.lit(8))
+    )
+    kw = dict(
+        partition_col="pk",
+        numeric_columns=["value"],
+        distinct_columns=["user_id"],
+    )
+    states = combine_profile_states(
+        profile_state(ev.filter("event_id % 3 = 0"), **kw)
+        .unionByName(profile_state(ev.filter("event_id % 3 = 1"), **kw))
+        .unionByName(profile_state(ev.filter("event_id % 3 = 2"), **kw))
+    )
+    nn = F.col("value__nonnull")
+    mean = F.col("value__sum").cast("double") / nn
+    var = F.col("value__sumsq").cast("double") / nn - mean * mean
+    return states.select(
+        F.col("partition_key").cast("long").alias("pk"),
+        F.col("rows").alias("n_rows"),
+        nn.alias("value_nonnull"),
+        F.round("value__min", 6).alias("min_value"),
+        F.round("value__max", 6).alias("max_value"),
+        F.round(mean, 6).alias("avg_value"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("stddev_value"),
+        F.round(F.hll_sketch_estimate("user_id__hll")).cast("long").alias("n_users"),
+    )
+
+
 def _q_unique_events(spark, sf):
     ev = spark.read.parquet(f"{sf}/events.parquet")
     return (
@@ -1727,6 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violations_log": _q_violations_log,
         "profile_events": _q_profile_events,
         "profile_incremental": _q_profile_incremental,
+        "profile_merge": _q_profile_merge,
         "ref_orphans": _q_ref_orphans,
         "agg_bounds": _q_agg_bounds,
         "completeness_check": _q_completeness,
@@ -2052,6 +2097,23 @@ SELECT "column", stat, value FROM (
     {_R("sqrt(greatest(s2 / nn - (s1 / nn) * (s1 / nn), 0.0))", 6)} FROM g
 )
 ORDER BY "column", stat
+"""
+
+# per-partition replay of profile_merge's combined-state stats: one direct
+# pass; n_users is exact count(DISTINCT) — the HLL stays in its exact
+# coupon regime at ~150/8 users per partition (profile_incremental's
+# discipline)
+_SQL_PROFILE_MERGE = f"""
+SELECT CAST(user_id % 8 AS BIGINT) AS pk,
+       count(*) AS n_rows,
+       {_NV} AS value_nonnull,
+       {_R("min(value)", 6)} AS min_value,
+       {_R("max(value)", 6)} AS max_value,
+       {_R(f"{_S1} / {_NV}", 6)} AS avg_value,
+       {_R(f"sqrt(greatest({_S2} / {_NV} - ({_S1} / {_NV}) * ({_S1} / {_NV}), 0.0))", 6)} AS stddev_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1
 """
 
 _SQL_PROFILE_EVENTS = f"""
@@ -4036,6 +4098,7 @@ def oracle_sql() -> dict[str, str]:
         "anomalies_summary": _SQL_ANOMALIES_SUMMARY,
         "profile_events": _SQL_PROFILE_EVENTS,
         "profile_incremental": _SQL_PROFILE_INCREMENTAL,
+        "profile_merge": _SQL_PROFILE_MERGE,
         "unique_events": _SQL_UNIQUE_EVENTS,
         "ref_orphans": _SQL_REF_ORPHANS,
         "agg_bounds": _SQL_AGG_BOUNDS,

@@ -271,6 +271,70 @@ def profile_state(
     return out
 
 
+def combine_profile_states(states: DataFrame) -> DataFrame:
+    """Pairwise (n-wise) merge of profile-state rows PER PARTITION: many
+    state rows per partition_key in → exactly one out, same schema.
+
+    This is the accumulation primitive the streaming path needs: each
+    micro-batch profiles only the rows it delivered, so a partition's
+    true state is the merge of all its batch states. merge_profile_states
+    rolls everything up to ONE global long-format profile; this keeps the
+    per-partition grain so the result can be stored back as the state
+    table (and drift_from_states can score it).
+
+    Merge algebra per stat (the profile_state contract): rows/nonnull
+    sum; min/max min/max; sum/sumsq EXACT decimal sums (order-invariant);
+    HLL sketches register-wise union (hll_union_agg — identical registers
+    to sketching the union directly at equal lgK, so estimates are
+    bit-equal, not merely close); histograms element-wise long sums.
+    __hlo/__hhi ride along via first() — the fixed-grid merge contract
+    (profile_state's docstring) makes them constant per column.
+
+    Stat fields are introspected from the schema like
+    merge_profile_states, so old states merge without re-declaration.
+    """
+    numeric = [f.rsplit("__", 1)[0] for f in states.columns if f.endswith("__sum")]
+    distinct = [f.rsplit("__", 1)[0] for f in states.columns if f.endswith("__hll")]
+    hist = [f.rsplit("__", 1)[0] for f in states.columns if f.endswith("__hist")]
+
+    aggs: list = [F.sum("rows").alias("rows")]
+    for c in numeric:
+        aggs += [
+            F.sum(f"{c}__nonnull").alias(f"{c}__nonnull"),
+            F.min(f"{c}__min").alias(f"{c}__min"),
+            F.max(f"{c}__max").alias(f"{c}__max"),
+            F.sum(f"{c}__sum").cast("decimal(38,2)").alias(f"{c}__sum"),
+            F.sum(f"{c}__sumsq").cast("decimal(38,4)").alias(f"{c}__sumsq"),
+        ]
+    for c in distinct:
+        aggs.append(
+            F.hll_union_agg(f"{c}__hll", F.lit(True)).alias(f"{c}__hll")
+        )
+    for c in hist:
+        # element-wise sum of the dense per-bin arrays; collect_list's
+        # order-nondeterminism is immaterial under a commutative sum
+        aggs += [
+            F.collect_list(f"{c}__hist").alias(f"__hl_{c}"),
+            F.first(f"{c}__hlo").alias(f"{c}__hlo"),
+            F.first(f"{c}__hhi").alias(f"{c}__hhi"),
+        ]
+    out = states.groupBy("partition_key").agg(*aggs)
+    for c in hist:
+        out = out.withColumn(
+            f"{c}__hist",
+            F.aggregate(
+                f"__hl_{c}",
+                F.expr("cast(array() as array<bigint>)"),
+                lambda acc, x: F.when(F.size(acc) == 0, x).otherwise(
+                    F.zip_with(acc, x, lambda a, b: a + b)
+                ),
+            ),
+        ).drop(f"__hl_{c}")
+    # restore profile_state's column order so unionByName-free consumers
+    # (and parquet schema evolution) see a stable layout
+    return out.select(*states.columns)
+
+
 def merge_profile_states(states: DataFrame) -> DataFrame:
     """Global long-format profile (column, stat, value:double) from
     per-partition mergeable states — reads ONLY the slim state table.

@@ -25,6 +25,8 @@ from ..sources.tables import ParquetCatalog
 LINEAGE_TABLE = "lineage"
 VIOLATIONS_TABLE = "violations"
 PROFILE_TABLE = "profile_state"
+PROFILE_STREAM_TABLE = "profile_stream"
+DRIFT_STREAM_TABLE = "drift_stream"
 
 
 class CheckpointStore:
@@ -56,6 +58,35 @@ class CheckpointStore:
                 "completed_at_seq", F.lit(-1).cast("long")
             ),
             LINEAGE_TABLE,
+        )
+
+    def record_profile_batch(self, states: DataFrame, batch_id: int) -> None:
+        """Accumulate a MICRO-BATCH's profile states, keyed
+        (pk, batch_id): each batch profiles only the rows it delivered,
+        so a partition's streamed state is the merge of all its batch
+        rows (combine_profile_states at read time — the state table is
+        O(partitions × batches), slim at any corpus size). The batch_id
+        key makes at-least-once replay idempotent: a replayed batch
+        overwrites exactly its own rows instead of double-counting into
+        a merged value — the same discipline as quarantine_stream. The
+        batch runner's record_profile (authoritative full-partition
+        recompute) stays a separate table; the streamed view describes
+        what the STREAM has delivered."""
+        self.catalog.overwrite_partitions(
+            states.withColumn("pk", F.col("partition_key")).withColumn(
+                "batch_id", F.lit(int(batch_id))
+            ),
+            PROFILE_STREAM_TABLE,
+            partition_by=["pk", "batch_id"],
+        )
+
+    def record_drift_batch(self, flags: DataFrame, batch_id: int) -> None:
+        """Per-batch drift-gate flags keyed by batch_id (replay
+        overwrites itself)."""
+        self.catalog.overwrite_partitions(
+            flags.withColumn("batch_id", F.lit(int(batch_id))),
+            DRIFT_STREAM_TABLE,
+            partition_by=["batch_id"],
         )
 
     def record_profile(self, states: DataFrame) -> None:
@@ -137,6 +168,25 @@ class CheckpointStore:
         return lineage_anomalies(
             self.lineage(), threshold=threshold, min_history=min_history
         )
+
+    def streamed_profile_states(self) -> DataFrame:
+        """Per-partition state view of everything the STREAM has
+        delivered: the (pk, batch) accumulator rows merged down to one
+        state row per partition (combine_profile_states — exact decimal
+        sums, HLL register unions, element-wise histogram adds). Zero
+        corpus IO; O(partitions × batches) input rows."""
+        from ..functions.stats import combine_profile_states
+
+        return combine_profile_states(
+            self.catalog.read(PROFILE_STREAM_TABLE).drop("pk", "batch_id")
+        )
+
+    def drift_stream(self, column: str = "dur_ms") -> DataFrame:
+        """KS/PSI drift per partition over the streamed-state view —
+        the zero-corpus-IO drift check pointed at streaming ingest."""
+        from ..functions.stats import drift_from_states
+
+        return drift_from_states(self.streamed_profile_states(), column)
 
     def drift(self, column: str = "dur_ms") -> DataFrame:
         """Per-partition KS/PSI drift computed from the STORED state

@@ -48,6 +48,9 @@ def stream_clips_validation(
     available_now: bool = True,
     quarantine: bool = False,
     fail_threshold: float = 0.0,
+    profile: bool = False,
+    drift_on: str | None = None,
+    drift_psi: float = 0.25,
 ):
     """Continuous clip-table validation: each micro-batch of newly landed
     clips runs the full rule engine and checkpoints its verdicts +
@@ -68,6 +71,23 @@ def stream_clips_validation(
     those bad clips past the downstream clean-corpus anti-join).
     ``fail_threshold`` is the rate-tolerance verdict gate, as in the
     batch runner.
+
+    ``profile=True`` maintains the streamed profile-state accumulator:
+    each micro-batch's per-partition mergeable state
+    (functions/stats.profile_state) lands keyed (partition, batch) —
+    replay-idempotent — and `store.streamed_profile_states()` merges the
+    slim accumulator down to one state row per partition with ZERO
+    corpus IO (combine_profile_states). This fixes the small-batch drift
+    blindness of per-batch DriftRule evaluation: stats accumulate across
+    batches instead of resetting each cycle.
+
+    ``drift_on="dur_ms"`` (implies profile) adds the per-batch drift
+    GATE: after merging this batch's states, partitions whose
+    ACCUMULATED distribution drifts from the cross-partition consensus
+    (PSI ≥ ``drift_psi`` over the stored fixed-grid histograms —
+    functions/stats.drift_from_states, zero corpus IO) are written to
+    the `drift_stream` table keyed by batch_id (replay overwrites
+    itself). The pager reads the latest batch's rows.
 
     Scope per cycle ≙ the reference's per-minute copy runs: partition
     statistics (z-window, IQR fences, drift, staleness) are evaluated
@@ -110,6 +130,35 @@ def stream_clips_validation(
                 "quarantine_stream",
                 partition_by=["partition_key", "batch_id"],
             )
+        if profile or drift_on:
+            from ..functions.stats import profile_state
+
+            # fixed grids (the merge contract) for both north-rule drift
+            # axes. Drift-GATING grids must be COARSE relative to the
+            # healthy cross-partition spread: each partition's dur walk
+            # settles in its own ~±150 ms band, so 100 ms bins make
+            # honest partitions straddle consensus bin edges and PSI-flag
+            # spuriously — 400 ms bins absorb the natural band spread
+            # while the planted +300 ms shift still crosses a full bin
+            # (measured: drifted PSI ≈ 10, healthy ≈ 0, at 4 AND 8
+            # partitions). sr_hz: 1 kHz bins separate the corpus rates
+            # (8000 / 16000 / 44100) into distinct bins.
+            st = profile_state(
+                clips,
+                partition_col="partition_key",
+                numeric_columns=["dur_ms", "sr_hz"],
+                distinct_columns=["codec", "clip_id"],
+                histogram_columns={
+                    "dur_ms": (0.0, 4000.0, 10),
+                    "sr_hz": (0.0, 48000.0, 48),
+                },
+            )
+            store.record_profile_batch(st, batch_id)
+        if drift_on:
+            flags = store.drift_stream(drift_on).filter(
+                F.col("psi") >= F.lit(float(drift_psi))
+            )
+            store.record_drift_batch(flags, batch_id)
         res.unpersist()
 
     writer = (
