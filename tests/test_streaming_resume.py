@@ -584,3 +584,42 @@ def test_runner_cli_stream_mode(spark, tmp_path, capsys):
     assert out["cycles"] >= 1
     assert out["partitions_validated"] == 2
     assert out["violations"] > 0
+
+
+def test_runner_cli_stream_drift_gate(spark, tmp_path, capsys):
+    """runner.main(--stream --stream-drift): the accumulated-state drift
+    gate flags exactly the planted dur_ms-drift partition and the summary
+    reports it; the profile accumulator is queryable afterwards."""
+    from use_case_real_time_anomaly_detection_spark import runner
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        generate_clips,
+        generate_manifest,
+    )
+    from use_case_real_time_anomaly_detection_spark.sources.tables import (
+        get_catalog,
+    )
+    from use_case_real_time_anomaly_detection_spark.streaming.checkpoint import (
+        CheckpointStore,
+    )
+
+    spec = SynthSpec(partitions=4, clips_per_partition=120)
+    src = str(tmp_path / "rd_src")
+    man = str(tmp_path / "rd_man")
+    ckpt = str(tmp_path / "rd_ckpt")
+    generate_clips(spark, spec).write.mode("append").parquet(src)
+    generate_manifest(spark, spec).write.parquet(man)
+
+    rc = runner.main(
+        ["--stream", src, "--manifest", man, "--checkpoint-dir", ckpt,
+         "--no-audio", "--stream-drift", "dur_ms:0.25"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["drift_flagged_latest_batch"] == ["c001"]
+    store = CheckpointStore(get_catalog(spark, ckpt))
+    st = store.streamed_profile_states()
+    assert st.count() == 4
+    assert {r["partition_key"] for r in st.select("partition_key").collect()} == {
+        "c000", "c001", "c002", "c003"
+    }

@@ -56,6 +56,24 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "DIR (Trigger.AvailableNow drain per invocation; the stream's "
         "file-source checkpoint under --checkpoint-dir tracks what's new)",
     )
+    p.add_argument(
+        "--stream-profile",
+        action="store_true",
+        help="with --stream: maintain the streamed profile-state "
+        "accumulator — each micro-batch's per-partition mergeable state "
+        "lands keyed (partition, batch), replay-idempotent; "
+        "CheckpointStore.streamed_profile_states() merges it with zero "
+        "corpus IO",
+    )
+    p.add_argument(
+        "--stream-drift",
+        default=None,
+        metavar="COLUMN[:PSI]",
+        help="with --stream: per-batch drift gate off the ACCUMULATED "
+        "state histograms (implies --stream-profile); partitions whose "
+        "PSI vs the cross-partition consensus exceeds the threshold "
+        "(default 0.25) land in the drift_stream table keyed by batch",
+    )
     src.add_argument(
         "--diff-runs",
         metavar="PREV,CUR",
@@ -309,22 +327,37 @@ def main(argv: list[str] | None = None) -> int:
             ),
             quarantine=args.quarantine,
             fail_threshold=args.fail_threshold,
+            profile=args.stream_profile or args.stream_drift is not None,
+            drift_on=(
+                args.stream_drift.partition(":")[0] if args.stream_drift else None
+            ),
+            drift_psi=(
+                float(args.stream_drift.partition(":")[2])
+                if args.stream_drift and ":" in args.stream_drift
+                else 0.25
+            ),
         )
         q.awaitTermination()
         lin = store.lineage().filter(F.col("run_id").startswith("stream-"))
-        print(
-            json.dumps(
-                {
-                    "mode": "stream",
-                    "cycles": lin.select("run_id").distinct().count(),
-                    "partitions_validated": lin.select("partition_key")
-                    .distinct()
-                    .count(),
-                    "violations": store.violations().count(),
-                    "seconds": round(time.time() - t0, 2),
-                }
+        out = {
+            "mode": "stream",
+            "cycles": lin.select("run_id").distinct().count(),
+            "partitions_validated": lin.select("partition_key")
+            .distinct()
+            .count(),
+            "violations": store.violations().count(),
+            "seconds": round(time.time() - t0, 2),
+        }
+        if args.stream_drift and store.catalog.exists("drift_stream"):
+            flags = store.catalog.read("drift_stream")
+            latest = flags.agg(F.max("batch_id")).collect()[0][0]
+            out["drift_flagged_latest_batch"] = sorted(
+                r["partition_key"]
+                for r in flags.filter(F.col("batch_id") == latest)
+                .select("partition_key")
+                .collect()
             )
-        )
+        print(json.dumps(out))
         return 0
 
     if args.synth:
