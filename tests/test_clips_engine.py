@@ -493,3 +493,53 @@ def test_payload_size_rule_skips_null_metadata(spark):
     )
     v = engine.run(df, [PayloadSizeRule()]).violations.collect()
     assert {r["clip_id"] for r in v} == {"truncated"}
+
+
+def test_payload_size_composes_with_audio_rules(spark):
+    """PayloadSizeRule + audio rules in ONE ruleset (the full-surface
+    deployment: size gate in front of the decode): the octet length is
+    captured before the Arrow pass drops the payload column, so the
+    composition compiles and the size verdicts equal the rule evaluated
+    alone. Regression: this raised UNRESOLVED_COLUMN `bytes` before r4's
+    pre-pass capture."""
+    from pyspark.sql import functions as F
+
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        AudioDecodeRule,
+        AudioQcRule,
+        PayloadSizeRule,
+    )
+    from use_case_real_time_anomaly_detection_spark.plans.clips import (
+        validate_clips,
+    )
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        generate_clips,
+        generate_manifest,
+    )
+
+    spec = SynthSpec(partitions=2, clips_per_partition=60)
+    clips = generate_clips(spark, spec)
+    # plant one truncated payload so the size detector has a violation
+    clips = clips.withColumn(
+        "bytes",
+        F.when(
+            F.col("clip_id") == "c000-000000005",
+            F.expr("substring(bytes, 1, 100)"),
+        ).otherwise(F.col("bytes")),
+    )
+    manifest = generate_manifest(spark, spec)
+
+    def run(rules):
+        res = validate_clips(
+            clips, manifest, frontier=frontier_of(spec), rules=rules
+        )
+        return (
+            res.violations.filter(F.col("detector") == "payload-size")
+            .orderBy("clip_id")
+            .toPandas()
+        )
+
+    alone = run([PayloadSizeRule()])
+    composed = run([PayloadSizeRule(), AudioDecodeRule(), AudioQcRule()])
+    assert alone["clip_id"].tolist() == ["c000-000000005"]
+    assert alone.values.tolist() == composed.values.tolist()

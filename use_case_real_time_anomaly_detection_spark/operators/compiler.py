@@ -162,6 +162,16 @@ def compile_rules(
     # ---- one Arrow pass for audio rules (FIRST: it consumes and DROPS the
     # payload column, so everything downstream — manifest join, window
     # shuffle, aggregates — flows narrow rows only) -----------------------
+    # payload octet lengths must be captured BEFORE the audio pass drops
+    # the payload column — PayloadSizeRule + an audio rule in one ruleset
+    # is the normal full-surface deployment (the size gate is the cheap
+    # filter in FRONT of the decode)
+    size_rules = [r for r in rules if isinstance(r, PayloadSizeRule)]
+    for bc in sorted({r.bytes_column for r in size_rules}):
+        base = base.withColumn(
+            f"__octets_{bc}", F.length(F.col(bc)).cast("long")
+        )
+
     audio_rules = [r for r in rules if isinstance(r, AudioDecodeRule)]
     qc_rules = [r for r in rules if isinstance(r, AudioQcRule)]
     if audio_rules or qc_rules:
@@ -404,12 +414,13 @@ def compile_rules(
                 sr_col=r.sr_column,
                 dur_col=r.dur_column,
             )
-            found = F.length(F.col(r.bytes_column)).cast("long")
+            # precomputed before the audio pass (which drops the payload)
+            found = F.col(f"__octets_{r.bytes_column}")
             # unknown codecs not evaluated (ValueSetRule owns the domain);
             # NULL payloads not evaluated (NotNullRule owns null policy)
             cond = (
                 expected.isNotNull()
-                & F.col(r.bytes_column).isNotNull()
+                & found.isNotNull()  # octet_length(NULL) is NULL
                 & (found != expected)
             )
             note = F.concat(

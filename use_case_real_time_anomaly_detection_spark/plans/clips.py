@@ -16,6 +16,7 @@ Reference thresholds carried over:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.engine import RunResult, ValidationEngine
 from ..operators.rules import (
@@ -75,6 +76,13 @@ def validate_clips(
     engine = ValidationEngine(
         key_col="clip_id", partition_col="partition_key", seq_col="seq"
     )
+    if "partition_key" not in manifest.columns and "clip_id" in manifest.columns:
+        # CompletenessRule needs the manifest to carry the verdict axis
+        # (missing keys land in the MANIFEST's partition — the table side
+        # has no row to derive it from); clip_ids embed the tag
+        manifest = manifest.withColumn(
+            "partition_key", F.substring("clip_id", 1, 4)
+        )
     return engine.run(
         with_partition_cols(clips),
         rules if rules is not None else default_rules(),
