@@ -767,8 +767,9 @@ _CLIPS_FRONTIER = 149  # SynthSpec(clips_per_partition=150) → frontier 149
 # BYTES (waveform, codecs, injection moduli): every cached twin under
 # dist/oracle is a bit-exact function of those bytes, so a stale cache
 # would silently compare fresh Spark results against old-universe parquet.
-# r4 bump: reference_waveform gained the QC gain buckets (AudioQcRule).
-_FIXTURE_VERSION = "2"
+# r4 bumps: 2 = reference_waveform QC gain buckets (AudioQcRule);
+# 3 = manifest expected_codec divergence plant (RefMatchRule).
+_FIXTURE_VERSION = "3"
 
 
 def _ensure_fixture_version() -> None:
@@ -1040,6 +1041,59 @@ def _q_audio_qc(spark, sf):
 _SQL_AUDIO_QC = f"""
 SELECT partition_key, clip_id, detector, observed, note
 FROM read_parquet('{_CLIPS_QC}/*.parquet')
+"""
+
+
+def _q_ref_match(spark, sf):
+    """Generic cross-table consistency (RefMatchRule): a column must
+    equal its manifest counterpart per key — catches metadata that
+    silently diverged from the authoritative manifest (planted: the
+    MOD_BADMETA clips whose delivered codec no longer matches
+    expected_codec), which every single-table rule accepts because each
+    side is individually valid. Both declared columns (codec, sr_hz)
+    fuse into the ONE manifest join the referential/transcript rules
+    share. Oracle: the same join + null-safe comparison in DuckDB over
+    the meta/manifest twins."""
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        RefMatchRule,
+    )
+    from use_case_real_time_anomaly_detection_spark.plans.clips import (
+        validate_clips,
+    )
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        frontier_of,
+        generate_clips,
+        generate_manifest,
+    )
+
+    spec = SynthSpec(partitions=4, clips_per_partition=150)
+    _ensure_clips_oracle_files()
+    res = validate_clips(
+        generate_clips(spark, spec),
+        generate_manifest(spark, spec),
+        frontier=frontier_of(spec),
+        rules=[RefMatchRule("codec"), RefMatchRule("sr_hz")],
+    )
+    return res.violations
+
+
+_SQL_REF_MATCH = f"""
+WITH m AS (SELECT * FROM read_parquet('{_CLIPS_META}/*.parquet')),
+     f AS (SELECT * FROM read_parquet('{_CLIPS_MAN}/*.parquet'))
+SELECT DISTINCT m.partition_key, m.clip_id, 'ref-match-codec' AS detector,
+       COALESCE(CAST(m.codec AS VARCHAR), 'NULL') AS observed,
+       'codec expected:' || COALESCE(CAST(f.expected_codec AS VARCHAR), 'NULL')
+         || '| source:clip_manifest.expected_codec' AS note
+FROM m JOIN f USING (clip_id)
+WHERE m.codec IS DISTINCT FROM f.expected_codec
+UNION ALL
+SELECT DISTINCT m.partition_key, m.clip_id, 'ref-match-sr_hz' AS detector,
+       COALESCE(CAST(m.sr_hz AS VARCHAR), 'NULL') AS observed,
+       'sr_hz expected:' || COALESCE(CAST(f.expected_sr_hz AS VARCHAR), 'NULL')
+         || '| source:clip_manifest.expected_sr_hz' AS note
+FROM m JOIN f USING (clip_id)
+WHERE m.sr_hz IS DISTINCT FROM f.expected_sr_hz
 """
 
 
@@ -1792,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verdict_regression": _q_verdict_regression,
         "clips_validate_audio": _q_clips_validate_audio,
         "audio_qc": _q_audio_qc,
+        "ref_match": _q_ref_match,
         "embed_neardup": _q_embed_neardup,
         "speech_rate": _q_speech_rate,
         "transcript_distance": _q_transcript_distance,
@@ -4149,6 +4204,7 @@ def oracle_sql() -> dict[str, str]:
         "image_features": _SQL_IMAGE_FEATURES,
         "clips_validate_audio": _SQL_CLIPS_VALIDATE_AUDIO,
         "audio_qc": _SQL_AUDIO_QC,
+        "ref_match": _SQL_REF_MATCH,
         "payload_bytes": _SQL_PAYLOAD_BYTES,
         "audio_features": _SQL_AUDIO_FEATURES,
         "audio_dup": _SQL_AUDIO_DUP,

@@ -543,3 +543,77 @@ def test_payload_size_composes_with_audio_rules(spark):
     composed = run([PayloadSizeRule(), AudioDecodeRule(), AudioQcRule()])
     assert alone["clip_id"].tolist() == ["c000-000000005"]
     assert alone.values.tolist() == composed.values.tolist()
+
+
+def test_ref_match_rule(spark):
+    """RefMatchRule: engine flags exactly the planted MOD_BADMETA clips
+    (manifest's expected_codec diverges from the delivered codec); sr_hz
+    never diverges in the fixture; manifest-absent keys (orphans) are
+    skipped; NULL-safe semantics flag NULL-vs-value but not NULL-vs-NULL;
+    both rules share ONE manifest scan with the transcript rule."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        RefMatchRule,
+        TranscriptRule,
+    )
+    from use_case_real_time_anomaly_detection_spark.plans.clips import (
+        validate_clips,
+    )
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        MOD_BADMETA,
+        generate_clips,
+        generate_manifest,
+        plan_partition,
+    )
+
+    res = validate_clips(
+        generate_clips(spark, SPEC),
+        generate_manifest(spark, SPEC),
+        frontier=frontier_of(SPEC),
+        rules=[RefMatchRule("codec"), RefMatchRule("sr_hz"), TranscriptRule()],
+    )
+    got = res.violations.toPandas()
+    expected = set()
+    for p in range(SPEC.partitions):
+        plan = plan_partition(p, SPEC)
+        hit = (
+            (plan["seq"] % MOD_BADMETA[0] == MOD_BADMETA[1])
+            & plan["codec"].isin(["pcm16", "mulaw"])
+            & ~plan["orphan"]  # no manifest row -> RefIntegrityRule's case
+        )
+        expected |= set(plan[hit]["clip_id"])
+    assert _flagged(got, "ref-match-codec") == expected
+    assert expected  # the plant actually selects clips at this spec
+    assert _flagged(got, "ref-match-sr_hz") == set()
+
+    # one scan of the manifest serves transcript + both match rules
+    plan_s = res.violations._sc._jvm.PythonSQLUtils.explainString(
+        res.violations._jdf.queryExecution(), "simple"
+    )
+    # AQE prints Final + Initial trees; count the final one only
+    final = plan_s.split("== Initial Plan ==")[0]
+    assert final.count("MapInPandas") == 2  # clips gen + manifest gen
+
+    # NULL-safe semantics on a hand-built pair
+    t = spark.createDataFrame(
+        [("a-000000001", "x", 1), ("a-000000002", None, 2),
+         ("a-000000003", None, 3)],
+        "clip_id string, v string, seq long",
+    ).withColumn("partition_key", F.lit("a-00"))
+    m = spark.createDataFrame(
+        [("a-000000001", "x"), ("a-000000002", "y"), ("a-000000003", None)],
+        "clip_id string, expected_v string",
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.compiler import (
+        compile_rules,
+    )
+
+    plan = compile_rules(
+        t, [RefMatchRule("v", ref_column="expected_v")],
+        refs={"clip_manifest": m}, seq_col="seq",
+    )
+    rows = plan.violations.toPandas()
+    assert rows["clip_id"].tolist() == ["a-000000002"]  # NULL vs 'y' flags
+    assert rows["observed"].tolist() == ["NULL"]

@@ -47,6 +47,8 @@ def test_every_rule_type_roundtrips():
             samples.append(cls("codec", allowed=("pcm16",)))
         elif tag == "ref_integrity":
             samples.append(cls("clip_id", ref_table="m", ref_column="clip_id"))
+        elif tag == "ref_match":
+            samples.append(cls("codec"))
         elif tag == "aggregate":
             samples.append(cls("dur_ms", agg="null_rate", max_value=0.05))
         elif tag in ("not_null", "rate_of_change", "z_score", "iqr", "mad", "drift"):

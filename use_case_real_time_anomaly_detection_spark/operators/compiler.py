@@ -52,6 +52,7 @@ from .rules import (
     NotNullRule,
     PatternRule,
     PayloadSizeRule,
+    RefMatchRule,
     ProfileSpec,
     RangeRule,
     RateOfChangeRule,
@@ -191,8 +192,12 @@ def compile_rules(
             )
         base = with_audio_checks(base, rule, key_col=key_col, qc=bool(qc_rules))
 
-    # ---- one manifest join serves referential + transcript rules --------
-    ref_rules = [r for r in rules if isinstance(r, (RefIntegrityRule, TranscriptRule))]
+    # ---- one manifest join serves referential/transcript/match rules ----
+    ref_rules = [
+        r
+        for r in rules
+        if isinstance(r, (RefIntegrityRule, TranscriptRule, RefMatchRule))
+    ]
     manifest_cols: dict[str, str] = {}
     if ref_rules:
         names = {r.ref_table for r in ref_rules}
@@ -208,7 +213,11 @@ def compile_rules(
         wanted = list(
             dict.fromkeys(
                 [key_col]
-                + [r.ref_column for r in ref_rules if isinstance(r, TranscriptRule)]
+                + [
+                    r.ref_column
+                    for r in ref_rules
+                    if isinstance(r, (TranscriptRule, RefMatchRule))
+                ]
             )
         )
         sel = manifest.select(
@@ -527,6 +536,21 @@ def compile_rules(
                 F.lit(f"| threshold:{r.threshold:g}"),
             )
             _entry(r.detector, cond, _fmt(z, 4), note)
+
+        elif isinstance(r, RefMatchRule):
+            refc = F.col(f"__ref_{r.ref_column}")
+            # manifest-absent keys skipped (RefIntegrityRule owns orphans);
+            # NULL-safe comparison so NULL vs value flags, NULL==NULL not
+            cond = F.col("__ref_key").isNotNull() & ~F.col(r.column).eqNullSafe(
+                refc
+            )
+            observed = F.coalesce(F.col(r.column).cast("string"), F.lit("NULL"))
+            note = F.concat(
+                F.lit(f"{r.column} expected:"),
+                F.coalesce(refc.cast("string"), F.lit("NULL")),
+                F.lit(f"| source:{r.ref_table}.{r.ref_column}"),
+            )
+            _entry(r.detector, cond, observed, note)
 
         elif isinstance(r, TranscriptDistanceRule):
             # ordered before the exact branch: isinstance(r, TranscriptRule)

@@ -34,6 +34,7 @@ from .rules import (
     NotNullRule,
     PatternRule,
     PayloadSizeRule,
+    RefMatchRule,
     ProfileSpec,
     RangeRule,
     RateOfChangeRule,
@@ -63,6 +64,7 @@ RULE_TYPES = {
     "completeness": CompletenessRule,
     "unique": UniqueRule,
     "ref_integrity": RefIntegrityRule,
+    "ref_match": RefMatchRule,
     "drift": DriftRule,
     "audio_decode": AudioDecodeRule,
     "audio_qc": AudioQcRule,

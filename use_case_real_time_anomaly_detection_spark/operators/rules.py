@@ -428,6 +428,36 @@ class AudioQcRule(Rule):
 
 
 @dataclass(frozen=True)
+class RefMatchRule(Rule):
+    """A column must equal its manifest counterpart, per key — the
+    generic cross-table consistency check (TranscriptRule is the
+    transcript-specific instance with its own note idiom).
+
+    Graft addition: catches metadata that silently diverged from the
+    authoritative manifest (a mis-transcoded delivery whose `codec` no
+    longer matches `expected_codec`, a resampled drop whose sr_hz
+    disagrees) — rows that every single-table rule accepts because each
+    side is individually valid. NULL-safe equality: NULL==NULL matches,
+    NULL vs value flags. Keys absent from the manifest are skipped
+    (RefIntegrityRule owns orphans).
+
+    Fused into the SAME single manifest equi-join the referential and
+    transcript rules share — adding RefMatchRules never adds a join.
+    """
+
+    column: str
+    ref_table: str = "clip_manifest"
+    ref_column: str = ""  # defaults to expected_<column>
+    detector: str = ""  # defaults to ref-match-<column>
+
+    def __post_init__(self) -> None:
+        if not self.ref_column:
+            object.__setattr__(self, "ref_column", f"expected_{self.column}")
+        if not self.detector:
+            object.__setattr__(self, "detector", f"ref-match-{self.column}")
+
+
+@dataclass(frozen=True)
 class TranscriptRule(Rule):
     """Transcript must equal the manifest's expected transcript.
 

@@ -82,6 +82,7 @@ MOD_BADAUDIO = (109, 21)  # payload encoded from a distorted waveform
 MOD_BADSR = (151, 99)  # sr_hz = 44100 (outside allowed {8000, 16000})
 MOD_BADCODEC = (163, 77)  # codec = 'opus', undecodable junk payload
 MOD_BADTRANSCRIPT = (113, 31)  # transcript corrupted vs manifest
+MOD_BADMETA = (139, 58)  # manifest's expected_codec diverges from the table
 
 
 def _hit(seq: int, mod: tuple[int, int]) -> bool:
@@ -258,6 +259,21 @@ def metadata_pandas(spec: SynthSpec = SynthSpec()) -> pd.DataFrame:
     return out
 
 
+def _manifest_codec(plan: pd.DataFrame) -> pd.Series:
+    """The manifest's expected_codec: the plan's codec, except the
+    MOD_BADMETA subset where the manifest records the INTENDED codec and
+    the table diverged (a mis-transcoded delivery) — the planted
+    violation set for RefMatchRule. Invalid codecs (opus) are left
+    matching: those rows are ValueSetRule/decode territory."""
+    flip = (plan["seq"] % MOD_BADMETA[0] == MOD_BADMETA[1]) & plan["codec"].isin(
+        ["pcm16", "mulaw"]
+    )
+    out = plan["codec"].where(
+        ~flip, plan["codec"].map({"pcm16": "mulaw", "mulaw": "pcm16"})
+    )
+    return out
+
+
 def manifest_pandas(spec: SynthSpec = SynthSpec()) -> pd.DataFrame:
     """``generate_manifest`` as one pandas frame (pure python)."""
     frames = []
@@ -268,7 +284,7 @@ def manifest_pandas(spec: SynthSpec = SynthSpec()) -> pd.DataFrame:
             pd.DataFrame(
                 {
                     "clip_id": plan["clip_id"],
-                    "expected_codec": plan["codec"],
+                    "expected_codec": _manifest_codec(plan),
                     "expected_sr_hz": plan["sr_hz"].astype("int32"),
                     "expected_transcript": [
                         expected_transcript(c, spec.seed) for c in plan["clip_id"]
@@ -684,7 +700,7 @@ def generate_manifest(spark: SparkSession, spec: SynthSpec = SynthSpec()) -> Dat
                 yield pd.DataFrame(
                     {
                         "clip_id": plan["clip_id"],
-                        "expected_codec": plan["codec"],
+                        "expected_codec": _manifest_codec(plan),
                         "expected_sr_hz": plan["sr_hz"],
                         "expected_transcript": [
                             expected_transcript(c, spec.seed) for c in plan["clip_id"]
