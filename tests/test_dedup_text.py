@@ -406,3 +406,40 @@ def test_repeated_chunks_marks_shared_passage_only(spark):
     assert marked == {(1, 0), (2, 5), (3, 10)}
     assert all(r["n_docs"] == 3 and r["n_occurrences"] == 3 for r in out)
     assert len({r["chunk_md5"] for r in out}) == 1
+
+
+def test_duplicate_doc_rows_do_not_inflate_counts(spark):
+    """The r4 shuffle-free shingles are distinct per ROW, so a duplicated
+    doc row (un-deduped landing union) must not change exact-Jaccard or
+    contamination results — count consumers aggregate with
+    count_distinct (min-based MinHash/banding are invariant already)."""
+    import pandas as pd
+
+    from use_case_real_time_anomaly_detection_spark.functions.dedup import (
+        contamination_scores,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dup_rows = docs.limit(25)
+    dirty = docs.unionByName(dup_rows)  # 25 docs present twice
+
+    def pairs_pd(d):
+        return (
+            ngram_jaccard_pairs(d, threshold=0.5)
+            .orderBy("id_a", "id_b")
+            .toPandas()
+        )
+
+    pd.testing.assert_frame_equal(pairs_pd(docs), pairs_pd(dirty))
+
+    bench = docs.selectExpr("doc_id as bench_id", "text").limit(5)
+
+    def scores_pd(d):
+        return (
+            contamination_scores(d, bench, min_score=0.0)
+            .orderBy("doc_id")
+            .toPandas()
+        )
+
+    pd.testing.assert_frame_equal(scores_pd(docs), scores_pd(dirty))

@@ -142,10 +142,34 @@ def test_stream_profile_accumulates_and_drift_gates(spark, tmp_path):
     # dur_ms-drift partition (c001, +300 ms shift)
     flags = store.catalog.read("drift_stream")
     latest = flags.filter(
-        F.col("batch_id") == flags.agg(F.max("batch_id")).collect()[0][0]
+        (F.col("batch_id") == flags.agg(F.max("batch_id")).collect()[0][0])
+        & F.col("partition_key").isNotNull()  # drop the batch marker row
     )
     assert {r["partition_key"] for r in latest.select("partition_key").collect()} == {
         "c001"
     }
     clips.unpersist()
     manifest.unpersist()
+
+
+def test_record_drift_batch_clean_batch_advances_latest(spark, tmp_path):
+    """A batch with ZERO flags still writes its batch_id leaf (marker
+    row), so max(batch_id) tracks the latest PROCESSED batch — a cleared
+    drift must not leave a stale flag presenting as current."""
+    store = CheckpointStore(ParquetCatalog(spark, str(tmp_path / "wh")))
+    flags = spark.createDataFrame(
+        [("c001", 9.9, 0.9)], "partition_key string, psi double, ks double"
+    )
+    store.record_drift_batch(flags, 0)
+    store.record_drift_batch(flags.limit(0), 1)  # clean batch
+    t = store.catalog.read("drift_stream")
+    latest = t.agg(F.max("batch_id")).collect()[0][0]
+    assert latest == 1
+    cur = t.filter(
+        (F.col("batch_id") == latest) & F.col("partition_key").isNotNull()
+    )
+    assert cur.count() == 0  # nothing CURRENTLY flagged
+    # history retains batch 0's flag
+    assert (
+        t.filter(F.col("partition_key").isNotNull()).count() == 1
+    )

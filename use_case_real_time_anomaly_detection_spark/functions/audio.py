@@ -175,51 +175,40 @@ _AUDIO_RESULT = StructType(
 )
 
 
-def check_clip(
-    clip_id, payload, codec, sr, dur, *, min_snr_db: float, ref_seed: int
-) -> tuple[bool, float | None, str | None]:
-    """The per-clip decode + SNR verdict: (ok, snr_db, err).
+def check_clip_qc(
+    clip_id,
+    payload,
+    codec,
+    sr,
+    dur,
+    *,
+    min_snr_db: float,
+    ref_seed: int,
+    snr: bool = True,
+    metrics: bool = True,
+) -> tuple[bool, float | None, str | None, float | None, float | None, float | None]:
+    """The ONE per-clip decode core: (ok, snr_db, err, silence_ratio,
+    clip_ratio, rms). `check_clip` is this with ``metrics=False`` — a
+    single body so the decode/verdict semantics cannot drift between the
+    SNR surface and the QC surface.
 
     Single source of truth for the Spark paths (mapInArrow / pandas UDF)
-    AND the pure-pandas oracle twin (sources/synth.audio_violations_pandas)
-    — identical numpy ops on identical inputs give bit-identical doubles,
-    which is what lets the driver hash-compare the audio violations.
-    ``payload`` is any bytes-like (zero-copy memoryview on the Arrow path).
-    """
-    try:
-        dec_fn = DECODERS.get(codec)
-        if dec_fn is None:
-            raise ValueError(f"no decoder for codec {codec!r}")
-        if payload is None or len(payload) == 0:
-            raise ValueError("empty payload")
-        s = int(sr) if sr is not None else 0
-        dec = dec_fn(payload, s)
-        ref = reference_waveform(str(clip_id), s, int(dur or 0), seed=ref_seed)
-        db = snr_db(ref, dec)
-        # length mismatch beyond 1 sample is itself a failure
-        len_ok = abs(len(dec) - len(ref)) <= 1
-        return (
-            bool(len_ok and db >= min_snr_db),
-            db if np.isfinite(db) else None,
-            None if len_ok else "length mismatch",
-        )
-    except Exception as exc:  # decode failures are data, not bugs
-        return False, None, str(exc)[:120]
+    AND the pure-pandas oracle twins — identical numpy ops on identical
+    inputs give bit-identical doubles, which is what lets the driver
+    hash-compare the audio violations.
 
-
-def check_clip_qc(
-    clip_id, payload, codec, sr, dur, *, min_snr_db: float, ref_seed: int
-) -> tuple[bool, float | None, str | None, float | None, float | None, float | None]:
-    """check_clip plus decoded-signal QC metrics, ONE decode:
-    (ok, snr_db, err, silence_ratio, clip_ratio, rms).
-
-    The metric formulas are byte-for-byte the ones in
+    ``snr=False`` skips the golden-signal synthesis + SNR entirely (the
+    QC-only ruleset path: the reference waveform exists only to judge
+    fidelity, and reconstructing it is roughly half the per-clip CPU);
+    ok is then simply "decoded", snr_db None. ``metrics=False`` skips
+    the three QC vector ops (the plain decode-rule hot path). The metric
+    formulas are byte-for-byte the ones in
     audio_features.signal_features (float64, mean of boolean masks,
     sqrt-of-mean-square) so AudioQcRule violations hash-compare against
-    the pandas twin AND against the feature table. Decode failures return
-    NULL metrics — a payload that can't decode is AudioDecodeRule's
-    violation, never a QC one. Must stay semantically identical to
-    check_clip on the (ok, snr_db, err) prefix (asserted in tests)."""
+    the pandas twin AND against the feature table. Decode failures
+    return NULL metrics — an undecodable payload is AudioDecodeRule's
+    violation, never a QC one. ``payload`` is any bytes-like (zero-copy
+    memoryview on the Arrow path)."""
     try:
         dec_fn = DECODERS.get(codec)
         if dec_fn is None:
@@ -228,10 +217,17 @@ def check_clip_qc(
             raise ValueError("empty payload")
         s = int(sr) if sr is not None else 0
         dec = dec_fn(payload, s)
-        ref = reference_waveform(str(clip_id), s, int(dur or 0), seed=ref_seed)
-        db = snr_db(ref, dec)
-        len_ok = abs(len(dec) - len(ref)) <= 1
-        if len(dec):
+        if snr:
+            ref = reference_waveform(str(clip_id), s, int(dur or 0), seed=ref_seed)
+            db = snr_db(ref, dec)
+            # length mismatch beyond 1 sample is itself a failure
+            len_ok = abs(len(dec) - len(ref)) <= 1
+            ok = bool(len_ok and db >= min_snr_db)
+            dbv = db if np.isfinite(db) else None
+            err = None if len_ok else "length mismatch"
+        else:
+            ok, dbv, err = True, None, None
+        if metrics and len(dec):
             x = dec.astype(np.float64)
             ax = np.abs(x)
             sil = float(np.mean(ax < SILENCE_ABS))
@@ -239,16 +235,20 @@ def check_clip_qc(
             rms = float(np.sqrt(np.mean(x * x)))
         else:
             sil = cr = rms = None
-        return (
-            bool(len_ok and db >= min_snr_db),
-            db if np.isfinite(db) else None,
-            None if len_ok else "length mismatch",
-            sil,
-            cr,
-            rms,
-        )
+        return ok, dbv, err, sil, cr, rms
     except Exception as exc:  # decode failures are data, not bugs
         return False, None, str(exc)[:120], None, None, None
+
+
+def check_clip(
+    clip_id, payload, codec, sr, dur, *, min_snr_db: float, ref_seed: int
+) -> tuple[bool, float | None, str | None]:
+    """The per-clip decode + SNR verdict: (ok, snr_db, err) — the
+    metrics-free view of check_clip_qc (one shared body)."""
+    return check_clip_qc(
+        clip_id, payload, codec, sr, dur,
+        min_snr_db=min_snr_db, ref_seed=ref_seed, metrics=False,
+    )[:3]
 
 
 def make_audio_check_udf(min_snr_db: float, ref_seed: int):
@@ -282,7 +282,12 @@ def make_audio_check_udf(min_snr_db: float, ref_seed: int):
 
 
 def with_audio_checks(
-    df: DataFrame, rule, *, key_col: str = "clip_id", qc: bool = False
+    df: DataFrame,
+    rule,
+    *,
+    key_col: str = "clip_id",
+    qc: bool = False,
+    compute_snr: bool = True,
 ) -> DataFrame:
     """Append __audio_ok / __audio_snr_db / __audio_err; DROP the payload
     column (nothing downstream of the check needs `bytes`). With
@@ -290,7 +295,11 @@ def with_audio_checks(
     __audio_clip_ratio / __audio_rms from the SAME single decode
     (check_clip_qc) — AudioQcRule's inputs never cost a second pass, and
     they are NULL on decode failure so QC fences silently skip payloads
-    the decode rule already owns.
+    the decode rule already owns. ``compute_snr=False`` (QC-only
+    rulesets: no AudioDecodeRule declared) skips the golden-signal
+    synthesis + SNR per clip — roughly half the per-clip CPU — and emits
+    __audio_ok = decoded / __audio_snr_db NULL, which nothing consumes
+    in that configuration.
 
     Implementation: `mapInArrow`, not a pandas UDF. The Arrow→pandas
     conversion of a binary column materializes every payload as a Python
@@ -340,7 +349,9 @@ def with_audio_checks(
                 args = (cids[i], mv, codecs[i], srs[i], durs[i])
                 kw = dict(min_snr_db=min_snr, ref_seed=ref_seed)
                 if qc:
-                    ok, db, err, sil, cr, rms = check_clip_qc(*args, **kw)
+                    ok, db, err, sil, cr, rms = check_clip_qc(
+                        *args, snr=compute_snr, **kw
+                    )
                     sils.append(sil)
                     crs.append(cr)
                     rmss.append(rms)

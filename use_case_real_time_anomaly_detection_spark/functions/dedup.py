@@ -128,14 +128,20 @@ def _gram_array(text_col: str, n: int):
 def shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = SHINGLE_N
 ) -> DataFrame:
-    """Distinct word n-gram shingles per doc — fully SHUFFLE-FREE: since
-    `id_col` is the input's key (one text per id), per-(id, gram)
-    distinctness is exactly per-ROW gram distinctness, so array_distinct
-    before the explode replaces the global .distinct() exchange the r1-r3
-    implementations paid (at bench scale that shuffle was ~60% of each
-    pinned shingle stage; at 10^12 docs it is a full corpus-sized
-    exchange of gram strings). _spread parallelizes the explode when the
-    scan is under-split."""
+    """Word n-gram shingles per doc, distinct PER INPUT ROW — fully
+    SHUFFLE-FREE: array_distinct before the explode replaces the global
+    .distinct() exchange the r1-r3 implementations paid (at bench scale
+    that shuffle was ~60% of each pinned shingle stage; at 10^12 docs it
+    is a full corpus-sized exchange of gram strings).
+
+    Contract shift vs r1-r3: when `id_col` is the input's key (one text
+    per id — the normal corpus table) the output is exactly the old
+    distinct (id, gram) set. A DUPLICATED doc row (un-deduped landing
+    union) now emits its gram set once per row; every count-consuming
+    caller in this module therefore aggregates with count_distinct —
+    min-based consumers (MinHash signatures, band keys) are invariant to
+    duplicates by construction. _spread parallelizes the explode when
+    the scan is under-split."""
     return _spread(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(_gram_array(text_col, n))).alias("gram"),
@@ -296,8 +302,12 @@ def set_jaccard2(
     hint = F.broadcast if broadcast_items else (lambda d: d)
     items_a = hint(items_a)
     items_b = hint(items_b)
-    sizes_a = hint(items_a.groupBy(id_col).agg(F.count(F.lit(1)).alias("n")))
-    sizes_b = hint(items_b.groupBy(id_col).agg(F.count(F.lit(1)).alias("n")))
+    # count DISTINCT items: the r4 shuffle-free shingles are distinct
+    # per input ROW, so a duplicated doc row (un-deduped landing) would
+    # double a plain count; distinctness inside the existing agg costs a
+    # partial-distinct, never the removed corpus-wide exchange
+    sizes_a = hint(items_a.groupBy(id_col).agg(F.count_distinct(item_col).alias("n")))
+    sizes_b = hint(items_b.groupBy(id_col).agg(F.count_distinct(item_col).alias("n")))
     inter = (
         pairs.join(items_a.alias("ta"), pairs["id_a"] == F.col(f"ta.{id_col}"))
         .join(
@@ -306,7 +316,7 @@ def set_jaccard2(
             & (F.col(f"ta.{item_col}") == F.col(f"tb.{item_col}")),
         )
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("overlap"))
+        .agg(F.count_distinct(F.col(f"ta.{item_col}")).alias("overlap"))
     )
     return (
         inter.join(sizes_a.alias("sa"), inter["id_a"] == F.col(f"sa.{id_col}"))
@@ -351,12 +361,14 @@ def ngram_jaccard_pairs(
     # pinned: consumed by 5 subtrees (sizes, block ×2 join sides, verify
     # ×2) — without it each re-runs the shingle pipeline
     grams = _pin(shingles(df, id_col, text_col, n))
-    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    # count_distinct: duplicate doc rows must not inflate set sizes /
+    # document frequencies (see set_jaccard2)
+    sizes = grams.groupBy(id_col).agg(F.count_distinct("gram").alias("n"))
     block = grams
     if max_shingle_df is not None:
         rare = (
             grams.groupBy("gram")
-            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(F.count_distinct(id_col).alias("df"))
             .filter(F.col("df") <= max_shingle_df)
             .select("gram")
         )
@@ -382,7 +394,7 @@ def ngram_jaccard_pairs(
             & (F.col("ta.gram") == F.col("tb.gram")),
         )
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("overlap"))
+        .agg(F.count_distinct(F.col("ta.gram")).alias("overlap"))
     )
     return (
         inter.join(sizes.alias("sa"), inter["id_a"] == F.col(f"sa.{id_col}"))
@@ -758,7 +770,7 @@ def contamination_pairs(
     return (
         cg.join(F.broadcast(bg), "gram")
         .groupBy(id_col, "bench_id")
-        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .agg(F.count_distinct("gram").alias("shared_grams"))
         .filter(F.col("shared_grams") >= min_shared)
     )
 
@@ -801,8 +813,10 @@ def contamination_scores(
         cg.join(F.broadcast(bset), "gram", "left")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("shared_grams"),
+            F.count_distinct("gram").alias("n_grams"),
+            F.count_distinct(
+                F.when(F.col("__hit").isNotNull(), F.col("gram"))
+            ).alias("shared_grams"),
         )
         .withColumn(
             "score",

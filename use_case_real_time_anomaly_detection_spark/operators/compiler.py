@@ -181,8 +181,9 @@ def compile_rules(
         if audio_rules:
             (rule,) = audio_rules  # one audio rule per run
         else:
-            # QC-only run: synthesize a column-spec carrier for the pass
-            # (its __audio_ok/snr outputs are computed but unconsumed)
+            # QC-only run: synthesize a column-spec carrier for the pass;
+            # compute_snr=False below skips the golden-signal + SNR work
+            # whose outputs nothing would consume
             (q0,) = qc_rules[:1]
             rule = AudioDecodeRule(
                 bytes_column=q0.bytes_column,
@@ -190,7 +191,13 @@ def compile_rules(
                 sr_column=q0.sr_column,
                 dur_column=q0.dur_column,
             )
-        base = with_audio_checks(base, rule, key_col=key_col, qc=bool(qc_rules))
+        base = with_audio_checks(
+            base,
+            rule,
+            key_col=key_col,
+            qc=bool(qc_rules),
+            compute_snr=bool(audio_rules),
+        )
 
     # ---- one manifest join serves referential/transcript/match rules ----
     ref_rules = [

@@ -79,7 +79,12 @@ def validate_clips(
     if "partition_key" not in manifest.columns and "clip_id" in manifest.columns:
         # CompletenessRule needs the manifest to carry the verdict axis
         # (missing keys land in the MANIFEST's partition — the table side
-        # has no row to derive it from); clip_ids embed the tag
+        # has no row to derive it from). Derive it with the SAME rule
+        # with_partition_cols applies to the clip table itself
+        # (substring(clip_id, 1, 4) — this plan layer's id contract, see
+        # sources/synth.make_clip_id); a manifest whose ids follow a
+        # different scheme must supply partition_key explicitly, exactly
+        # as a clip table with a different scheme must.
         manifest = manifest.withColumn(
             "partition_key", F.substring("clip_id", 1, 4)
         )

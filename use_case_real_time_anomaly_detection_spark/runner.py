@@ -311,6 +311,26 @@ def main(argv: list[str] | None = None) -> int:
         from .sources.synth import CLIPS_SCHEMA
         from .streaming.pipeline import stream_clips_validation
 
+        drift_col, drift_psi = None, 0.25
+        if args.stream_drift:
+            drift_col, _, psi_s = args.stream_drift.partition(":")
+            if drift_col not in ("dur_ms", "sr_hz"):
+                print(
+                    "--stream-drift: column must be one of dur_ms, sr_hz "
+                    "(the columns the streamed profile states carry "
+                    f"histograms for), got {drift_col!r}",
+                    file=sys.stderr,
+                )
+                return 2
+            try:
+                drift_psi = float(psi_s) if psi_s else 0.25
+            except ValueError:
+                print(
+                    f"--stream-drift: PSI threshold must be a number, "
+                    f"got {psi_s!r}",
+                    file=sys.stderr,
+                )
+                return 2
         store = CheckpointStore(get_catalog(spark, args.checkpoint_dir))
         manifest = spark.read.parquet(args.manifest)
         stream = spark.readStream.schema(CLIPS_SCHEMA).parquet(args.stream)
@@ -327,15 +347,9 @@ def main(argv: list[str] | None = None) -> int:
             ),
             quarantine=args.quarantine,
             fail_threshold=args.fail_threshold,
-            profile=args.stream_profile or args.stream_drift is not None,
-            drift_on=(
-                args.stream_drift.partition(":")[0] if args.stream_drift else None
-            ),
-            drift_psi=(
-                float(args.stream_drift.partition(":")[2])
-                if args.stream_drift and ":" in args.stream_drift
-                else 0.25
-            ),
+            profile=args.stream_profile or drift_col is not None,
+            drift_on=drift_col,
+            drift_psi=drift_psi,
         )
         q.awaitTermination()
         lin = store.lineage().filter(F.col("run_id").startswith("stream-"))
@@ -350,10 +364,15 @@ def main(argv: list[str] | None = None) -> int:
         }
         if args.stream_drift and store.catalog.exists("drift_stream"):
             flags = store.catalog.read("drift_stream")
+            # every batch writes a NULL-key marker row, so max(batch_id)
+            # is the latest PROCESSED batch, not the latest that flagged
             latest = flags.agg(F.max("batch_id")).collect()[0][0]
             out["drift_flagged_latest_batch"] = sorted(
                 r["partition_key"]
-                for r in flags.filter(F.col("batch_id") == latest)
+                for r in flags.filter(
+                    (F.col("batch_id") == latest)
+                    & F.col("partition_key").isNotNull()
+                )
                 .select("partition_key")
                 .collect()
             )

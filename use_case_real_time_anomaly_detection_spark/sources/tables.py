@@ -115,20 +115,28 @@ class ParquetCatalog:
     ) -> None:
         """Concurrency-safe append: stage, then move part-files in.
         Appends add files and never touch existing ones, so any number of
-        concurrent appenders compose."""
+        concurrent appenders compose.
+
+        Failure contract: a crash mid-publish can leave SOME of the
+        batch's files visible; a retry/replay then appends the full batch
+        again. That is the same at-least-once shape the engine's
+        append-only consumers already tolerate by design (lineage readers
+        dedup per (run, partition, detector) / take latest; completeness
+        checks aggregate, not count files). The staging dir is kept on
+        failure for forensics — a later call never reads it (job-unique
+        names) and Iceberg mode replaces all of this with one ACID
+        commit."""
         import shutil
 
         staging = self._stage(df, name, partition_by)
-        try:
-            live = self.path(name)
-            os.makedirs(live, exist_ok=True)
-            for rel in self._leaf_dirs(staging):
-                self._move_files(
-                    os.path.join(staging, rel) if rel != "." else staging,
-                    live if rel == "." else os.path.join(live, rel),
-                )
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
+        live = self.path(name)
+        os.makedirs(live, exist_ok=True)
+        for rel in self._leaf_dirs(staging):
+            self._move_files(
+                os.path.join(staging, rel) if rel != "." else staging,
+                live if rel == "." else os.path.join(live, rel),
+            )
+        shutil.rmtree(staging, ignore_errors=True)  # success only
 
     def overwrite_partitions(
         self, df: DataFrame, name: str, partition_by: list[str]
@@ -142,24 +150,39 @@ class ParquetCatalog:
         partition present in the output replaces the live leaf dir.
         Concurrent writers on DISJOINT partition sets (the documented
         contract) replace disjoint leaves and never interfere; same-leaf
-        concurrency needs Iceberg's transactional commit."""
+        concurrency needs Iceberg's transactional commit.
+
+        Crash safety: the NEW files are published into the leaf FIRST
+        (part names are job-unique so they never collide with the old
+        ones), and only then are the old files deleted. A crash in the
+        window leaves old+new visible together — transient duplicates a
+        retry of the same idempotent overwrite converges away — but at no
+        point is a partition's only copy deleted-before-replaced (the
+        previous delete-first order plus cleanup-on-failure could destroy
+        a partition permanently). The staging dir is kept on failure."""
         import shutil
 
         staging = self._stage(df, name, partition_by)
-        try:
-            live = self.path(name)
-            for rel in self._leaf_dirs(staging):
-                dest = live if rel == "." else os.path.join(live, rel)
-                if os.path.exists(dest):
-                    for f in os.listdir(dest):
-                        full = os.path.join(dest, f)
-                        if os.path.isfile(full):
-                            os.remove(full)
-                self._move_files(
-                    os.path.join(staging, rel) if rel != "." else staging, dest
-                )
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
+        live = self.path(name)
+        for rel in self._leaf_dirs(staging):
+            dest = live if rel == "." else os.path.join(live, rel)
+            old = (
+                [
+                    f
+                    for f in os.listdir(dest)
+                    if os.path.isfile(os.path.join(dest, f))
+                ]
+                if os.path.exists(dest)
+                else []
+            )
+            self._move_files(
+                os.path.join(staging, rel) if rel != "." else staging, dest
+            )
+            for f in old:
+                full = os.path.join(dest, f)
+                if os.path.exists(full):
+                    os.remove(full)
+        shutil.rmtree(staging, ignore_errors=True)  # success only
 
     def drop_partitions(self, name: str, column: str, values: list) -> int:
         """Remove whole top-level partition directories (all sub-levels

@@ -82,9 +82,22 @@ class CheckpointStore:
 
     def record_drift_batch(self, flags: DataFrame, batch_id: int) -> None:
         """Per-batch drift-gate flags keyed by batch_id (replay
-        overwrites itself)."""
+        overwrites itself). A NULL-partition_key MARKER row is always
+        included so a CLEAN batch still writes its batch_id leaf —
+        otherwise max(batch_id) would point at the last batch that
+        flagged anything and a stale flag would present as the current
+        gate result after the drift cleared. Readers filter
+        partition_key IS NOT NULL (runner --stream-drift does)."""
+        marker = flags.sparkSession.range(1).select(
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in flags.schema.fields
+            ]
+        )
         self.catalog.overwrite_partitions(
-            flags.withColumn("batch_id", F.lit(int(batch_id))),
+            flags.unionByName(marker).withColumn(
+                "batch_id", F.lit(int(batch_id))
+            ),
             DRIFT_STREAM_TABLE,
             partition_by=["batch_id"],
         )
