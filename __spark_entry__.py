@@ -1533,6 +1533,7 @@ def _q_suggest_rules(spark, sf):
     columns get observed [min,max] ranges. Oracle derives the identical
     policy from the same parquet in SQL."""
     from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        AggregateRule,
         NotNullRule,
         RangeRule,
         ValueSetRule,
@@ -1549,6 +1550,8 @@ def _q_suggest_rules(spark, sf):
             t, mn, mx, al = "not_null", None, None, None
         elif isinstance(r, RangeRule):
             t, mn, mx, al = "range", r.min_value, r.max_value, None
+        elif isinstance(r, AggregateRule):
+            t, mn, mx, al = f"agg_{r.agg}", r.min_value, r.max_value, None
         elif isinstance(r, ValueSetRule):
             t, mn, mx, al = "value_set", None, None, ",".join(r.allowed)
         else:  # UniqueRule carries a columns tuple, not a single column
@@ -3988,11 +3991,37 @@ def _suggest_rules_sql() -> str:
        CAST(NULL AS VARCHAR) AS allowed
 FROM m HAVING count(*) > 0 AND count("{c}") = count(*)"""
         )
+        parts.append(
+            f"""SELECT '{c}', 'agg_null_rate', CAST(NULL AS DOUBLE),
+       ceil((CAST(count(*) - count("{c}") AS DOUBLE) / count(*)) * 1000000.0)
+         / 1000000.0,
+       NULL
+FROM m HAVING count(*) > 0 AND count("{c}") > 0 AND count("{c}") < count(*)"""
+        )
         if kind == "num":
             parts.append(
                 f"""SELECT '{c}', 'range', CAST(min("{c}") AS DOUBLE),
        CAST(max("{c}") AS DOUBLE), NULL
 FROM m HAVING count("{c}") > 0"""
+            )
+            # avg fence: same DECIMAL(18,2)-exact moment idiom as the
+            # Python side, identical double op order, outward 1e-6 round
+            s1 = f'CAST(SUM(CAST("{c}" AS DECIMAL(18,2))) AS DOUBLE)'
+            s2 = (
+                f'CAST(SUM(CAST("{c}" AS DECIMAL(18,2)) * '
+                f'CAST("{c}" AS DECIMAL(18,2))) AS DOUBLE)'
+            )
+            parts.append(
+                f"""SELECT '{c}', 'agg_avg',
+       floor((avg_v - 3 * sigma - 0.005) * 1000000.0) / 1000000.0,
+       ceil((avg_v + 3 * sigma + 0.005) * 1000000.0) / 1000000.0,
+       NULL
+FROM (
+  SELECT {s1} / count("{c}") AS avg_v,
+         sqrt(greatest({s2} / count("{c}")
+              - ({s1} / count("{c}")) * ({s1} / count("{c}")), 0.0)) AS sigma
+  FROM m HAVING count("{c}") > 0
+)"""
             )
         else:
             parts.append(

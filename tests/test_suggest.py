@@ -44,8 +44,24 @@ def _frame(spark):
 
 
 def test_suggest_policy_on_known_shapes(spark):
+    import math
+
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        AggregateRule,
+    )
+
+    def avg_fence(s1, s2, nn):
+        avg = s1 / nn
+        sigma = math.sqrt(max(s2 / nn - avg * avg, 0.0))
+        return (
+            math.floor((avg - 3.0 * sigma - 0.005) * 1e6) / 1e6,
+            math.ceil((avg + 3.0 * sigma + 0.005) * 1e6) / 1e6,
+        )
+
     df = _frame(spark)
     got = suggest_rules(df, max_set_size=3)
+    score_lo, score_hi = avg_fence(75.0, 1625.0, 4)
+    val_lo, val_hi = avg_fence(4.5, 8.75, 3)
     assert got == [
         NotNullRule(column="id"),
         UniqueRule(columns=("id",)),
@@ -53,10 +69,19 @@ def test_suggest_policy_on_known_shapes(spark):
         ValueSetRule(column="lang", allowed=("de", "en", "fr")),
         NotNullRule(column="score"),
         RangeRule(column="score", min_value=10.0, max_value=30.0),
+        AggregateRule(
+            column="score", agg="avg", min_value=score_lo, max_value=score_hi
+        ),
         # note: small domain BUT nullable → no value_set (ValueSetRule
         # counts NULL as outside any set; suggesting one would violate
-        # the zero-violation self-consistency contract)
+        # the zero-violation self-consistency contract) — the nullable
+        # columns get their observed null rate capped instead
+        AggregateRule(column="note", agg="null_rate", max_value=0.25),
+        AggregateRule(column="val", agg="null_rate", max_value=0.25),
         RangeRule(column="val", min_value=0.5, max_value=2.5),
+        AggregateRule(
+            column="val", agg="avg", min_value=val_lo, max_value=val_hi
+        ),
     ]
     # tighter set cap: lang has 3 distinct values > 2 → no value_set
     capped = suggest_rules(df, max_set_size=2)

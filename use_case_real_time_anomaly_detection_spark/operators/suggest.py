@@ -23,6 +23,12 @@ Suggestion policy (deterministic — the DuckDB oracle replays it exactly):
   ``max_set_size`` values: the sorted observed set. ValueSetRule counts
   NULL as outside any set, so suggesting one on a nullable column would
   break the zero-violation contract.
+- ``aggregate avg``       — numeric columns: observed mean ± 3·stddev_pop
+  (exact DECIMAL(18,2) moments — the profile oracles' cross-engine
+  idiom), widened by the 0.005 quantization bound and rounded outward at
+  1e-6: the distribution-collapse tripwire row ranges can't express.
+- ``aggregate null_rate`` — nullable columns (where not_null cannot be
+  claimed): the observed null rate, ceil'd at 1e-6.
 - ``unique``     — string columns where exact-distinct == row count and
   no NULLs (a key). Numeric columns are excluded by policy: a float
   measurement column being incidentally collision-free is not evidence
@@ -47,7 +53,14 @@ from pyspark.sql import functions as F
 
 from ..functions.stats import NUMERIC_TYPES
 from .config import rules_to_config
-from .rules import NotNullRule, RangeRule, Rule, UniqueRule, ValueSetRule
+from .rules import (
+    AggregateRule,
+    NotNullRule,
+    RangeRule,
+    Rule,
+    UniqueRule,
+    ValueSetRule,
+)
 
 
 def column_facts(
@@ -70,6 +83,14 @@ def column_facts(
         if dtypes[c].split("(")[0] in NUMERIC_TYPES:
             aggs.append(F.min(c).cast("double").alias(f"{c}::min"))
             aggs.append(F.max(c).cast("double").alias(f"{c}::max"))
+            # EXACT decimal moments for the aggregate-bound suggestions —
+            # the (18,2) idiom whose cross-engine double parity the
+            # profile oracles already prove (a (18,2)x(18,2) product fits
+            # DECIMAL(38); the engine's own (28,6) product does not
+            # replay portably)
+            d = F.col(c).cast("decimal(18,2)")
+            aggs.append(F.sum(d).cast("double").alias(f"{c}::s1"))
+            aggs.append(F.sum(d * d).cast("double").alias(f"{c}::s2"))
     row = df.agg(*aggs).first().asDict()
 
     out = []
@@ -83,6 +104,8 @@ def column_facts(
                 "distinct": row[f"{c}::nd"],
                 "min": row.get(f"{c}::min"),
                 "max": row.get(f"{c}::max"),
+                "s1": row.get(f"{c}::s1"),
+                "s2": row.get(f"{c}::s2"),
             }
         )
     return out
@@ -119,14 +142,48 @@ def suggest_rules(
         ).first()
         value_sets = {c: tuple(sorted(row[c])) for c in set_cols}
 
+    import math
+
     rules: list[Rule] = []
     for f in facts:
         c, base = f["column"], f["dtype"].split("(")[0]
         if f["rows"] > 0 and f["non_null"] == f["rows"]:
             rules.append(NotNullRule(column=c))
+        elif f["rows"] > 0 and 0 < f["non_null"]:
+            # nullable column: cap the OBSERVED null rate instead of
+            # claiming not_null (ceil at 1e-6 keeps the zero-violation
+            # contract: the engine's exact null_rate can only tie, never
+            # exceed; a tie passes the strict > fence)
+            nr = (f["rows"] - f["non_null"]) / f["rows"]
+            rules.append(
+                AggregateRule(
+                    column=c,
+                    agg="null_rate",
+                    max_value=math.ceil(nr * 1e6) / 1e6,
+                )
+            )
         if base in NUMERIC_TYPES and f["non_null"] > 0:
             rules.append(
                 RangeRule(column=c, min_value=f["min"], max_value=f["max"])
+            )
+            # aggregate avg fence: observed mean ± 3·stddev_pop (the
+            # distribution-collapse tripwire row-level ranges can't
+            # express), widened by the 0.005 (18,2)-quantization bound so
+            # the fence provably contains the ENGINE's (28,6)-exact avg
+            # even for constant columns, and rounded OUTWARD at 1e-6 for
+            # cross-engine replayability
+            avg = f["s1"] / f["non_null"]
+            var = f["s2"] / f["non_null"] - avg * avg
+            sigma = math.sqrt(max(var, 0.0))
+            rules.append(
+                AggregateRule(
+                    column=c,
+                    agg="avg",
+                    min_value=math.floor((avg - 3.0 * sigma - 0.005) * 1e6)
+                    / 1e6,
+                    max_value=math.ceil((avg + 3.0 * sigma + 0.005) * 1e6)
+                    / 1e6,
+                )
             )
         if c in value_sets:
             rules.append(ValueSetRule(column=c, allowed=value_sets[c]))
