@@ -954,6 +954,35 @@ def _q_pattern_check(spark, sf):
     ).violations
 
 
+def _q_cusum_shift(spark, sf):
+    """Sequential change-point detection (operators/rules.CusumRule —
+    Page's CUSUM): one-sided cumulative sums of deviations from target
+    accumulate a persistent small shift that every per-row fence is
+    blind to. Flags exactly the planted +300 ms dur drift partition
+    (c001) once ~17 clips of net evidence accrue — the sequential
+    complement of the KS/PSI DriftRule. Compiled to two window layers
+    (running decimal sum, running min) over the shared sequence
+    shuffle; exact decimal arithmetic makes every digit cross-engine
+    deterministic."""
+    from use_case_real_time_anomaly_detection_spark.operators.compiler import (
+        compile_rules,
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        CusumRule,
+    )
+
+    _ensure_clips_oracle_files()
+    meta = spark.read.parquet(_CLIPS_META).withColumn(
+        "partition_key", F.substring("clip_id", 1, 4)
+    )
+    plan = compile_rules(
+        meta,
+        [CusumRule("dur_ms", target=1000.0, k=150.0, h=2500.0)],
+        seq_col="seq",
+    )
+    return plan.violations
+
+
 def _q_clips_topk(spark, sf):
     """Frequent-items profile of the categorical clip columns
     (functions/stats.topk_values): top-3 values per (partition, column)."""
@@ -1833,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_bounds": _q_agg_bounds,
         "completeness_check": _q_completeness,
         "mad_outliers": _q_mad_outliers,
+        "cusum_shift": _q_cusum_shift,
         "seq_pack": _q_seq_pack,
         "decontaminate": _q_decontaminate,
         "minhash_lsh": _q_minhash_lsh,
@@ -2270,6 +2300,41 @@ SELECT e.event_type AS partition_key,
 FROM events e JOIN s ON e.event_type = s.pk
 WHERE s.mad > 0
   AND abs(0.6745 * (CAST(e.value AS DOUBLE) - s.med) / s.mad) > 3.5
+"""
+
+
+# ≙ _q_cusum_shift: Page's CUSUM via its closed form S_t = P_t -
+# min(0, min_{j<=t} P_j) — running DECIMAL sum then running min, the
+# identical two window layers the compiler emits. Exact decimal
+# arithmetic ⇒ both engines produce the same verdict set and digits;
+# ties on seq are broken by clip_id (total prefix order).
+_SQL_CUSUM_SHIFT = f"""
+WITH m AS (
+  SELECT substring(clip_id, 1, 4) AS partition_key, clip_id, seq,
+         CAST(dur_ms AS DECIMAL(28,6)) AS x
+  FROM read_parquet('{_CLIPS_META}/*.parquet')
+), p AS (
+  SELECT partition_key, clip_id, seq, x,
+         SUM(x - CAST(1150.0 AS DECIMAL(28,6))) OVER w AS pu,
+         SUM(CAST(850.0 AS DECIMAL(28,6)) - x) OVER w AS pd
+  FROM m
+  WINDOW w AS (PARTITION BY partition_key ORDER BY seq, clip_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), s AS (
+  SELECT partition_key, clip_id, x,
+         pu - LEAST(CAST(0 AS DECIMAL(38,6)), MIN(pu) OVER w) AS su,
+         pd - LEAST(CAST(0 AS DECIMAL(38,6)), MIN(pd) OVER w) AS sd
+  FROM p
+  WINDOW w AS (PARTITION BY partition_key ORDER BY seq, clip_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT partition_key, clip_id,
+       'cusum' AS detector,
+       'cusum_hi:' || {_fmt_sql("CAST(su AS DOUBLE)", 2)}
+         || '| cusum_lo:' || {_fmt_sql("CAST(sd AS DOUBLE)", 2)} AS observed,
+       'target:1000| k:150| h:2500' AS note
+FROM s
+WHERE x IS NOT NULL AND (su > 2500 OR sd > 2500)
 """
 
 
@@ -4188,6 +4253,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_bounds": _SQL_AGG_BOUNDS,
         "completeness_check": _SQL_COMPLETENESS,
         "mad_outliers": _SQL_MAD_OUTLIERS,
+        "cusum_shift": _SQL_CUSUM_SHIFT,
         "seq_pack": _SQL_SEQ_PACK,
         "decontaminate": _SQL_DECONTAMINATE,
         "sessionize": _SQL_SESSIONIZE,

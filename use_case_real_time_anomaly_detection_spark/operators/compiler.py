@@ -45,6 +45,7 @@ from .rules import (
     AudioDecodeRule,
     AudioQcRule,
     CompletenessRule,
+    CusumRule,
     DriftRule,
     GapRule,
     IqrRule,
@@ -314,6 +315,51 @@ def compile_rules(
             w = Window.partitionBy(partition_col).orderBy(seq_col)
             base = base.select("*", *window_cols(w))
 
+    # ---- CUSUM change-point columns ---------------------------------------
+    # Page's recursion S_t = max(0, S_{t-1} + y_t) via its closed form
+    # S_t = P_t - min(0, min_{j<=t} P_j): a running DECIMAL sum, then a
+    # running min of it — two Window expression layers over the SAME
+    # (partition, seq) exchange the other sequence rules use (a second
+    # sort, zero extra shuffles). Decimal sums are exact ⇒ associative ⇒
+    # the verdict set is engine- and order-independent. Ties on seq are
+    # broken by key_col so the prefix order is total (planted duplicate
+    # rows must not make two engines walk the sequence differently).
+    cusum_rules = [r for r in rules if isinstance(r, CusumRule)]
+    if cusum_rules:
+        if seq_col is None:
+            raise ValueError("sequence rules need seq_col")
+        wc = (
+            Window.partitionBy(partition_col)
+            .orderBy(seq_col, key_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pcols: list[Column] = []
+        for i, r in enumerate(cusum_rules):
+            x = F.col(r.column).cast("decimal(28,6)")
+            up = x - F.lit(r.target).cast("decimal(28,6)") - F.lit(r.k).cast(
+                "decimal(28,6)"
+            )
+            pcols.append(F.sum(up).over(wc).alias(f"__cusum_pu_{i}"))
+            if r.two_sided:
+                dn = (
+                    F.lit(r.target).cast("decimal(28,6)")
+                    - x
+                    - F.lit(r.k).cast("decimal(28,6)")
+                )
+                pcols.append(F.sum(dn).over(wc).alias(f"__cusum_pd_{i}"))
+        base = base.select("*", *pcols)
+        zero = F.lit(0).cast("decimal(38,6)")
+        mcols: list[Column] = []
+        for i, r in enumerate(cusum_rules):
+            p = F.col(f"__cusum_pu_{i}").cast("decimal(38,6)")
+            m = F.min(p).over(wc)
+            mcols.append((p - F.least(zero, m)).alias(f"__cusum_su_{i}"))
+            if r.two_sided:
+                p = F.col(f"__cusum_pd_{i}").cast("decimal(38,6)")
+                m = F.min(p).over(wc)
+                mcols.append((p - F.least(zero, m)).alias(f"__cusum_sd_{i}"))
+        base = base.select("*", *mcols)
+
     # ---- per-partition IQR fences: two-level agg + broadcast join --------
     iqr_rules = [r for r in rules if isinstance(r, IqrRule)]
     for r in iqr_rules:
@@ -543,6 +589,31 @@ def compile_rules(
                 F.lit(f"| threshold:{r.threshold:g}"),
             )
             _entry(r.detector, cond, _fmt(z, 4), note)
+
+        elif isinstance(r, CusumRule):
+            i = next(j for j, cr in enumerate(cusum_rules) if cr is r)
+            su = F.col(f"__cusum_su_{i}").cast("double")
+            sd = (
+                F.col(f"__cusum_sd_{i}").cast("double")
+                if r.two_sided
+                else F.lit(None).cast("double")
+            )
+            breach = su > F.lit(r.h)
+            if r.two_sided:
+                breach = breach | (sd > F.lit(r.h))
+            # NULL x rows carry S across but are never themselves flagged
+            cond = F.col(r.column).isNotNull() & breach
+            observed = (
+                F.concat(
+                    F.lit("cusum_hi:"), _fmt(su), F.lit("| cusum_lo:"), _fmt(sd)
+                )
+                if r.two_sided
+                else F.concat(F.lit("cusum_hi:"), _fmt(su))
+            )
+            note = F.lit(
+                f"target:{r.target:g}| k:{r.k:g}| h:{r.h:g}"
+            )
+            _entry(r.detector, cond, observed, note)
 
         elif isinstance(r, RefMatchRule):
             refc = F.col(f"__ref_{r.ref_column}")

@@ -27,6 +27,7 @@ from .rules import (
     AudioDecodeRule,
     AudioQcRule,
     CompletenessRule,
+    CusumRule,
     DriftRule,
     GapRule,
     IqrRule,
@@ -60,6 +61,7 @@ RULE_TYPES = {
     "z_score": ZScoreRule,
     "iqr": IqrRule,
     "mad": MadRule,
+    "cusum": CusumRule,
     "aggregate": AggregateRule,
     "completeness": CompletenessRule,
     "unique": UniqueRule,

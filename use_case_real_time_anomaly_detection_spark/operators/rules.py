@@ -161,6 +161,61 @@ class ZScoreRule(Rule):
     detector: str = "z-score"
 
 
+@dataclass(frozen=True)
+class CusumRule(Rule):
+    """Sequential change-point detection (Page's CUSUM, Biometrika 1954):
+    flag rows once the one-sided cumulative sum of deviations from
+    ``target`` exceeds ``h``.
+
+        S⁺_t = max(0, S⁺_{t-1} + (x_t − target − k))   (upward shift)
+        S⁻_t = max(0, S⁻_{t-1} + (target − x_t − k))   (downward shift)
+
+    The detector family the z-score/MAD/IQR fences can't express: a
+    persistent SMALL shift (each observation well inside every
+    per-row fence) accumulates in S and crosses ``h`` after enough
+    evidence, while transient spikes decay away at ``k`` per step.
+    This is the classic monitor for "the corpus quietly changed" —
+    a new capture chain shipping +5% duration, a resampler drifting —
+    long before the distribution moves enough for KS/PSI drift to see.
+
+    Spark-first compilation: the recursion looks sequential, but has the
+    closed form  S_t = P_t − min(0, min_{j≤t} P_j)  over the prefix sums
+    P_t = Σ_{i≤t} (x_i − target − k), so it compiles to TWO window
+    expressions (a running sum, then a running min of it) over the same
+    (partition, seq) shuffle every other sequence rule shares — no
+    per-row Python, no iteration. The sums run in DECIMAL(28,6), so for
+    ≤6-decimal inputs/parameters they are exact and associative: the
+    verdict set and every note digit are bit-identical across engines
+    (the same determinism contract as AggregateRule's decimal moments).
+    Ties on ``seq`` are broken by ``key_col`` for a total order.
+
+    NULL values leave S unchanged (sum skips them) and are never flagged.
+    Like the other sequence rules, a partition's sequence is one ordered
+    scan; at 10^12 rows the two-level distributed prefix-sum treatment
+    (functions/packing.py's in-bucket window + per-bucket subtotal
+    rollup, which decomposes both the running sum and the running min)
+    is the scale-out path for a single partition too long for one task.
+
+    ``k`` (the allowance) should be ~half the shift you want to detect;
+    ``h`` trades detection delay against false alarms (Page's ARL).
+    """
+
+    column: str
+    target: float
+    k: float = 0.0
+    h: float = 5.0
+    two_sided: bool = True
+    detector: str = "cusum"
+
+    def __post_init__(self) -> None:
+        if self.h <= 0 or self.k < 0:
+            # ≙ {{ error(...) }} on an impossible parameterization
+            raise ValueError(
+                f"CusumRule({self.column}): need h > 0 and k >= 0, "
+                f"got h={self.h}, k={self.k}"
+            )
+
+
 # --------------------------------------------------------------------------
 # Aggregate rules — per-partition statistics then fence comparison.
 # --------------------------------------------------------------------------
