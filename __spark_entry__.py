@@ -1403,6 +1403,72 @@ def _q_audio_trim(spark, sf):
     )
 
 
+_AUDIO_SEGMENTS = f"{_ORACLE_DIR}/audio_segments.parquet"
+
+
+def _ensure_audio_segments_oracle() -> None:
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        audio_segments_pandas,
+    )
+
+    _ensure_fixture_version()
+    if os.path.exists(f"{_AUDIO_SEGMENTS}/data.parquet"):
+        return
+    os.makedirs(_AUDIO_SEGMENTS, exist_ok=True)
+    spec = SynthSpec(partitions=4, clips_per_partition=150)
+    pq.write_table(
+        pa.Table.from_pandas(
+            audio_segments_pandas(spec, window_ms=400, hop_ms=200, min_ms=100),
+            preserve_index=False,
+        ),
+        f"{_AUDIO_SEGMENTS}/data.parquet",
+    )
+
+
+def _q_audio_segments(spark, sf):
+    """Corpus segmentation for training (functions/audio_features.
+    segment_clips): 400 ms windows every 200 ms (min 100 ms) — each
+    segment re-encoded with its clip's codec, identified by md5 so the
+    oracle is byte-exact. ONE mapInArrow decode pass; the 1→N explode
+    happens inside the Arrow batch, payloads never cross an exchange.
+    Oracle: the exact chain (decode → segment_signal → re-encode → md5)
+    in pure pandas."""
+    from use_case_real_time_anomaly_detection_spark.functions.audio_features import (
+        segment_clips,
+    )
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        generate_clips,
+    )
+
+    _ensure_audio_segments_oracle()
+    spec = SynthSpec(partitions=4, clips_per_partition=150)
+    clips = generate_clips(spark, spec).dropDuplicates(["clip_id"])
+    return (
+        segment_clips(clips, window_ms=400, hop_ms=200, min_ms=100)
+        .select(
+            "clip_id", "segment_id", "seg_index", "start_ms",
+            "dur_ms", "sr_hz", "codec", F.md5("bytes").alias("payload_md5"),
+        )
+        .orderBy("segment_id")
+    )
+
+
+# ≙ _q_audio_segments: the pandas twin IS the oracle — parity of every
+# segment boundary and every payload md5 is the claim.
+_SQL_AUDIO_SEGMENTS = f"""
+SELECT clip_id, segment_id, seg_index, start_ms, dur_ms, sr_hz, codec,
+       payload_md5
+FROM read_parquet('{_AUDIO_SEGMENTS}/*.parquet')
+"""
+
+
 def _q_speech_rate(spark, sf):
     """Transcript↔duration consistency through the FULL rule engine
     (ValidationEngine + compiler fusion, not ad-hoc expressions): one
@@ -1863,6 +1929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completeness_check": _q_completeness,
         "mad_outliers": _q_mad_outliers,
         "cusum_shift": _q_cusum_shift,
+        "audio_segments": _q_audio_segments,
         "seq_pack": _q_seq_pack,
         "decontaminate": _q_decontaminate,
         "minhash_lsh": _q_minhash_lsh,
@@ -4254,6 +4321,7 @@ def oracle_sql() -> dict[str, str]:
         "completeness_check": _SQL_COMPLETENESS,
         "mad_outliers": _SQL_MAD_OUTLIERS,
         "cusum_shift": _SQL_CUSUM_SHIFT,
+        "audio_segments": _SQL_AUDIO_SEGMENTS,
         "seq_pack": _SQL_SEQ_PACK,
         "decontaminate": _SQL_DECONTAMINATE,
         "sessionize": _SQL_SESSIONIZE,

@@ -485,6 +485,168 @@ def normalize_loudness_clips(
     return df.mapInArrow(run, schema)
 
 
+def segment_signal(
+    sig: np.ndarray,
+    sr: int,
+    *,
+    window_ms: int | None = None,
+    hop_ms: int | None = None,
+    gap_ms: int | None = None,
+    thresh: float = SILENCE_ABS,
+    min_ms: int = 0,
+) -> list[tuple[int, np.ndarray]]:
+    """Cut one decoded signal into segments; returns [(start_sample, seg)].
+
+    Exactly one mode must be selected:
+    - fixed windows (``window_ms`` given): cuts of round(window_ms·sr/1000)
+      samples every round(hop_ms·sr/1000) samples (hop defaults to the
+      window — non-overlapping); the trailing remainder is kept as a
+      shorter final segment.
+    - silence splits (``gap_ms`` given): maximal voiced runs
+      (|x| ≥ thresh), where runs separated by silence SHORTER than
+      gap_ms merge into one segment (the silence is kept inside it) —
+      the multi-segment generalization of trim_signal, which is the
+      degenerate gap_ms = ∞ case.
+
+    Segments shorter than ``min_ms`` are dropped in both modes. Fixed
+    float64-free integer boundary math — shared verbatim by the Spark
+    operator and the pandas oracle twin.
+    """
+    if (window_ms is None) == (gap_ms is None):
+        raise ValueError("segment_signal: give exactly one of window_ms/gap_ms")
+    if sr <= 0 or len(sig) == 0:
+        return []
+    min_n = int(round(min_ms * sr / 1000.0))
+    out: list[tuple[int, np.ndarray]] = []
+    if window_ms is not None:
+        win_n = max(1, int(round(window_ms * sr / 1000.0)))
+        hop_n = max(
+            1, int(round((window_ms if hop_ms is None else hop_ms) * sr / 1000.0))
+        )
+        for start in range(0, len(sig), hop_n):
+            seg = sig[start : start + win_n]
+            if len(seg) >= max(1, min_n):
+                out.append((start, seg))
+    else:
+        gap_n = max(1, int(round(gap_ms * sr / 1000.0)))
+        voiced = np.flatnonzero(np.abs(sig) >= thresh)
+        if len(voiced) == 0:
+            return []
+        # split where consecutive voiced samples are >= gap_n apart
+        cuts = np.flatnonzero(np.diff(voiced) >= gap_n) + 1
+        for run in np.split(voiced, cuts):
+            seg = sig[run[0] : run[-1] + 1]
+            if len(seg) >= max(1, min_n):
+                out.append((int(run[0]), seg))
+    return out
+
+
+def segment_clips(
+    df: DataFrame,
+    *,
+    window_ms: int | None = None,
+    hop_ms: int | None = None,
+    gap_ms: int | None = None,
+    thresh: float = SILENCE_ABS,
+    min_ms: int = 0,
+    id_col: str = "clip_id",
+) -> DataFrame:
+    """Segment the corpus into training-sized pieces: one output row per
+    segment, payload re-encoded with the clip's own codec — the audio
+    analog of the text pipeline's sequence chunking (functions/packing):
+    long-form captures become uniform windows (``window_ms``/``hop_ms``)
+    or utterance-like silence-split pieces (``gap_ms``/``thresh``), the
+    shape ASR/audio-LM training consumes.
+
+    Output schema: (clip_id, segment_id, seg_index, start_ms, dur_ms,
+    sr_hz, codec, bytes) with segment_id = "<clip_id>#<seg_index:04d>" —
+    itself a valid corpus key, so every downstream operator (dedup, QC
+    rules, features, ingest gates) composes over segments unchanged.
+
+    Scale shape: ONE mapInArrow decode pass; the 1→N explode happens
+    INSIDE the Arrow batch, so the parent payload is decoded once and
+    never crosses an exchange; output size ≈ input size (fixed
+    non-overlapping) or less (silence mode drops dead air). Undecodable
+    payloads emit zero segments — they are the decode rule's violations,
+    not this operator's (same ownership split as trim/resample).
+    """
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    if (window_ms is None) == (gap_ms is None):
+        # ≙ {{ error(...) }}: config-time, before any Spark job exists
+        raise ValueError("segment_clips: give exactly one of window_ms/gap_ms")
+
+    need = [id_col, "bytes", "codec", "sr_hz"]
+    src = df.select(*need)
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType()),
+            T.StructField("segment_id", T.StringType()),
+            T.StructField("seg_index", T.IntegerType()),
+            T.StructField("start_ms", T.IntegerType()),
+            T.StructField("dur_ms", T.IntegerType()),
+            T.StructField("sr_hz", T.IntegerType()),
+            T.StructField("codec", T.StringType()),
+            T.StructField("bytes", T.BinaryType()),
+        ]
+    )
+
+    def run(batches):
+        for b in batches:
+            names = b.schema.names
+            ids = b.column(names.index(id_col)).to_pylist()
+            barr = b.column(names.index("bytes"))
+            codecs = b.column(names.index("codec")).to_pylist()
+            srs = b.column(names.index("sr_hz")).to_pylist()
+            rows = {f.name: [] for f in out_schema.fields}
+            for i in range(len(barr)):
+                sc = barr[i]
+                mv = memoryview(sc.as_buffer()) if sc.is_valid else None
+                dec_fn = DECODERS.get(codecs[i])
+                enc_fn = ENCODERS.get(codecs[i])
+                sr = int(srs[i] or 0)
+                try:
+                    if dec_fn is None or enc_fn is None or mv is None or len(mv) == 0:
+                        raise ValueError("undecodable")
+                    segs = segment_signal(
+                        dec_fn(mv, sr),
+                        sr,
+                        window_ms=window_ms,
+                        hop_ms=hop_ms,
+                        gap_ms=gap_ms,
+                        thresh=thresh,
+                        min_ms=min_ms,
+                    )
+                except Exception:
+                    continue  # undecodable: the decode rule's violation
+                for j, (start, seg) in enumerate(segs):
+                    rows[id_col].append(ids[i])
+                    rows["segment_id"].append(f"{ids[i]}#{j:04d}")
+                    rows["seg_index"].append(j)
+                    rows["start_ms"].append(int(round(start * 1000.0 / sr)))
+                    rows["dur_ms"].append(int(round(len(seg) * 1000.0 / sr)))
+                    rows["sr_hz"].append(sr)
+                    rows["codec"].append(codecs[i])
+                    rows["bytes"].append(enc_fn(seg, sr))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(rows[id_col], type=pa.string()),
+                    pa.array(rows["segment_id"], type=pa.string()),
+                    pa.array(rows["seg_index"], type=pa.int32()),
+                    pa.array(rows["start_ms"], type=pa.int32()),
+                    pa.array(rows["dur_ms"], type=pa.int32()),
+                    pa.array(rows["sr_hz"], type=pa.int32()),
+                    pa.array(rows["codec"], type=pa.string()),
+                    pa.array(rows["bytes"], type=pa.binary()),
+                ],
+                names=[f.name for f in out_schema.fields],
+            )
+
+    return src.mapInArrow(run, out_schema)
+
+
 # Signal-level op dispatch for the fused pipeline: each op maps
 # (sig, sr, dur_ms, kwargs) -> (sig, sr, dur_ms), with the SAME
 # semantics as its standalone operator. Adding a case here makes the op

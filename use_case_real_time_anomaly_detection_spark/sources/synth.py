@@ -545,6 +545,71 @@ def audio_trim_features_pandas(spec: SynthSpec = SynthSpec()) -> pd.DataFrame:
     return _transformed_features_pandas(spec, transform)
 
 
+def audio_segments_pandas(
+    spec: SynthSpec = SynthSpec(),
+    *,
+    window_ms: int | None = None,
+    hop_ms: int | None = None,
+    gap_ms: int | None = None,
+    min_ms: int = 0,
+) -> pd.DataFrame:
+    """Oracle twin of the `audio_segments` query: the corpus segmented
+    in pure pandas — decode → segment_signal → re-encode per segment —
+    with each segment payload reduced to its md5 (byte-exact identity;
+    the parquet twin stays slim). One row per segment."""
+    import hashlib
+
+    from ..functions.audio import DECODERS
+    from ..functions.audio_features import ENCODERS, segment_signal
+
+    rows = []
+    for p in range(spec.partitions):
+        seen = set()
+        for row in _render_rows(p, spec).itertuples(index=False):
+            if row.clip_id in seen:  # MOD_DUP twin rows
+                continue
+            seen.add(row.clip_id)
+            dec_fn = DECODERS.get(row.codec)
+            enc_fn = ENCODERS.get(row.codec)
+            sr = int(row.sr_hz)
+            try:
+                if dec_fn is None or enc_fn is None or not row.bytes:
+                    raise ValueError("undecodable")
+                segs = segment_signal(
+                    dec_fn(row.bytes, sr),
+                    sr,
+                    window_ms=window_ms,
+                    hop_ms=hop_ms,
+                    gap_ms=gap_ms,
+                    min_ms=min_ms,
+                )
+            except Exception:
+                continue  # undecodable: zero segments, like the operator
+            for j, (start, seg) in enumerate(segs):
+                rows.append(
+                    {
+                        "clip_id": row.clip_id,
+                        "segment_id": f"{row.clip_id}#{j:04d}",
+                        "seg_index": j,
+                        "start_ms": int(round(start * 1000.0 / sr)),
+                        "dur_ms": int(round(len(seg) * 1000.0 / sr)),
+                        "sr_hz": sr,
+                        "codec": row.codec,
+                        "payload_md5": hashlib.md5(enc_fn(seg, sr)).hexdigest(),
+                    }
+                )
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "clip_id", "segment_id", "seg_index", "start_ms",
+            "dur_ms", "sr_hz", "codec", "payload_md5",
+        ],
+    )
+    for c in ("seg_index", "start_ms", "dur_ms", "sr_hz"):
+        out[c] = out[c].astype("int32")
+    return out.sort_values("segment_id", kind="mergesort").reset_index(drop=True)
+
+
 def audio_normalize_features_pandas(
     spec: SynthSpec = SynthSpec(),
     target_rms: float = 0.45,
