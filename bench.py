@@ -50,6 +50,8 @@ HEADLINE = [
     "audio_pipeline",      # fused trim->resample->normalize->features, 1 Arrow pass
     "audio_ann",           # acoustic top-k over band vectors (r4)
     "audio_qc",            # decoded-signal QC fences, shared Arrow pass (r4)
+    "cusum_shift",         # sequential change-point, closed-form windows (r4)
+    "audio_segments",      # 1->N corpus segmentation in one Arrow pass (r4)
 ]
 
 CLIPS_SPEC = dict(partitions=32, clips_per_partition=1000, sr_hz=8000)
