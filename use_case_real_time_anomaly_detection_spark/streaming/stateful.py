@@ -1,4 +1,4 @@
-"""Custom stateful streaming operator: running z-score per key.
+"""Custom stateful streaming operators: running z-score + CUSUM per key.
 
 The reference's detectors re-evaluate trailing windows per run (no
 stream state — SURVEY.md §2.9 ST5). This module adds the genuinely
@@ -108,6 +108,92 @@ def running_zscore_stream(
         fn,
         OUTPUT_SCHEMA,
         STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+CUSUM_OUTPUT_SCHEMA = (
+    "id long, ts timestamp, value double, cusum_hi double, cusum_lo double"
+)
+CUSUM_STATE_SCHEMA = "su double, sd double"
+
+
+def cusum_stream(
+    events: DataFrame,
+    *,
+    target: float,
+    k: float = 0.0,
+    h: float = 5.0,
+    two_sided: bool = True,
+    id_col: str = "id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Streaming CUSUM change-point flags (the continuous sibling of the
+    batch CusumRule, operators/rules.py): Page's recursion carried as
+    TWO doubles of state per key across micro-batches —
+
+        S⁺ ← max(0, S⁺ + (v − target − k));  S⁻ ← max(0, S⁻ + (target − v − k))
+
+    emitting each row whose S⁺ or S⁻ exceeds ``h``. Where the batch rule
+    compiles the closed form over window prefix sums, the stream is the
+    recursion itself — O(1) state per key (vs the z-score state's three
+    accumulators), checkpoint-persisted, so a restart resumes the
+    accumulated evidence instead of re-earning it.
+
+    Rows are processed in (ts, *order_cols) order within a micro-batch;
+    the recursion is a fixed float64 op sequence in that total order, so
+    flags are deterministic and batch-boundary independent (proven in
+    tests/test_cusum_stream.py by 1-batch vs 2-batches-with-restart vs a
+    pandas oracle). NULL values leave S unchanged and never flag —
+    the same contract as the batch rule.
+    """
+    if h <= 0 or k < 0:
+        # ≙ {{ error(...) }}: config-time, before any stream starts
+        raise ValueError(f"cusum_stream: need h > 0 and k >= 0, got h={h}, k={k}")
+    sort_cols = [ts_col, *order_cols]
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        su, sd = state.get if state.exists else (0.0, 0.0)
+
+        out: list[tuple] = []
+        # concat-then-sort for the same batch-boundary-determinism reason
+        # as running_zscore_stream above
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                sort_cols, kind="mergesort"
+            )
+            for row in pdf.itertuples(index=False):
+                v = getattr(row, value_col)
+                if v is None or (isinstance(v, float) and math.isnan(v)):
+                    continue  # nulls carry S unchanged and never flag
+                v = float(v)
+                su = max(0.0, su + (v - target - k))
+                sd = max(0.0, sd + (target - v - k)) if two_sided else 0.0
+                if su > h or sd > h:
+                    out.append(
+                        (
+                            key[0],
+                            getattr(row, ts_col),
+                            v,
+                            round(su, 4),
+                            round(sd, 4),
+                        )
+                    )
+
+        state.update((su, sd))
+        cols = ["id", "ts", "value", "cusum_hi", "cusum_lo"]
+        yield pd.DataFrame(out, columns=cols)
+
+    return events.groupBy(id_col).applyInPandasWithState(
+        fn,
+        CUSUM_OUTPUT_SCHEMA,
+        CUSUM_STATE_SCHEMA,
         "append",
         GroupStateTimeout.NoTimeout,
     )
