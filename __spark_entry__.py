@@ -954,6 +954,32 @@ def _q_pattern_check(spark, sf):
     ).violations
 
 
+def _q_predicate_check(spark, sf):
+    """Cross-column conditional constraint through the full engine
+    (operators/rules.PredicateRule): rows must satisfy
+    codec <> 'mulaw' OR sr_hz = 8000 — the "mulaw implies 8 kHz"
+    deployment contract no single-column rule can express. NULL
+    (unknown) does not satisfy. Fused row-local into the single scan;
+    the oracle runs the expression verbatim."""
+    from use_case_real_time_anomaly_detection_spark.operators.engine import (
+        ValidationEngine,
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        PredicateRule,
+    )
+
+    _ensure_clips_oracle_files()
+    meta = spark.read.parquet(_CLIPS_META).withColumn(
+        "partition_key", F.substring("clip_id", 1, 4)
+    )
+    eng = ValidationEngine()
+    return eng.run(
+        meta,
+        [PredicateRule("codec <> 'mulaw' OR sr_hz = 8000")],
+        run_id="pred",
+    ).violations
+
+
 def _q_cusum_shift(spark, sf):
     """Sequential change-point detection (operators/rules.CusumRule —
     Page's CUSUM): one-sided cumulative sums of deviations from target
@@ -1929,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completeness_check": _q_completeness,
         "mad_outliers": _q_mad_outliers,
         "cusum_shift": _q_cusum_shift,
+        "predicate_check": _q_predicate_check,
         "audio_segments": _q_audio_segments,
         "seq_pack": _q_seq_pack,
         "decontaminate": _q_decontaminate,
@@ -1939,7 +1966,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "clips_validate": _q_clips_validate,
         "clips_verdicts": _q_clips_verdicts,
-        "clips_validate_audio": _q_clips_validate_audio,
         "audio_qc": _q_audio_qc,
         "ref_match": _q_ref_match,
         "embed_neardup": _q_embed_neardup,
@@ -1972,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CI pass via tests/test_oracle_parity.py (parametrized over
         # sorted(oracle_sql())) and tools/parity_check.py, so a
         # regression in a rotated query still fails the suite ------------
+        "clips_validate_audio": _q_clips_validate_audio,
         "clips_quarantine": _q_clips_quarantine,
         "clips_clean": _q_clips_clean,
         "clips_topk": _q_clips_topk,
@@ -2402,6 +2429,20 @@ SELECT partition_key, clip_id,
        'target:1000| k:150| h:2500' AS note
 FROM s
 WHERE x IS NOT NULL AND (su > 2500 OR sd > 2500)
+"""
+
+
+# ≙ _q_predicate_check: the expression runs VERBATIM in DuckDB (the
+# PredicateRule portability contract); NOT-TRUE = violation.
+_SQL_PREDICATE_CHECK = f"""
+SELECT DISTINCT substring(clip_id, 1, 4) AS partition_key,
+       clip_id,
+       'predicate' AS detector,
+       CASE WHEN (codec <> 'mulaw' OR sr_hz = 8000) IS NULL
+            THEN 'null' ELSE 'false' END AS observed,
+       'must satisfy: codec <> ''mulaw'' OR sr_hz = 8000' AS note
+FROM read_parquet('{_CLIPS_META}/*.parquet')
+WHERE COALESCE(codec <> 'mulaw' OR sr_hz = 8000, FALSE) = FALSE
 """
 
 
@@ -4321,6 +4362,7 @@ def oracle_sql() -> dict[str, str]:
         "completeness_check": _SQL_COMPLETENESS,
         "mad_outliers": _SQL_MAD_OUTLIERS,
         "cusum_shift": _SQL_CUSUM_SHIFT,
+        "predicate_check": _SQL_PREDICATE_CHECK,
         "audio_segments": _SQL_AUDIO_SEGMENTS,
         "seq_pack": _SQL_SEQ_PACK,
         "decontaminate": _SQL_DECONTAMINATE,

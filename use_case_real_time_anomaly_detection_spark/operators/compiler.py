@@ -53,6 +53,7 @@ from .rules import (
     NotNullRule,
     PatternRule,
     PayloadSizeRule,
+    PredicateRule,
     RefMatchRule,
     ProfileSpec,
     RangeRule,
@@ -589,6 +590,17 @@ def compile_rules(
                 F.lit(f"| threshold:{r.threshold:g}"),
             )
             _entry(r.detector, cond, _fmt(z, 4), note)
+
+        elif isinstance(r, PredicateRule):
+            ok = F.expr(r.expr)
+            # IS NOT TRUE: a NULL (unknown) predicate does not satisfy
+            cond = ~F.coalesce(ok, F.lit(False))
+            _entry(
+                r.detector,
+                cond,
+                F.when(ok.isNull(), "null").otherwise("false"),
+                F.lit(f"must satisfy: {r.expr}"),
+            )
 
         elif isinstance(r, CusumRule):
             i = next(j for j, cr in enumerate(cusum_rules) if cr is r)

@@ -35,6 +35,7 @@ from .rules import (
     NotNullRule,
     PatternRule,
     PayloadSizeRule,
+    PredicateRule,
     RefMatchRule,
     ProfileSpec,
     RangeRule,
@@ -55,6 +56,7 @@ RULE_TYPES = {
     "range": RangeRule,
     "not_null": NotNullRule,
     "pattern": PatternRule,
+    "predicate": PredicateRule,
     "value_set": ValueSetRule,
     "rate_of_change": RateOfChangeRule,
     "gap": GapRule,

@@ -162,6 +162,36 @@ class ZScoreRule(Rule):
 
 
 @dataclass(frozen=True)
+class PredicateRule(Rule):
+    """Row must satisfy an arbitrary SQL boolean expression — the
+    cross-column escape hatch (Deequ's ``satisfies``, Great
+    Expectations' pair/conditional expectations): constraints like
+    "mulaw implies 8 kHz" (``codec <> 'mulaw' OR sr_hz = 8000``) touch
+    TWO columns at once, which no single-column rule can express.
+
+    Rows where the predicate does not evaluate to TRUE are violations —
+    a NULL (unknown) does not satisfy, mirroring SQL CHECK-constraint
+    semantics; use explicit ``IS NULL`` branches in the expression when
+    NULLs should pass (NotNullRule owns null policy for single columns).
+
+    Row-local: compiles to one fused boolean column in the shared
+    validation scan (no extra scan, no shuffle, JVM codegen — F.expr).
+    Portability contract (same as PatternRule's RE2 rule): keep the
+    expression in the ANSI subset both Spark and DuckDB parse, so the
+    oracle runs it verbatim. The expression sees the validated table's
+    own columns only.
+    """
+
+    expr: str
+    detector: str = "predicate"
+
+    def __post_init__(self) -> None:
+        if not self.expr or not self.expr.strip():
+            # ≙ {{ error(...) }} on a meaningless configuration
+            raise ValueError("PredicateRule: empty expression")
+
+
+@dataclass(frozen=True)
 class CusumRule(Rule):
     """Sequential change-point detection (Page's CUSUM, Biometrika 1954):
     flag rows once the one-sided cumulative sum of deviations from
