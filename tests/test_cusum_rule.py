@@ -143,6 +143,43 @@ def test_cusum_tie_break_and_decimal_exactness(spark):
     assert [r.clip_id for r in got] == ["c0002"]
 
 
+def test_cusum_chunked_equals_single_window(spark):
+    """The two-level prefix decomposition (window_chunk_size set) must
+    reproduce the single-window plan EXACTLY — same rows, same digits —
+    at any chunk size, including chunks smaller than drift runs, seq
+    gaps wider than a chunk, NULL values, and seq ties."""
+    rng = np.random.default_rng(21)
+    rows = []
+    for p in ("p0", "p1"):
+        vals = rng.uniform(95.0, 105.0, 500).round(2)
+        if p == "p1":
+            vals[200:] += 2.0  # persistent shift in one partition
+        seq = 0
+        for i, v in enumerate(vals):
+            seq += int(rng.integers(1, 4))  # gaps of 1-3
+            if i == 300:
+                seq += 400  # a gap wider than any chunk below
+            rows.append((p, f"c{i:04d}", seq, float(v)))
+            if i == 100:  # seq tie (duplicate row id differs)
+                rows.append((p, f"c{i:04d}x", seq, float(v)))
+    rows[50] = (rows[50][0], rows[50][1], rows[50][2], None)  # NULL value
+    df = spark.createDataFrame(
+        rows, "partition_key string, clip_id string, seq long, value double"
+    )
+    rule = CusumRule("value", target=100.0, k=1.0, h=15.0)
+
+    def run(chunk):
+        got = compile_rules(
+            df, [rule], seq_col="seq", window_chunk_size=chunk
+        ).violations.collect()
+        return sorted((r.clip_id, r.observed) for r in got)
+
+    want = run(None)
+    assert want, "the shift must flag"
+    for chunk in (7, 64, 100_000):
+        assert run(chunk) == want, f"chunk_size={chunk} diverges"
+
+
 def test_cusum_config_roundtrip_and_validation(spark):
     rules = [CusumRule("dur_ms", target=1000.0, k=150.0, h=2500.0)]
     assert rules_from_config(rules_to_config(rules)) == rules

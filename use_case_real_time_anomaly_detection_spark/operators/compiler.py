@@ -329,37 +329,58 @@ def compile_rules(
     if cusum_rules:
         if seq_col is None:
             raise ValueError("sequence rules need seq_col")
-        wc = (
-            Window.partitionBy(partition_col)
-            .orderBy(seq_col, key_col)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        pcols: list[Column] = []
-        for i, r in enumerate(cusum_rules):
+
+        def _y(r: CusumRule, side: str) -> Column:
             x = F.col(r.column).cast("decimal(28,6)")
-            up = x - F.lit(r.target).cast("decimal(28,6)") - F.lit(r.k).cast(
-                "decimal(28,6)"
+            t = F.lit(r.target).cast("decimal(28,6)")
+            kk = F.lit(r.k).cast("decimal(28,6)")
+            return (x - t - kk) if side == "up" else (t - x - kk)
+
+        if window_chunk_size is not None:
+            # skew-safe path: the two-level prefix decomposition — a
+            # 10^12-row partition runs as rows/chunk_size parallel tasks
+            # instead of one straggler (exact at ANY chunk size; see
+            # operators/skew.chunked_cusum_cols)
+            from .skew import chunked_cusum_cols
+
+            ymap: dict[str, Column] = {}
+            for i, r in enumerate(cusum_rules):
+                ymap[f"cusum_su_{i}"] = _y(r, "up")
+                if r.two_sided:
+                    ymap[f"cusum_sd_{i}"] = _y(r, "dn")
+            base = chunked_cusum_cols(
+                base,
+                partition_col=partition_col,
+                seq_col=seq_col,
+                key_col=key_col,
+                y_cols=ymap,
+                chunk_size=window_chunk_size,
             )
-            pcols.append(F.sum(up).over(wc).alias(f"__cusum_pu_{i}"))
-            if r.two_sided:
-                dn = (
-                    F.lit(r.target).cast("decimal(28,6)")
-                    - x
-                    - F.lit(r.k).cast("decimal(28,6)")
-                )
-                pcols.append(F.sum(dn).over(wc).alias(f"__cusum_pd_{i}"))
-        base = base.select("*", *pcols)
-        zero = F.lit(0).cast("decimal(38,6)")
-        mcols: list[Column] = []
-        for i, r in enumerate(cusum_rules):
-            p = F.col(f"__cusum_pu_{i}").cast("decimal(38,6)")
-            m = F.min(p).over(wc)
-            mcols.append((p - F.least(zero, m)).alias(f"__cusum_su_{i}"))
-            if r.two_sided:
-                p = F.col(f"__cusum_pd_{i}").cast("decimal(38,6)")
+        else:
+            wc = (
+                Window.partitionBy(partition_col)
+                .orderBy(seq_col, key_col)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            pcols: list[Column] = []
+            for i, r in enumerate(cusum_rules):
+                pcols.append(F.sum(_y(r, "up")).over(wc).alias(f"__cusum_pu_{i}"))
+                if r.two_sided:
+                    pcols.append(
+                        F.sum(_y(r, "dn")).over(wc).alias(f"__cusum_pd_{i}")
+                    )
+            base = base.select("*", *pcols)
+            zero = F.lit(0).cast("decimal(38,6)")
+            mcols: list[Column] = []
+            for i, r in enumerate(cusum_rules):
+                p = F.col(f"__cusum_pu_{i}").cast("decimal(38,6)")
                 m = F.min(p).over(wc)
-                mcols.append((p - F.least(zero, m)).alias(f"__cusum_sd_{i}"))
-        base = base.select("*", *mcols)
+                mcols.append((p - F.least(zero, m)).alias(f"__cusum_su_{i}"))
+                if r.two_sided:
+                    p = F.col(f"__cusum_pd_{i}").cast("decimal(38,6)")
+                    m = F.min(p).over(wc)
+                    mcols.append((p - F.least(zero, m)).alias(f"__cusum_sd_{i}"))
+            base = base.select("*", *mcols)
 
     # ---- per-partition IQR fences: two-level agg + broadcast join --------
     iqr_rules = [r for r in rules if isinstance(r, IqrRule)]

@@ -220,11 +220,12 @@ class CusumRule(Rule):
     Ties on ``seq`` are broken by ``key_col`` for a total order.
 
     NULL values leave S unchanged (sum skips them) and are never flagged.
-    Like the other sequence rules, a partition's sequence is one ordered
-    scan; at 10^12 rows the two-level distributed prefix-sum treatment
-    (functions/packing.py's in-bucket window + per-bucket subtotal
-    rollup, which decomposes both the running sum and the running min)
-    is the scale-out path for a single partition too long for one task.
+    With ``window_chunk_size`` set, the compiler evaluates the closed
+    form via the two-level distributed prefix decomposition
+    (operators/skew.chunked_cusum_cols — the functions/packing.py
+    subtotal-rollup idiom, which splits both the running sum and the
+    running min exactly at any chunk boundary), so a single partition
+    too long for one task runs as rows/chunk_size parallel tasks.
 
     ``k`` (the allowance) should be ~half the shift you want to detect;
     ``h`` trades detection delay against false alarms (Page's ARL).

@@ -71,6 +71,108 @@ def salted_repartition(
     return df.repartition(F.col(key_col), salt_col)
 
 
+def chunked_cusum_cols(
+    df: DataFrame,
+    *,
+    partition_col: str,
+    seq_col: str,
+    key_col: str,
+    y_cols: dict[str, Column],
+    chunk_size: int,
+) -> DataFrame:
+    """Exact distributed CUSUM statistics without one-task-per-partition.
+
+    For each entry ``name → y`` computes ``__{name}`` = the CUSUM value
+    S_t = P_t − min(0, min_{j≤t} P_j) over prefix sums P of ``y`` in
+    (seq, key) order — the same closed form the compiler's single-window
+    path evaluates — but as a TWO-LEVEL prefix decomposition (the
+    functions/packing.py idiom), so a 10^12-row partition is processed
+    by rows/chunk_size parallel tasks instead of one straggler:
+
+    1. per (partition, chunk): in-chunk prefix sum p and running min m —
+       parallel across chunks;
+    2. chunk directory (one row per non-empty chunk — tiny): exclusive
+       cumulative offsets O_c = Σ T_{c'<c} and prefix mins
+       G_c = min_{c'<c}(O_{c'} + M_{c'}) over per-chunk totals/mins;
+    3. broadcast the directory back: P = O_c + p,
+       S = P − least(0, G_c, O_c + m).
+
+    Unlike the bounded-frame replica trick (chunked_window_cols), this
+    decomposition is exact UNCONDITIONALLY — prefix sums and prefix
+    mins split perfectly at any chunk boundary, empty chunks (seq gaps)
+    simply don't appear in the directory, and decimal arithmetic keeps
+    every value bit-equal to the single-window plan (asserted across
+    chunk sizes in tests/test_cusum_rule.py). Rows whose y is NULL get
+    a NULL in-chunk prefix where the global plan would carry the prior
+    sum — those are exactly the never-flagged NULL-value rows, so the
+    violation sets are identical.
+    """
+    if chunk_size < 1:
+        raise ValueError("chunk_size must be >= 1")
+    zero = F.lit(0).cast("decimal(38,6)")
+    base = df.withColumn("__chunk", F.floor(F.col(seq_col) / chunk_size))
+    w_in = (
+        Window.partitionBy(partition_col, "__chunk")
+        .orderBy(seq_col, key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = base.select(
+        "*",
+        *[
+            F.sum(y).over(w_in).cast("decimal(38,6)").alias(f"__p_{n}")
+            for n, y in y_cols.items()
+        ],
+    )
+    base = base.select(
+        "*",
+        *[F.min(f"__p_{n}").over(w_in).alias(f"__m_{n}") for n in y_cols],
+    )
+
+    # chunk directory: per-chunk total (prefix value at the chunk's last
+    # present row — trailing NULL-y rows don't move it) and per-chunk
+    # min — ONE row per non-empty chunk, so the two window layers below
+    # run over a relation of rows/chunk_size entries (tiny), exactly the
+    # packing.py subtotal-rollup shape
+    last = F.struct(F.col(seq_col), F.col(key_col))
+    directory = base.groupBy(partition_col, "__chunk").agg(
+        *[F.max_by(f"__p_{n}", last).alias(f"__T_{n}") for n in y_cols],
+        *[F.min(f"__p_{n}").alias(f"__M_{n}") for n in y_cols],
+    )
+    w_prev = (
+        Window.partitionBy(partition_col)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # layer 1: exclusive offsets O_c; layer 2: G_c = min_{c'<c}(O + M)
+    for n in y_cols:
+        directory = directory.withColumn(
+            f"__O_{n}",
+            F.coalesce(F.sum(f"__T_{n}").over(w_prev).cast("decimal(38,6)"), zero),
+        )
+    for n in y_cols:
+        directory = directory.withColumn(
+            f"__G_{n}", F.min(F.col(f"__O_{n}") + F.col(f"__M_{n}")).over(w_prev)
+        )
+    slim = directory.select(
+        partition_col,
+        "__chunk",
+        *[F.col(f"__O_{n}") for n in y_cols],
+        *[F.col(f"__G_{n}") for n in y_cols],
+    )
+
+    base = base.join(F.broadcast(slim), [partition_col, "__chunk"], "left")
+    for n in y_cols:
+        p_glob = F.col(f"__O_{n}") + F.col(f"__p_{n}")
+        floor_min = F.least(
+            zero, F.col(f"__G_{n}"), F.col(f"__O_{n}") + F.col(f"__m_{n}")
+        )
+        base = base.withColumn(f"__{n}", (p_glob - floor_min).cast("decimal(38,6)"))
+    drop = ["__chunk"]
+    for n in y_cols:
+        drop += [f"__p_{n}", f"__m_{n}", f"__O_{n}", f"__G_{n}"]
+    return base.drop(*drop)
+
+
 def chunked_window_cols(
     df: DataFrame,
     *,
