@@ -337,6 +337,67 @@ def test_running_zscore_multichunk_out_of_order(spark, tmp_path):
     assert len(got) >= 2  # both injected spikes flagged
 
 
+def test_stream_same_partition_batches_accumulate_violations(spark, tmp_path):
+    """Two micro-batches delivering clips for the SAME partition must
+    ACCUMULATE violation evidence (violations_stream keyed (pk, batch)):
+    batch 2's write may not erase batch 1's violations — the leak the
+    per-pk overwrite layout would cause. An authoritative BATCH pass then
+    supersedes: record_run clears the stream dirs for the partitions it
+    validated, so violations() never double-represents them."""
+    from pyspark.sql import functions as F
+
+    from use_case_real_time_anomaly_detection_spark.plans.clips import default_rules
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        CLIPS_SCHEMA,
+        SynthSpec,
+        generate_clips,
+        generate_manifest,
+    )
+    from use_case_real_time_anomaly_detection_spark.streaming.pipeline import (
+        stream_clips_validation,
+    )
+
+    spec = SynthSpec(partitions=2, clips_per_partition=120)
+    clips = generate_clips(spark, spec).cache()
+    manifest = generate_manifest(spark, spec).cache()
+    src = str(tmp_path / "clip_stream")
+    ckpt = str(tmp_path / "clip_ckpt")
+    store = CheckpointStore(ParquetCatalog(spark, str(tmp_path / "wh")))
+    # clip_id = c{part:03d}-{seq:09d} (synth.py) → recover seq to split
+    c000 = clips.filter(F.substring("clip_id", 1, 4) == "c000").withColumn(
+        "seq", F.split("clip_id", "-").getItem(1).cast("int")
+    )
+    half = c000.approxQuantile("seq", [0.5], 0.0)[0]
+
+    def run_wave():
+        stream = spark.readStream.schema(CLIPS_SCHEMA).parquet(src)
+        q = stream_clips_validation(
+            stream, manifest, store,
+            checkpoint_dir=ckpt, rules=default_rules(with_audio=False),
+        )
+        q.awaitTermination(300)
+
+    # wave 1: first half of c000; wave 2: the rest of c000 (same pk)
+    c000.filter(F.col("seq") <= half).drop("seq").write.mode("append").parquet(src)
+    run_wave()
+    v1 = {r["clip_id"] for r in store.violations().select("clip_id").collect()}
+    assert v1, "wave 1 must produce violations"
+    c000.filter(F.col("seq") > half).drop("seq").write.mode("append").parquet(src)
+    run_wave()
+    v2 = {r["clip_id"] for r in store.violations().select("clip_id").collect()}
+    assert v1 <= v2, "batch 2 erased batch 1's violation evidence"
+    assert len(v2) > len(v1), "wave 2's own violations must land too"
+
+    # authoritative batch pass over the full partition supersedes the
+    # stream accumulator: stream dirs cleared, union == batch snapshot
+    run_with_resume(
+        spark, clips, manifest, store, frontier=frontier_of(spec),
+        rules=default_rules(with_audio=False),
+    )
+    batch_only = store.catalog.read("violations").count()
+    assert store.violations().count() == batch_only
+
+
 def test_stream_clips_validation_two_waves(spark, tmp_path):
     """Streaming clip validation: two file-arrival waves drain through
     foreachBatch; each cycle's violations land partition-overwritten and

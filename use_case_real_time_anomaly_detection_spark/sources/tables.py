@@ -55,11 +55,28 @@ class ParquetCatalog:
     def exists(self, name: str) -> bool:
         return os.path.exists(self.path(name))
 
+    def has_data(self, name: str) -> bool:
+        """True when the table holds at least one data file. Distinct from
+        exists(): supersession (drop_partitions) can empty a stream
+        accumulator's every leaf while the table ROOT remains, and a bare
+        parquet read of that shell fails schema inference."""
+        root = self.path(name)
+        if not os.path.exists(root):
+            return False
+        for _r, _d, files in os.walk(root):
+            if any(not f.startswith(("_", ".")) for f in files):
+                return True
+        return False
+
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.path(name))
 
     def _stage(
-        self, df: DataFrame, name: str, partition_by: list[str] | None
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None,
+        options: dict | None = None,
     ) -> str:
         """Write df to a job-unique staging sibling of the table dir.
 
@@ -77,6 +94,8 @@ class ParquetCatalog:
 
         staging = self.path(name) + f"._stage_{uuid.uuid4().hex}"
         w = df.write.mode("overwrite")
+        for k, v in (options or {}).items():
+            w = w.option(k, v)
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(staging)
@@ -139,7 +158,11 @@ class ParquetCatalog:
         shutil.rmtree(staging, ignore_errors=True)  # success only
 
     def overwrite_partitions(
-        self, df: DataFrame, name: str, partition_by: list[str]
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str],
+        options: dict | None = None,
     ) -> None:
         """Idempotent per-partition replace (dynamic partition overwrite) —
         the parquet analog of Iceberg's MERGE/replace-partition commit, and
@@ -162,7 +185,7 @@ class ParquetCatalog:
         a partition permanently). The staging dir is kept on failure."""
         import shutil
 
-        staging = self._stage(df, name, partition_by)
+        staging = self._stage(df, name, partition_by, options)
         live = self.path(name)
         for rel in self._leaf_dirs(staging):
             dest = live if rel == "." else os.path.join(live, rel)
@@ -225,6 +248,10 @@ class IcebergCatalog(ParquetCatalog):
     def exists(self, name: str) -> bool:  # pragma: no cover — needs jar
         return self.spark.catalog.tableExists(self.qualified(name))
 
+    def has_data(self, name: str) -> bool:  # pragma: no cover — needs jar
+        # an Iceberg table always carries its schema; an empty read is fine
+        return self.exists(name)
+
     def create_partitioned(
         self, df: DataFrame, name: str, transforms: list
     ) -> None:  # pragma: no cover — needs jar
@@ -243,7 +270,7 @@ class IcebergCatalog(ParquetCatalog):
         return self.spark.table(self.qualified(name))
 
     def overwrite_partitions(
-        self, df, name, partition_by=None
+        self, df, name, partition_by=None, options=None
     ):  # pragma: no cover — needs jar
         """Idempotent per-partition replace: Iceberg's dynamic
         overwritePartitions commit (partition_by is carried by the table
@@ -361,8 +388,13 @@ def compact_partitions(
        (target bytes / measured avg row bytes), not by task placement —
        AQE is free to coalesce or split the shard exchange (at toy scale
        it will) without breaking the output layout;
-    4. commit via dynamic partition overwrite — idempotent, and
-       partitions not in the plan are never touched.
+    4. commit via the catalog's crash-safe publish-first partition
+       replace (overwrite_partitions) — idempotent, partitions not in
+       the plan are never touched, and at no point is a partition's
+       only copy deleted-before-replaced. Like all per-partition
+       overwrites here, compaction owns the partitions it rewrites for
+       the duration: schedule it from the same slot as the copy job (or
+       on partitions the copy cadence isn't currently appending to).
 
     The collects are the partition PLAN (verdict-sized), never data. On
     Iceberg the same maintenance is `CALL system.rewrite_data_files`
@@ -454,12 +486,19 @@ def compact_partitions(
     total_rows = data.count()  # partition-pruned, column-pruned scan
     total_bytes = sum(r["bytes"] for r in plan)
     rows_per_file = max(1, int(target_file_bytes * total_rows / max(total_bytes, 1)))
-    (
-        sharded.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .option("maxRecordsPerFile", str(rows_per_file))
-        .partitionBy(*partition_by)
-        .parquet(catalog.path(name))
+    # commit through the crash-safe publish-first path, NOT Spark's native
+    # dynamic partition overwrite: the native commit deletes each matched
+    # leaf before renaming the staged files in, so a crash in that window
+    # loses the partition permanently. overwrite_partitions fully
+    # materializes the rewrite in a staging dir (the live table is only
+    # READ during that job), then publishes new files into each leaf
+    # before removing the old ones — a crash leaves old+new visible,
+    # which a re-run of the same idempotent compaction converges away.
+    catalog.overwrite_partitions(
+        sharded,
+        name,
+        partition_by=partition_by,
+        options={"maxRecordsPerFile": str(rows_per_file)},
     )
     after = (
         catalog.read(name)

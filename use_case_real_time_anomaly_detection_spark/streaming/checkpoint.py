@@ -24,6 +24,7 @@ from ..sources.tables import ParquetCatalog
 
 LINEAGE_TABLE = "lineage"
 VIOLATIONS_TABLE = "violations"
+VIOLATIONS_STREAM_TABLE = "violations_stream"
 PROFILE_TABLE = "profile_state"
 PROFILE_STREAM_TABLE = "profile_stream"
 DRIFT_STREAM_TABLE = "drift_stream"
@@ -36,12 +37,48 @@ class CheckpointStore:
     # -- write side ---------------------------------------------------------
 
     def record_run(self, result, *, frontier: int) -> None:
-        """Persist a run's outputs: violations (partition-overwritten →
-        idempotent re-runs) + verdict/lineage rows (append-only history)."""
+        """Persist a BATCH run's outputs: violations (partition-overwritten
+        → idempotent re-runs) + verdict/lineage rows (append-only history).
+
+        A batch run validates each partition's FULL row set, so its per-pk
+        snapshot is authoritative: any streaming-accumulated violation dirs
+        for the partitions it validated are cleared (same supersession the
+        runner applies to quarantine_stream) — otherwise violations()'s
+        union would keep presenting stream-era evidence this full
+        validation just recomputed or cleared."""
         self.catalog.overwrite_partitions(
             result.violations.withColumn("pk", F.col("partition_key")),
             VIOLATIONS_TABLE,
             partition_by=["pk"],
+        )
+        if self.catalog.exists(VIOLATIONS_STREAM_TABLE):
+            self.catalog.drop_partitions(
+                VIOLATIONS_STREAM_TABLE,
+                "partition_key",
+                [
+                    r["partition_key"]
+                    for r in result.verdicts.select("partition_key")
+                    .distinct()
+                    .collect()
+                ],
+            )
+        self.catalog.append(result.verdicts, LINEAGE_TABLE)
+
+    def record_stream_run(self, result, *, batch_id: int, frontier: int) -> None:
+        """Persist a MICRO-BATCH run's outputs. Violations land in the
+        streaming accumulator keyed (partition_key, batch_id) — the same
+        discipline as quarantine_stream/profile_stream: a batch validates
+        only the rows it delivered, so a per-pk overwrite (record_run's
+        batch-authoritative layout) would let every later batch wipe the
+        partition's earlier violation evidence; per-(pk, batch) dirs
+        accumulate across batches while an at-least-once REPLAY of a batch
+        overwrites exactly its own rows. Verdict/lineage rows append as in
+        batch mode (one verdict row per partition per cycle is the
+        documented stream contract)."""
+        self.catalog.overwrite_partitions(
+            result.violations.withColumn("batch_id", F.lit(int(batch_id))),
+            VIOLATIONS_STREAM_TABLE,
+            partition_by=["partition_key", "batch_id"],
         )
         self.catalog.append(result.verdicts, LINEAGE_TABLE)
 
@@ -118,10 +155,22 @@ class CheckpointStore:
     # -- read side ----------------------------------------------------------
 
     def completed_partitions(self, frontier: int) -> DataFrame | None:
-        """Partitions fully validated at a frontier ≥ the requested one."""
+        """Partitions fully validated at a frontier ≥ the requested one.
+
+        Only BATCH verdicts grant resume authority: a streaming cycle
+        (run_id prefix ``stream-``, the convention runner.py's
+        --stream-verdicts view also keys on) validates only the slice of
+        rows its micro-batch delivered — its partition stats (z-window,
+        IQR fences, drift) are trailing-window snapshots, not
+        full-partition facts — so counting those rows here would let a
+        later batch resume skip a partition no full pass ever covered.
+        Smoke runs are excluded the same way record_smoke arranged
+        (completed_at_seq forced to -1)."""
         if not self.catalog.exists(LINEAGE_TABLE):
             return None
-        lin = self.catalog.read(LINEAGE_TABLE)
+        lin = self.catalog.read(LINEAGE_TABLE).filter(
+            ~F.col("run_id").startswith("stream-")
+        )
         per_part = lin.filter(F.col("completed_at_seq") >= frontier).groupBy(
             "partition_key"
         ).agg(F.count_distinct("detector").alias("n_det"))
@@ -129,7 +178,25 @@ class CheckpointStore:
         return per_part.filter(F.col("n_det") >= total).select("partition_key")
 
     def violations(self) -> DataFrame:
-        return self.catalog.read(VIOLATIONS_TABLE)
+        """Violation evidence across BOTH maintenance paths: the batch
+        runner's authoritative per-partition snapshot unioned with the
+        streaming accumulator (per-(partition, batch) dirs; batch_id
+        dropped). A batch pass clears the stream dirs for the partitions
+        it validates (record_run), so the union never double-represents a
+        re-validated partition — mirroring quarantine()."""
+        parts = []
+        if self.catalog.has_data(VIOLATIONS_TABLE):
+            parts.append(self.catalog.read(VIOLATIONS_TABLE).drop("pk"))
+        if self.catalog.has_data(VIOLATIONS_STREAM_TABLE):
+            parts.append(
+                self.catalog.read(VIOLATIONS_STREAM_TABLE).drop("batch_id")
+            )
+        if not parts:
+            raise FileNotFoundError("no violations table in this store")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def quarantine(self) -> DataFrame:
         """Quarantined-clip evidence across BOTH maintenance paths: the
@@ -141,13 +208,13 @@ class CheckpointStore:
         pass clears the stream dirs it supersedes (runner --quarantine),
         so the union never double-represents a re-validated partition."""
         parts = []
-        if self.catalog.exists("quarantine"):
+        if self.catalog.has_data("quarantine"):
             parts.append(
                 self.catalog.read("quarantine").filter(
                     F.col("clip_id").isNotNull()
                 )
             )
-        if self.catalog.exists("quarantine_stream"):
+        if self.catalog.has_data("quarantine_stream"):
             parts.append(self.catalog.read("quarantine_stream").drop("batch_id"))
         if not parts:
             raise FileNotFoundError(

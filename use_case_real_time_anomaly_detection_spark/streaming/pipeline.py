@@ -112,7 +112,14 @@ def stream_clips_validation(
             persist=True,
             fail_threshold=fail_threshold,
         )
-        store.record_run(res, frontier=int(frontier))
+        # violations keyed (pk, batch_id) — a later batch delivering MORE
+        # clips for a partition accumulates alongside earlier batches'
+        # evidence instead of overwriting it (record_run's per-pk layout
+        # is for authoritative full-partition batch passes only); a
+        # replayed batch still overwrites exactly itself
+        store.record_stream_run(
+            res, batch_id=int(batch_id), frontier=int(frontier)
+        )
         if quarantine:
             from ..operators.engine import quarantine_split
 
