@@ -558,6 +558,50 @@ def _q_dedup_corpus_ids(spark, sf):
     return canonical_corpus_ids(docs, clusters)
 
 
+def _q_train_split(spark, sf):
+    """Leakage-guarded train/val/test split: every doc hashed on its
+    near-dup cluster representative (functions/dedup.split_assign), so
+    near-duplicates never straddle splits — the document-level
+    eval-contamination guard. 90/5/5 via deterministic md5 buckets."""
+    from use_case_real_time_anomaly_detection_spark.functions.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+        split_assign,
+    )
+
+    docs = _docs(spark, sf)
+    clusters = connected_components(minhash_lsh_pairs(docs, threshold=0.5))
+    return split_assign(docs, clusters)
+
+
+def _q_semantic_dedup(spark, sf):
+    """Semantic dedup (SemDeDup): embedding-cosine near-dup pairs →
+    connected components → min-id representative survives per cluster
+    (functions/similarity.semantic_dedup_ids, exact block-GEMM path)."""
+    from use_case_real_time_anomaly_detection_spark.functions.similarity import (
+        semantic_dedup_ids,
+    )
+
+    return semantic_dedup_ids(_emb(spark, sf), threshold=0.4)
+
+
+def _q_quality_sample(spark, sf):
+    """Quality-weighted deterministic sampling: admission probability =
+    min(1, n_tokens/500) — token-length as the quality proxy; md5-bucket
+    scheme (functions/text.quality_weighted_sample), reproducible
+    across engines/runs/retries."""
+    from pyspark.sql import functions as F
+
+    from use_case_real_time_anomaly_detection_spark.functions.text import (
+        quality_score,
+        quality_weighted_sample,
+    )
+
+    q = quality_score(_docs(spark, sf))
+    w = F.least(F.lit(1.0), F.col("n_tokens").cast("double") / F.lit(500.0))
+    return quality_weighted_sample(q, w).select("doc_id")
+
+
 def _q_simhash_pairs(spark, sf):
     from use_case_real_time_anomaly_detection_spark.functions.dedup import simhash_near_pairs
 
@@ -1959,16 +2003,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_segments": _q_audio_segments,
         "seq_pack": _q_seq_pack,
         "decontaminate": _q_decontaminate,
+        "train_split": _q_train_split,
+        "semantic_dedup": _q_semantic_dedup,
+        "quality_sample": _q_quality_sample,
         "minhash_lsh": _q_minhash_lsh,
         "dedup_corpus_ids": _q_dedup_corpus_ids,
         "ingest_gate": _q_ingest_gate,
-        "ann_brute": _q_ann_brute,
-        "ann_ivf": _q_ann_ivf,
         "clips_validate": _q_clips_validate,
         "clips_verdicts": _q_clips_verdicts,
         "audio_qc": _q_audio_qc,
         "ref_match": _q_ref_match,
-        "embed_neardup": _q_embed_neardup,
         "speech_rate": _q_speech_rate,
         "transcript_distance": _q_transcript_distance,
         "image_features": _q_image_features,
@@ -2031,6 +2075,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_events": _q_unique_events,
         "pricing_summary": _q_pricing_summary,
         "ngram_jaccard": _q_ngram_jaccard,
+        "embed_neardup": _q_embed_neardup,
+        "ann_ivf": _q_ann_ivf,
+        "ann_brute": _q_ann_brute,
     }
 
 
@@ -2822,6 +2869,7 @@ clusters AS (
 _SQL_DUP_CLUSTERS = (
     "WITH RECURSIVE " + _CLOSURE + "\nSELECT doc_id, cluster_id FROM clusters"
 )
+
 
 
 def _jacc_ge(ov: str, na: str, nb: str, thr: float) -> str:
@@ -3848,11 +3896,78 @@ def _hex8_sql(hexpr: str) -> str:
 # deterministic content-hash sampling ≙ functions/text.py hash_sample:
 # bucket = first-8-hex-digits(md5('sample:'||id)) mod 10^4; 20% overall,
 # 50% for lang='es'
+# leakage-guarded split ≙ functions/dedup.split_assign: every doc hashes
+# on its near-dup cluster representative (singletons: own id); cumulative
+# md5-bucket cuts 9000/9500/10000 = train/val/test 90/5/5.
+_SQL_TRAIN_SPLIT = (
+    "WITH RECURSIVE "
+    + _CLOSURE
+    + f""",
+reps AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+),
+bkt AS (
+  SELECT doc_id, cluster_id,
+         ({_hex8_sql("md5('split:' || CAST(cluster_id AS VARCHAR))")} % 10000)
+           AS bucket
+  FROM reps
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM bkt
+"""
+)
+
+# semantic dedup ≙ functions/similarity.semantic_dedup_ids: connected
+# components over the embedding-cosine near-dup pairs (the exact
+# block-GEMM pair relation — same CTE as embed_neardup), keep the min-id
+# representative of each cluster plus all singletons.
+_SQL_SEMANTIC_DEDUP = f"""
+WITH RECURSIVE pairs AS (
+{_SQL_EMBED_NEARDUP}
+),
+sedges AS (
+  SELECT a_id AS s, b_id AS d FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+sreach (s, d) AS (
+  SELECT s, d FROM sedges
+  UNION
+  SELECT r.s, e.d FROM sreach r JOIN sedges e ON e.s = r.d
+),
+sclusters AS (
+  SELECT s AS vec_id, least(s, min(d)) AS cluster_id FROM sreach GROUP BY s
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM sclusters WHERE cluster_id <> vec_id)
+"""
+
 _SQL_HASH_SAMPLE = f"""
 SELECT doc_id, lang
 FROM documents
 WHERE ({_hex8_sql("md5('sample:' || CAST(doc_id AS VARCHAR))")} % 10000)
       < (CASE WHEN lang = 'es' THEN 5000 ELSE 2000 END)
+"""
+
+# quality-weighted sampling ≙ functions/text.quality_weighted_sample with
+# weight = min(1, n_tokens/500): identical IEEE double expression shape on
+# both engines, so clamp+floor land on the same per-10^4 threshold.
+_SQL_QUALITY_SAMPLE = f"""
+WITH q AS ({_SQL_TEXT_QUALITY}),
+w AS (
+  SELECT doc_id,
+         CAST(floor(
+           least(1.0, greatest(0.0,
+             least(1.0, CAST(n_tokens AS DOUBLE) / 500.0))) * 10000
+         ) AS BIGINT) AS thr
+  FROM q
+)
+SELECT doc_id FROM w
+WHERE ({_hex8_sql("md5('qsample:' || CAST(doc_id AS VARCHAR))")} % 10000) < thr
 """
 
 
@@ -4378,6 +4493,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _SQL_DEDUP_EXACT,
         "minhash_lsh": _SQL_MINHASH_LSH,
         "dup_clusters": _SQL_DUP_CLUSTERS,
+        "train_split": _SQL_TRAIN_SPLIT,
+        "semantic_dedup": _SQL_SEMANTIC_DEDUP,
+        "quality_sample": _SQL_QUALITY_SAMPLE,
         "dedup_corpus_ids": _SQL_DEDUP_CORPUS_IDS,
         "corpus_filter": _SQL_CORPUS_FILTER,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,

@@ -824,3 +824,84 @@ def contamination_scores(
         )
         .filter(F.col("score") > F.lit(min_score))
     )
+
+
+def split_assign(
+    docs: DataFrame,
+    clusters: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    splits: tuple = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-guarded train/val/test assignment: every doc is hashed on
+    its near-duplicate CLUSTER representative (``clusters`` =
+    connected_components output; docs incident to no pair represent
+    themselves), so an entire near-dup cluster lands in ONE split —
+    near-duplicates of training documents can never leak into the
+    held-out splits (the document-level eval-contamination guard; the
+    n-gram-level complement is contamination_pairs).
+
+    Assignment is the same deterministic md5 bucket scheme as
+    hash_sample (reproducible across engines, runs, partitionings, and
+    retries — a re-run assigns the identical split, and a DuckDB oracle
+    can verify the assignment): bucket = int(md5("salt:rep")[:8], 16)
+    mod 10⁴, split by cumulative per-10⁴ thresholds. Fractions must sum
+    to 1 (±1 bucket of rounding) — config-time ValueError otherwise
+    (≙ the reference's template-time error() checks).
+
+    Scale shape: ``clusters`` holds only docs incident to a near-dup
+    pair (≪ corpus), so the annotation is one broadcast left join; the
+    bucket math is pure JVM hash arithmetic on the slim (id, rep)
+    projection. Returns (id_col, cluster_id, split).
+    """
+    names = [n for n, _ in splits]
+    if len(set(names)) != len(names):
+        raise ValueError(f"split_assign: duplicate split names in {names}")
+    cuts, acc = [], 0
+    for name, frac in splits:
+        if frac <= 0:
+            raise ValueError(
+                f"split_assign: fraction for {name!r} must be > 0, got {frac}"
+            )
+        acc += round(frac * 10000)
+        cuts.append((name, acc))
+    if abs(acc - 10000) > 1:
+        raise ValueError(
+            f"split_assign: fractions must sum to 1, got {acc / 10000}"
+        )
+
+    base = docs.select(id_col)
+    if clusters is not None:
+        rep = F.coalesce(F.col("cluster_id"), F.col(id_col))
+        base = base.join(
+            F.broadcast(clusters.withColumnRenamed("doc_id", id_col)),
+            id_col,
+            "left",
+        )
+    else:
+        rep = F.col(id_col)
+    base = base.select(F.col(id_col), rep.alias("cluster_id"))
+
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{salt}:"), F.col("cluster_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    # built innermost-out so the OUTERMOST when tests the smallest cut:
+    # bucket < 9000 → train, elif < 9500 → val, else test
+    expr = F.lit(cuts[-1][0])  # remainder bucket → last split
+    for name, cut in cuts[-2::-1]:
+        expr = F.when(bucket < cut, F.lit(name)).otherwise(expr)
+    return base.select(id_col, "cluster_id", expr.alias("split"))

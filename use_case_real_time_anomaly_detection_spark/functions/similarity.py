@@ -362,3 +362,55 @@ def neardup_pairs_lsh(
         .filter(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cosine")
     )
+
+
+def semantic_dedup_ids(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_blocks: int = 8,
+    lsh: bool = False,
+    n_planes: int = 6,
+    bands: int = 8,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): documents
+    whose EMBEDDINGS are near-identical are duplicates even when no
+    token-level scheme (minhash/simhash/n-gram) fires — paraphrases,
+    re-encodings, boilerplate variants. Near-dup cosine pairs →
+    connected components → keep the min-id representative of every
+    cluster plus all singletons. Returns the surviving ids, the
+    embedding-space counterpart of dedup.canonical_corpus_ids.
+
+    ``lsh=False`` uses the exact distributed block-GEMM pair scan
+    (neardup_pairs — the exactness baseline); ``lsh=True`` the banded
+    sign-LSH candidates + exact verify (neardup_pairs_lsh — the 10^9+
+    scale path; pairs ⊆ exact by construction, recall test-measured).
+    Component contraction is O(log n) rounds (large-star/small-star);
+    the final membership filter is one broadcast anti-join — the
+    cluster frame holds only docs incident to a pair, ≪ corpus.
+    """
+    from .dedup import canonical_corpus_ids, connected_components
+
+    if lsh:
+        pairs = neardup_pairs_lsh(
+            emb,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_planes=n_planes,
+            bands=bands,
+        )
+    else:
+        pairs = neardup_pairs(
+            emb,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_blocks=n_blocks,
+        )
+    # connected_components emits (doc_id, cluster_id); canonical_corpus_ids
+    # re-aliases doc_id onto id_col itself
+    clusters = connected_components(pairs, a_col="a_id", b_col="b_id")
+    return canonical_corpus_ids(emb, clusters, id_col=id_col)

@@ -253,3 +253,48 @@ def fingerprint(
         F.col(id_col),
         F.substring(F.md5(norm), 1, 16).alias("fingerprint"),
     )
+
+
+def quality_weighted_sample(
+    df: DataFrame,
+    weight,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "qsample",
+) -> DataFrame:
+    """Deterministic quality-weighted (importance) sampling: keep a row
+    iff its md5 bucket (0..9999, same scheme as hash_sample) falls under
+    floor(clamp(weight, 0, 1) · 10⁴) — each document's admission
+    probability IS its quality weight, so E[kept] = Σ weights and the
+    kept corpus is biased toward high-quality documents without a sort
+    or a global pass (the curriculum/upsampling primitive of a
+    pretraining mix).
+
+    ``weight`` is a Column over ``df`` (or a column name). Like
+    hash_sample, the selection is REPRODUCIBLE across engines, runs,
+    partitionings, and retries — rand()-based weighted sampling is not —
+    and the clamp + floor run in IEEE doubles with the identical
+    expression shape on the SQL-oracle side, so both engines compute the
+    same per-10⁴ threshold bit-for-bit. Row-local filter over one scan:
+    no shuffle, fuses into whole-stage codegen.
+    """
+    w = F.col(weight) if isinstance(weight, str) else weight
+    thr = F.floor(
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), w.cast("double")))
+        * 10000
+    ).cast("long")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    return df.filter(bucket < thr)
