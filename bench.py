@@ -52,6 +52,8 @@ HEADLINE = [
     "audio_qc",            # decoded-signal QC fences, shared Arrow pass (r4)
     "cusum_shift",         # sequential change-point, closed-form windows (r4)
     "audio_segments",      # 1->N corpus segmentation in one Arrow pass (r4)
+    "seq_pack",            # two-level distributed prefix sum packing (r4)
+    "train_split",         # LSH pairs -> log-round CC -> leakage-guarded split (r4)
 ]
 
 CLIPS_SPEC = dict(partitions=32, clips_per_partition=1000, sr_hz=8000)
