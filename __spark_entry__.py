@@ -1654,6 +1654,49 @@ def _q_repeated_chunks(spark, sf):
     return repeated_chunks(_docs(spark, sf), chunk_tokens=20, stride=10)
 
 
+def _q_asof_calibration(spark, sf):
+    """As-of join (operators/joins.asof_join): attach to every
+    'purchase' event the user's most recent preceding 'click' value —
+    the calibration-revision-in-effect-at-timestamp shape the engine
+    uses to pick the ruleset revision governing each clip. Inclusive
+    backward match, 1 h staleness tolerance, deterministic (key, ts)
+    tie dedup. Zero join nodes: one hash exchange + a carry-forward
+    window (plan-asserted in tests/test_temporal_joins.py)."""
+    from use_case_real_time_anomaly_detection_spark.operators.joins import asof_join
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    revs = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    return asof_join(
+        facts, revs, on="user_id", ts="ts", right_cols=["value"], tolerance_s=3600
+    )
+
+
+def _q_window_exempt(spark, sf):
+    """Interval anti-join (operators/joins.interval_join): keep only
+    'purchase' events falling inside NO [error_ts, error_ts + 30 min)
+    window of the same user — the maintenance-window exemption filter
+    (violations raised during declared downtime are suppressed).
+    Compiled to a bucket-grid equi-join, never a cartesian."""
+    from use_case_real_time_anomaly_detection_spark.operators.joins import interval_join
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    windows = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    return interval_join(
+        facts, windows, ts="ts", start="start_ts", end="end_ts",
+        on="user_id", bucket_s=1800, how="left_anti",
+    )
+
+
 def _q_capped_validate(spark, sf):
     """Evidence capping (operators/limit_by.capped_limit_by via
     ValidationEngine max_violations_per_group): emit at most 3 violation
@@ -2006,9 +2049,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": _q_train_split,
         "semantic_dedup": _q_semantic_dedup,
         "quality_sample": _q_quality_sample,
-        "minhash_lsh": _q_minhash_lsh,
+        "asof_calibration": _q_asof_calibration,
         "dedup_corpus_ids": _q_dedup_corpus_ids,
-        "ingest_gate": _q_ingest_gate,
+        "window_exempt": _q_window_exempt,
         "clips_validate": _q_clips_validate,
         "clips_verdicts": _q_clips_verdicts,
         "audio_qc": _q_audio_qc,
@@ -2078,6 +2121,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": _q_embed_neardup,
         "ann_ivf": _q_ann_ivf,
         "ann_brute": _q_ann_brute,
+        # r3-green, rotated out of the head-50 to make room for the
+        # round-4 temporal-join queries (see Ordering note above)
+        "minhash_lsh": _q_minhash_lsh,
+        "ingest_gate": _q_ingest_gate,
     }
 
 
@@ -4455,6 +4502,46 @@ FROM s
 """
 
 
+# asof oracle: DuckDB's native ASOF LEFT JOIN picks the greatest right
+# ts <= fact ts (inclusive backward — asof_join's default); the CTE
+# pre-dedup to one row per (key, ts) via max(value) mirrors asof_join's
+# deterministic max-struct tie dedup (payload struct = (ts, value), ts
+# equal within the group, so lexicographic max == max(value)); the CASE
+# mirrors tolerance_s: a match staler than 1 h is no match at all.
+_SQL_ASOF_CALIBRATION = """
+WITH r AS (
+  SELECT user_id, ts, max(value) AS rv
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+),
+m AS (
+  SELECT f.event_id, f.user_id, f.ts, f.value, r.ts AS rts, r.rv
+  FROM (
+    SELECT event_id, user_id, ts, value FROM events
+    WHERE event_type = 'purchase'
+  ) f
+  ASOF LEFT JOIN r ON f.user_id = r.user_id AND f.ts >= r.ts
+)
+SELECT event_id, user_id, ts, value,
+       CASE WHEN date_diff('second', rts, ts) <= 3600 THEN rts END AS asof_ts,
+       CASE WHEN date_diff('second', rts, ts) <= 3600 THEN rv END AS asof_value
+FROM m
+"""
+
+_SQL_WINDOW_EXEMPT = """
+SELECT event_id, user_id, ts, value
+FROM events f
+WHERE event_type = 'purchase'
+  AND NOT EXISTS (
+    SELECT 1 FROM events w
+    WHERE w.event_type = 'error'
+      AND w.user_id = f.user_id
+      AND f.ts >= w.ts
+      AND f.ts < w.ts + INTERVAL 30 MINUTE
+  )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # the clips oracles read the materialized metadata parquet — make sure
     # it exists even if the harness evaluates oracles before queries
@@ -4546,4 +4633,6 @@ def oracle_sql() -> dict[str, str]:
         "sampled_validate": _SQL_SAMPLED_VALIDATE,
         "capped_validate": _SQL_CAPPED_VALIDATE,
         "repeated_chunks": _SQL_REPEATED_CHUNKS,
+        "asof_calibration": _SQL_ASOF_CALIBRATION,
+        "window_exempt": _SQL_WINDOW_EXEMPT,
     }

@@ -54,6 +54,8 @@ HEADLINE = [
     "audio_segments",      # 1->N corpus segmentation in one Arrow pass (r4)
     "seq_pack",            # two-level distributed prefix sum packing (r4)
     "train_split",         # LSH pairs -> log-round CC -> leakage-guarded split (r4)
+    "asof_calibration",    # as-of join: union+window, zero join nodes (r4)
+    "window_exempt",       # interval anti-join on the bucket grid (r4)
 ]
 
 CLIPS_SPEC = dict(partitions=32, clips_per_partition=1000, sr_hz=8000)
