@@ -883,10 +883,12 @@ def _ensure_clips_oracle_files() -> None:
     )
 
 
-def _clips_meta_result(spark, seq_cap=None):
+def _clips_meta_result(spark, seq_cap=None, exclusion_windows=None):
     """Validation run over the materialized clip-metadata fixture.
     ``seq_cap`` reproduces an EARLIER run that had only seen clips with
-    seq <= cap (frontier = cap) — the prev side of verdict_regression."""
+    seq <= cap (frontier = cap) — the prev side of verdict_regression.
+    ``exclusion_windows`` threads maintenance windows through to the
+    engine (row-level violations inside them are excused)."""
     from pyspark.sql import functions as F
 
     from use_case_real_time_anomaly_detection_spark.operators.rules import IqrRule, ProfileSpec
@@ -922,6 +924,7 @@ def _clips_meta_result(spark, seq_cap=None):
         rules,
         frontier=seq_cap if seq_cap is not None else frontier_of(spec),
         refs={"clip_manifest": man2},
+        exclusion_windows=exclusion_windows,
     )
 
 
@@ -943,6 +946,24 @@ def _q_verdict_regression(spark, sf):
 
 def _q_clips_validate(spark, sf):
     return _clips_meta_result(spark).violations
+
+
+# maintenance windows for clips_exempt: (partition, seq-range) declared
+# downtime — mirrored literally in _SQL_CLIPS_EXEMPT
+_EXEMPT_WINDOWS = [("c001", 0, 75), ("c000", 10, 30)]
+
+
+def _q_clips_exempt(spark, sf):
+    """Full no-audio validation with declared maintenance windows
+    (engine exclusion_windows → compiler _exemption_filter): row-level
+    violations whose (partition, seq) falls in a window are excused;
+    partition-level detectors (timeout, unique, drift) and all rolling
+    stats are untouched. Oracle = the clips_validate CTE chain minus
+    exactly the windowed row-level rows."""
+    win = spark.createDataFrame(
+        _EXEMPT_WINDOWS, "partition_key string, start_seq long, end_seq long"
+    )
+    return _clips_meta_result(spark, exclusion_windows=win).violations
 
 
 def _q_clips_verdicts(spark, sf):
@@ -2050,7 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "quality_sample": _q_quality_sample,
         "asof_calibration": _q_asof_calibration,
-        "dedup_corpus_ids": _q_dedup_corpus_ids,
+        "clips_exempt": _q_clips_exempt,
         "window_exempt": _q_window_exempt,
         "clips_validate": _q_clips_validate,
         "clips_verdicts": _q_clips_verdicts,
@@ -2122,9 +2143,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "ann_brute": _q_ann_brute,
         # r3-green, rotated out of the head-50 to make room for the
-        # round-4 temporal-join queries (see Ordering note above)
+        # round-4 temporal-join + exemption queries (see Ordering note)
         "minhash_lsh": _q_minhash_lsh,
         "ingest_gate": _q_ingest_gate,
+        "dedup_corpus_ids": _q_dedup_corpus_ids,
     }
 
 
@@ -3427,6 +3449,28 @@ _SQL_CLIPS_VALIDATE = (
     "WITH " + _CLIPS_CTES + "\nSELECT partition_key, clip_id, detector, observed, note FROM deduped"
 )
 
+# Maintenance-window exemption: clips_validate minus exactly the
+# ROW-LEVEL violations whose (partition, seq-from-clip_id) falls inside
+# a declared window (_EXEMPT_WINDOWS, half-open). Partition-level
+# detectors (timeout staleness, unique, drift) are never excused.
+_SQL_CLIPS_EXEMPT = (
+    "WITH " + _CLIPS_CTES + """
+SELECT partition_key, clip_id, detector, observed, note FROM deduped
+WHERE NOT (
+  detector NOT IN ('timeout', 'unique', 'drift-dur_ms', 'drift-sr_hz')
+  AND clip_id IS NOT NULL
+  AND (
+       (partition_key = 'c001'
+        AND CAST(substr(clip_id, 6, 9) AS BIGINT) >= 0
+        AND CAST(substr(clip_id, 6, 9) AS BIGINT) < 75)
+    OR (partition_key = 'c000'
+        AND CAST(substr(clip_id, 6, 9) AS BIGINT) >= 10
+        AND CAST(substr(clip_id, 6, 9) AS BIGINT) < 30)
+  )
+)
+"""
+)
+
 # Full engine incl. the audio rule: non-audio detectors are SQL over the
 # metadata parquet (same CTEs as clips_validate); the audio-decode rows
 # are the pure-pandas numpy twin (sources/synth.audio_violations_pandas)
@@ -4604,6 +4648,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _SQL_ANN_LSH,
         "ann_ivf": _SQL_ANN_IVF,
         "clips_validate": _SQL_CLIPS_VALIDATE,
+        "clips_exempt": _SQL_CLIPS_EXEMPT,
         "clips_verdicts": _SQL_CLIPS_VERDICTS,
         "clips_quarantine": _SQL_CLIPS_QUARANTINE,
         "clips_clean": _SQL_CLIPS_CLEAN,

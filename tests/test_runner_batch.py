@@ -376,3 +376,52 @@ def test_runner_compact_maintenance(spark, tmp_path, capsys):
         map(tuple, lineage_after.filter(F.col("run_id") != "r4").collect())
     )
     assert kept == lineage_before
+
+
+def test_runner_exclusion_windows(spark, tmp_path, capsys):
+    """--exclusion-windows: the run with a window covering a planted
+    violation emits fewer violations than the bare run, and the
+    windowed partition's row-level verdicts flip to pass when every
+    one of its violations is covered."""
+    from pyspark.sql import functions as F
+
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        generate_clips,
+        generate_manifest,
+    )
+
+    spec = SynthSpec(partitions=3, clips_per_partition=80)
+    generate_clips(spark, spec).write.parquet(str(tmp_path / "clips"))
+    generate_manifest(spark, spec).write.parquet(str(tmp_path / "manifest"))
+    # cover partition c000's ENTIRE seq axis
+    spark.createDataFrame(
+        [("c000", 0, 10_000)],
+        "partition_key string, start_seq long, end_seq long",
+    ).write.parquet(str(tmp_path / "windows"))
+
+    base_argv = [
+        "--clips", str(tmp_path / "clips"),
+        "--manifest", str(tmp_path / "manifest"),
+        "--no-audio", "--master", "local[8]",
+    ]
+    rc, bare = _run(capsys, base_argv + ["--checkpoint-dir", str(tmp_path / "c1")])
+    assert rc == 0
+    rc, ex = _run(capsys, base_argv + [
+        "--checkpoint-dir", str(tmp_path / "c2"),
+        "--exclusion-windows", str(tmp_path / "windows"),
+    ])
+    assert rc == 0
+    assert 0 < ex["violations"] < bare["violations"]
+
+    # every c000 violation left is partition-level; row-level verdicts pass
+    viol = spark.read.parquet(str(tmp_path / "c2" / "violations"))
+    row_level = ~F.col("detector").isin(
+        "timeout", "unique", "drift-dur_ms", "drift-sr_hz"
+    )
+    assert viol.filter((F.col("partition_key") == "c000") & row_level).count() == 0
+    lin = spark.read.parquet(str(tmp_path / "c2" / "lineage"))
+    flipped = lin.filter(
+        (F.col("partition_key") == "c000") & row_level & ~F.col("pass")
+    )
+    assert flipped.count() == 0

@@ -136,6 +136,64 @@ def expected_payload_bytes(
     return expected
 
 
+def _exemption_filter(
+    base: DataFrame,
+    exclusion_windows: DataFrame,
+    *,
+    partition_col: str,
+    seq_col: str | None,
+) -> DataFrame:
+    """Drop rows falling inside a declared exclusion window — the
+    maintenance-window exemption (violations raised during declared
+    downtime are excused, not counted).
+
+    ``exclusion_windows``: (partition_key, start_seq, end_seq) ranges on
+    the sequence axis, half-open [start, end) like
+    :func:`..joins.interval_join`. The window set is operator-declared
+    (≪ data), so it aggregates to ONE array row per partition and
+    broadcast-joins in — the fact side never shuffles and the
+    containment test is a row-local ``exists`` over the array. Applied
+    ONLY to the row-level violation projection, so rolling stats,
+    aggregate fences and rows_checked still see every row: exemption
+    excuses a row's violations, it does not remove the row from the
+    data.
+    """
+    if seq_col is None:
+        raise ValueError("exclusion_windows need seq_col")
+    missing = [
+        c
+        for c in ("partition_key", "start_seq", "end_seq")
+        if c not in exclusion_windows.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"exclusion_windows missing columns {missing}; "
+            "expected (partition_key, start_seq, end_seq)"
+        )
+    win = (
+        exclusion_windows.filter(F.col("start_seq") < F.col("end_seq"))
+        .groupBy(F.col("partition_key").alias(partition_col))
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("start_seq").cast("long").alias("s"),
+                    F.col("end_seq").cast("long").alias("e"),
+                )
+            ).alias("__excl_windows")
+        )
+    )
+    seq = F.col(seq_col).cast("long")
+    exempt = F.coalesce(
+        F.exists("__excl_windows", lambda w: (seq >= w["s"]) & (seq < w["e"])),
+        F.lit(False),
+    )
+    return (
+        base.join(F.broadcast(win), partition_col, "left")
+        .filter(~exempt)
+        .drop("__excl_windows")
+    )
+
+
 def compile_rules(
     df: DataFrame,
     rules: list,
@@ -147,6 +205,7 @@ def compile_rules(
     refs: dict[str, DataFrame] | None = None,
     audio_check_columns: DataFrame | None = None,
     window_chunk_size: int | None = None,
+    exclusion_windows: DataFrame | None = None,
 ) -> CompiledPlan:
     """Compile ``rules`` over ``df`` into a single fused plan.
 
@@ -158,6 +217,14 @@ def compile_rules(
     (SURVEY.md §4.3; ≙ copy pipes snapshotting a 61 s window per run).
     ``refs`` maps logical ref-table names (RefIntegrityRule.ref_table,
     TranscriptRule.ref_table) to DataFrames.
+
+    ``exclusion_windows`` — declared maintenance windows
+    (partition_key, start_seq, end_seq), half-open on the sequence
+    axis: ROW-LEVEL violations raised inside a window are suppressed
+    (see :func:`_exemption_filter`). Aggregate-/partition-level
+    detectors (unique, drift, aggregate fences, completeness, timeout)
+    keep their exact semantics — a row range does not excuse a
+    table-shape defect.
     """
     refs = refs or {}
     base = df
@@ -750,7 +817,17 @@ def compile_rules(
 
     fused_parts: list[DataFrame] = []
     if entries:
-        fused = base.select(
+        proj = base
+        if exclusion_windows is not None:
+            # row-level detectors only: exempt rows keep feeding window
+            # stats / fences / rows_checked above, but emit no violations
+            proj = _exemption_filter(
+                proj,
+                exclusion_windows,
+                partition_col=partition_col,
+                seq_col=seq_col,
+            )
+        fused = proj.select(
             F.col(partition_col).alias("partition_key"),
             F.col(key_col).alias("clip_id"),
             # array_compact drops non-violations pre-explode → exploded

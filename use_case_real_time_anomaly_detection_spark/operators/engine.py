@@ -77,6 +77,7 @@ class ValidationEngine:
         window_chunk_size: int | None = None,
         fail_threshold: float = 0.0,
         max_violations_per_group: int | None = None,
+        exclusion_windows: DataFrame | None = None,
     ) -> RunResult:
         """Compile + evaluate ``rules`` over ``df`` (lazy: returned
         DataFrames trigger execution on action).
@@ -102,6 +103,16 @@ class ValidationEngine:
         uncapped frame before the cap), and the cap itself is skew-proof
         (two-phase ``capped_limit_by`` — a hot group never lands on one
         task). Default None emits everything, the reference's semantics.
+
+        ``exclusion_windows`` — declared maintenance windows
+        (partition_key, start_seq, end_seq), half-open on the seq axis:
+        row-level violations raised inside a window are suppressed
+        (excused, not counted — verdicts follow automatically), while
+        rolling stats / fences / rows_checked still see every row and
+        partition-level detectors (unique, drift, aggregate,
+        completeness, timeout) are unaffected. The window set is
+        operator-declared, so it broadcast-joins as one array row per
+        partition — the fact table never shuffles for the exemption.
         """
         if not 0.0 <= fail_threshold < 1.0:
             # ≙ {{ error(...) }}: an impossible tolerance is a config bug
@@ -137,6 +148,7 @@ class ValidationEngine:
             frontier=frontier,
             refs=refs,
             window_chunk_size=window_chunk_size,
+            exclusion_windows=exclusion_windows,
         )
 
         # composite-key dedup ≙ dedup_log.pipe:4-6 (FIXTURES.md §3).

@@ -71,6 +71,7 @@ def validate_clips(
     window_chunk_size: int | None = None,
     fail_threshold: float = 0.0,
     max_violations_per_group: int | None = None,
+    exclusion_windows: DataFrame | None = None,
 ) -> RunResult:
     """Run the full rule set over a clip table (any source)."""
     engine = ValidationEngine(
@@ -99,6 +100,7 @@ def validate_clips(
         window_chunk_size=window_chunk_size,
         fail_threshold=fail_threshold,
         max_violations_per_group=max_violations_per_group,
+        exclusion_windows=exclusion_windows,
     )
 
 

@@ -171,6 +171,18 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "violations/quarantine/profile tables are left untouched — only "
         "full passes own store state",
     )
+    p.add_argument(
+        "--exclusion-windows",
+        default=None,
+        metavar="PATH",
+        help="parquet of declared maintenance windows (partition_key, "
+        "start_seq, end_seq — half-open on the seq axis): row-level "
+        "violations raised inside a window are excused (verdicts follow), "
+        "while rolling stats, rows_checked and partition-level detectors "
+        "(timeout, unique, drift, aggregate) keep exact semantics. "
+        "Operator-sized — broadcast as one array row per partition, the "
+        "clip table never shuffles for it",
+    )
     p.add_argument("--no-resume", action="store_true", help="revalidate everything")
     p.add_argument("--run-id", default=None)
     p.add_argument(
@@ -439,6 +451,11 @@ def main(argv: list[str] | None = None) -> int:
         persist=True,
         fail_threshold=args.fail_threshold,
         max_violations_per_group=args.max_violations,
+        exclusion_windows=(
+            spark.read.parquet(args.exclusion_windows)
+            if args.exclusion_windows
+            else None
+        ),
     )
     if args.sample is not None:
         # smoke runs are NON-AUTHORITATIVE: verdicts recorded for
