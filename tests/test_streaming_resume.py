@@ -684,3 +684,49 @@ def test_runner_cli_stream_drift_gate(spark, tmp_path, capsys):
     assert {r["partition_key"] for r in st.select("partition_key").collect()} == {
         "c000", "c001", "c002", "c003"
     }
+
+
+def test_stream_exclusion_windows(spark, tmp_path):
+    """Streaming exemption contract == batch: with a window covering
+    partition c000's whole seq axis, no row-level c000 violation lands
+    in any micro-batch, while the other partition's evidence and the
+    partition-level detectors are untouched."""
+    from pyspark.sql import functions as F
+
+    from use_case_real_time_anomaly_detection_spark.plans.clips import default_rules
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        CLIPS_SCHEMA,
+        SynthSpec,
+        generate_clips,
+        generate_manifest,
+    )
+    from use_case_real_time_anomaly_detection_spark.streaming.pipeline import (
+        stream_clips_validation,
+    )
+
+    spec = SynthSpec(partitions=2, clips_per_partition=120)
+    clips = generate_clips(spark, spec).cache()
+    manifest = generate_manifest(spark, spec).cache()
+    src = str(tmp_path / "clip_stream")
+    ckpt = str(tmp_path / "clip_ckpt")
+    store = CheckpointStore(ParquetCatalog(spark, str(tmp_path / "wh")))
+    windows = spark.createDataFrame(
+        [("c000", 0, 10_000)],
+        "partition_key string, start_seq long, end_seq long",
+    )
+
+    clips.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(CLIPS_SCHEMA).parquet(src)
+    q = stream_clips_validation(
+        stream, manifest, store,
+        checkpoint_dir=ckpt, rules=default_rules(with_audio=False),
+        exclusion_windows=windows,
+    )
+    q.awaitTermination(300)
+
+    v = store.violations()
+    row_level = ~F.col("detector").isin(
+        "timeout", "unique", "drift-dur_ms", "drift-sr_hz"
+    )
+    assert v.filter((F.col("partition_key") == "c000") & row_level).count() == 0
+    assert v.filter(F.col("partition_key") == "c001").count() > 0

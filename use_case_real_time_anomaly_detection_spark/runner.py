@@ -362,6 +362,11 @@ def main(argv: list[str] | None = None) -> int:
             profile=args.stream_profile or drift_col is not None,
             drift_on=drift_col,
             drift_psi=drift_psi,
+            exclusion_windows=(
+                spark.read.parquet(args.exclusion_windows)
+                if args.exclusion_windows
+                else None
+            ),
         )
         q.awaitTermination()
         lin = store.lineage().filter(F.col("run_id").startswith("stream-"))

@@ -51,6 +51,7 @@ def stream_clips_validation(
     profile: bool = False,
     drift_on: str | None = None,
     drift_psi: float = 0.25,
+    exclusion_windows: DataFrame | None = None,
 ):
     """Continuous clip-table validation: each micro-batch of newly landed
     clips runs the full rule engine and checkpoints its verdicts +
@@ -111,6 +112,11 @@ def stream_clips_validation(
             run_id=f"stream-{batch_id}",
             persist=True,
             fail_threshold=fail_threshold,
+            # same exemption contract as the batch runner: declared
+            # downtime excuses row-level violations in EVERY micro-batch
+            # (the window frame is static and operator-sized; it
+            # broadcast-joins per batch, never shuffling the stream)
+            exclusion_windows=exclusion_windows,
         )
         # violations keyed (pk, batch_id) — a later batch delivering MORE
         # clips for a partition accumulates alongside earlier batches'
