@@ -55,7 +55,10 @@ def test_every_rule_type_roundtrips():
             samples.append(cls("dur_ms", target=1000.0, k=150.0, h=2500.0))
         elif tag == "predicate":
             samples.append(cls("codec <> 'mulaw' OR sr_hz = 8000"))
-        elif tag in ("not_null", "rate_of_change", "z_score", "iqr", "mad", "drift"):
+        elif tag in (
+            "not_null", "rate_of_change", "z_score", "iqr", "mad", "drift",
+            "calibrated_range",
+        ):
             samples.append(cls("dur_ms"))
         else:
             samples.append(cls())

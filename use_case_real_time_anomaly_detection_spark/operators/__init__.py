@@ -1,5 +1,6 @@
 from .rules import (  # noqa: F401
     AudioDecodeRule,
+    CalibratedRangeRule,
     DriftRule,
     GapRule,
     IqrRule,

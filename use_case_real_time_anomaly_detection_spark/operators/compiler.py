@@ -44,6 +44,7 @@ from .rules import (
     AggregateRule,
     AudioDecodeRule,
     AudioQcRule,
+    CalibratedRangeRule,
     CompletenessRule,
     CusumRule,
     DriftRule,
@@ -315,6 +316,49 @@ def compile_rules(
             if isinstance(r, TranscriptRule)
         }
 
+    # ---- calibration revisions: one sorted array per partition, broadcast
+    # 1:1 onto the fact row; the as-of pick is a row-local HOF in the
+    # fused projection below. Same at-scale shape as _exemption_filter:
+    # the revision set is operator-declared (≪ data), so the fact table
+    # never shuffles and never fans out for the rule.
+    cal_rules = [r for r in rules if isinstance(r, CalibratedRangeRule)]
+    if cal_rules:
+        if seq_col is None:
+            raise ValueError("CalibratedRangeRule needs seq_col")
+        for i, r in enumerate(cal_rules):
+            if r.revisions_table not in refs:
+                raise ValueError(
+                    f"rule references unknown table {r.revisions_table!r}"
+                )
+            revs = refs[r.revisions_table]
+            missing = [
+                c
+                for c in ("partition_key", r.eff_seq_column, r.lo_column, r.hi_column)
+                if c not in revs.columns
+            ]
+            if missing:
+                raise ValueError(
+                    f"CalibratedRangeRule: revisions table "
+                    f"{r.revisions_table!r} missing columns {missing}"
+                )
+            # sort_array on (s, lo, hi) structs orders by s first — the
+            # element_at(filter(...), -1) pick below then reads the
+            # LATEST revision with eff_seq <= row seq
+            arr = revs.groupBy(
+                F.col("partition_key").alias(partition_col)
+            ).agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col(r.eff_seq_column).cast("long").alias("s"),
+                            F.col(r.lo_column).cast("double").alias("lo"),
+                            F.col(r.hi_column).cast("double").alias("hi"),
+                        )
+                    )
+                ).alias(f"__cal_{i}")
+            )
+            base = base.join(F.broadcast(arr), partition_col, "left")
+
     # ---- shared window columns ------------------------------------------
     window_rules = [
         r for r in rules if isinstance(r, (RateOfChangeRule, GapRule, ZScoreRule))
@@ -529,6 +573,38 @@ def compile_rules(
             # note ≙ concat('min:', toString(min), ' max:', toString(max))
             #   — copy_out_of_range.pipe:44
             _entry(r.detector, cond, F.col(r.column), F.lit(" ".join(note_bits)))
+
+        elif isinstance(r, CalibratedRangeRule):
+            i = next(j for j, cr in enumerate(cal_rules) if cr is r)
+            seq = F.col(seq_col).cast("long")
+            # latest revision with eff_seq <= seq; try_element_at (not
+            # element_at) because ANSI mode errors on the empty-array
+            # pick a pre-first-revision row produces
+            eff = F.try_element_at(
+                F.filter(F.col(f"__cal_{i}"), lambda w: w["s"] <= seq), F.lit(-1)
+            )
+            v = F.col(r.column).cast("double")
+            viol = (v < eff["lo"]) | (v > eff["hi"])
+            if r.require_revision:
+                # no revision in effect is itself the violation (NULL
+                # values still skip: `viol` is NULL there, and the
+                # uncalibrated branch fires regardless of value — an
+                # uncalibrated row is a process defect, not a value one)
+                cond = F.when(eff.isNotNull(), viol).otherwise(F.lit(True))
+            else:
+                cond = F.when(eff.isNotNull(), viol)  # NULL → dropped
+            # RangeRule's note idiom + the revision that supplied the
+            # bounds, so an operator can trace a violation to the exact
+            # calibration that raised it
+            note = F.when(
+                eff.isNotNull(),
+                F.concat(
+                    F.lit("min:"), _fmt(eff["lo"]),
+                    F.lit(" max:"), _fmt(eff["hi"]),
+                    F.lit("| eff_seq:"), eff["s"].cast("string"),
+                ),
+            ).otherwise(F.lit("no calibration revision in effect"))
+            _entry(r.detector, cond, F.col(r.column), note)
 
         elif isinstance(r, NotNullRule):
             cond = F.col(r.column).isNull()

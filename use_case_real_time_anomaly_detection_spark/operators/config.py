@@ -26,6 +26,7 @@ from .rules import (
     AggregateRule,
     AudioDecodeRule,
     AudioQcRule,
+    CalibratedRangeRule,
     CompletenessRule,
     CusumRule,
     DriftRule,
@@ -54,6 +55,7 @@ from .rules import (
 # (which are output labels and remain overridable per rule).
 RULE_TYPES = {
     "range": RangeRule,
+    "calibrated_range": CalibratedRangeRule,
     "not_null": NotNullRule,
     "pattern": PatternRule,
     "predicate": PredicateRule,

@@ -53,6 +53,51 @@ class RangeRule(Rule):
 
 
 @dataclass(frozen=True)
+class CalibratedRangeRule(Rule):
+    """value outside the calibration revision's [lo, hi] in effect at the
+    row's sequence position → violation.
+
+    Time-varying bounds: :class:`RangeRule` freezes one bound for the
+    whole corpus, but a recalibrated sensor / re-tuned encoder changes
+    the legitimate range mid-stream — the reference's operators re-deploy
+    their pipes with new template parameters for exactly this
+    (tinybird/pipes/out_of_range.pipe:19-29 makes the bounds parameters;
+    copy_out_of_range.pipe:24-25 pins a revision). This rule makes the
+    revision history itself data: a small operator-declared revisions
+    table ``(partition_key, eff_seq, lo, hi)`` where a row takes effect
+    FROM ``eff_seq`` (inclusive) within its partition, superseding
+    earlier revisions — and every clip is validated against the revision
+    in effect at its own seq (as-of semantics, the batch analog of
+    operators/joins.asof_join).
+
+    Compiled to one sorted revision array per partition, broadcast-joined
+    1:1 onto the fact row and resolved by a row-local higher-order
+    ``filter``+``element_at`` pick — the fact table never shuffles, never
+    fans out, and the check fuses into the single validation scan like
+    every other row-local rule.
+
+    Rows BEFORE any revision (no bounds in effect yet) are skipped by
+    default; ``require_revision=True`` flags them instead (an
+    uncalibrated row is itself the defect). NULL values are never
+    flagged (NotNullRule owns null policy).
+    """
+
+    column: str
+    revisions_table: str = "calibration_revisions"
+    eff_seq_column: str = "eff_seq"
+    lo_column: str = "lo"
+    hi_column: str = "hi"
+    require_revision: bool = False
+    detector: str = ""  # defaults to calibrated-range-<column>
+
+    def __post_init__(self) -> None:
+        if not self.detector:
+            object.__setattr__(
+                self, "detector", f"calibrated-range-{self.column}"
+            )
+
+
+@dataclass(frozen=True)
 class NotNullRule(Rule):
     """NULL (or empty-string, if `treat_empty_as_null`) value → violation."""
 
