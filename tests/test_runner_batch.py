@@ -425,3 +425,60 @@ def test_runner_exclusion_windows(spark, tmp_path, capsys):
         (F.col("partition_key") == "c000") & row_level & ~F.col("pass")
     )
     assert flipped.count() == 0
+
+
+def test_runner_ref_table_binds_calibration_revisions(spark, tmp_path, capsys):
+    """--ref-table NAME=PATH: a ruleset-declared calibrated_range rule
+    resolves its revisions table from the CLI binding; violations land
+    under the calibrated detector with the firing revision in the note.
+    A malformed binding or a missing table aborts before any job."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        generate_clips,
+        generate_manifest,
+    )
+
+    spec = SynthSpec(partitions=2, clips_per_partition=80)
+    generate_clips(spark, spec).write.parquet(str(tmp_path / "clips"))
+    generate_manifest(spark, spec).write.parquet(str(tmp_path / "manifest"))
+    # c000 tightens at seq 40; c001 is effectively unbounded
+    spark.createDataFrame(
+        [("c000", 0, 200.0, 900.0), ("c000", 40, 50.0, 2500.0),
+         ("c001", 0, 1.0, 1e6)],
+        "partition_key string, eff_seq long, lo double, hi double",
+    ).write.parquet(str(tmp_path / "cal"))
+    ruleset = {"rules": [{"type": "calibrated_range", "column": "dur_ms"}]}
+    (tmp_path / "rules.json").write_text(_json.dumps(ruleset))
+
+    base_argv = [
+        "--clips", str(tmp_path / "clips"),
+        "--manifest", str(tmp_path / "manifest"),
+        "--rules", str(tmp_path / "rules.json"),
+        "--no-audio", "--master", "local[8]",
+    ]
+    rc, out = _run(capsys, base_argv + [
+        "--checkpoint-dir", str(tmp_path / "c1"),
+        "--ref-table", f"calibration_revisions={tmp_path / 'cal'}",
+    ])
+    assert rc == 0 and out["violations"] > 0
+    viol = spark.read.parquet(str(tmp_path / "c1" / "violations"))
+    rows = viol.filter(F.col("detector") == "calibrated-range-dur_ms")
+    assert rows.count() == out["violations"]
+    # only the tight pre-seq-40 c000 regime fires, and the note names it
+    assert rows.filter(F.col("partition_key") == "c001").count() == 0
+    assert rows.filter(~F.col("note").contains("eff_seq:0")).count() == 0
+
+    # malformed binding: usage error, no job
+    rc, _ = _run(capsys, base_argv + [
+        "--checkpoint-dir", str(tmp_path / "c2"), "--ref-table", "nonsense",
+    ])
+    assert rc == 2
+    # ruleset references a table no binding supplies: config-time abort
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="calibration_revisions"):
+        _run(capsys, base_argv + ["--checkpoint-dir", str(tmp_path / "c3")])

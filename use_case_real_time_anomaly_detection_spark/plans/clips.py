@@ -72,8 +72,15 @@ def validate_clips(
     fail_threshold: float = 0.0,
     max_violations_per_group: int | None = None,
     exclusion_windows: DataFrame | None = None,
+    extra_refs: dict[str, DataFrame] | None = None,
 ) -> RunResult:
-    """Run the full rule set over a clip table (any source)."""
+    """Run the full rule set over a clip table (any source).
+
+    ``extra_refs`` — additional logical-name → DataFrame bindings for
+    rules that reference tables beyond the manifest (e.g. a
+    CalibratedRangeRule's revisions table); merged over the implicit
+    ``clip_manifest`` binding.
+    """
     engine = ValidationEngine(
         key_col="clip_id", partition_col="partition_key", seq_col="seq"
     )
@@ -93,7 +100,7 @@ def validate_clips(
         with_partition_cols(clips),
         rules if rules is not None else default_rules(),
         frontier=frontier,
-        refs={"clip_manifest": manifest},
+        refs={"clip_manifest": manifest, **(extra_refs or {})},
         skip_partitions=skip_partitions,
         run_id=run_id,
         persist=persist,

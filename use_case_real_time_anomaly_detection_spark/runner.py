@@ -183,6 +183,17 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "Operator-sized — broadcast as one array row per partition, the "
         "clip table never shuffles for it",
     )
+    p.add_argument(
+        "--ref-table",
+        action="append",
+        default=None,
+        metavar="NAME=PATH",
+        help="bind an extra logical ref table to a parquet path "
+        "(repeatable), e.g. calibration_revisions=/data/cal for a "
+        "ruleset's calibrated_range rules. The built-in clip_manifest "
+        "binding comes from --manifest; unknown-table references in the "
+        "ruleset abort at config time, before any job runs",
+    )
     p.add_argument("--no-resume", action="store_true", help="revalidate everything")
     p.add_argument("--run-id", default=None)
     p.add_argument(
@@ -214,6 +225,19 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(args.master)
     spark.sparkContext.setLogLevel("WARN")
+
+    extra_refs = None
+    if args.ref_table:
+        extra_refs = {}
+        for binding in args.ref_table:
+            name, sep, path = binding.partition("=")
+            if not sep or not name or not path:
+                print(
+                    f"--ref-table needs NAME=PATH, got {binding!r}",
+                    file=sys.stderr,
+                )
+                return 2
+            extra_refs[name] = spark.read.parquet(path)
 
     if args.diff_runs:
         from .operators.engine import verdict_diff
@@ -367,6 +391,7 @@ def main(argv: list[str] | None = None) -> int:
                 if args.exclusion_windows
                 else None
             ),
+            extra_refs=extra_refs,
         )
         q.awaitTermination()
         lin = store.lineage().filter(F.col("run_id").startswith("stream-"))
@@ -461,6 +486,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.exclusion_windows
             else None
         ),
+        extra_refs=extra_refs,
     )
     if args.sample is not None:
         # smoke runs are NON-AUTHORITATIVE: verdicts recorded for

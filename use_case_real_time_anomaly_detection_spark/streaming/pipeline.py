@@ -52,6 +52,7 @@ def stream_clips_validation(
     drift_on: str | None = None,
     drift_psi: float = 0.25,
     exclusion_windows: DataFrame | None = None,
+    extra_refs: dict[str, DataFrame] | None = None,
 ):
     """Continuous clip-table validation: each micro-batch of newly landed
     clips runs the full rule engine and checkpoints its verdicts +
@@ -117,6 +118,9 @@ def stream_clips_validation(
             # (the window frame is static and operator-sized; it
             # broadcast-joins per batch, never shuffling the stream)
             exclusion_windows=exclusion_windows,
+            # static side tables (calibration revisions, extra
+            # manifests) rebind per micro-batch like the manifest does
+            extra_refs=extra_refs,
         )
         # violations keyed (pk, batch_id) — a later batch delivering MORE
         # clips for a partition accumulates alongside earlier batches'
