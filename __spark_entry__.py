@@ -200,6 +200,28 @@ def _q_unique_events(spark, sf):
     )
 
 
+def _q_unique_global(spark, sf):
+    """UniqueRule(scope='global') through the compiler: (user_id, value)
+    pairs recurring ANYWHERE — including across different event_type
+    partitions, which the default per-partition scope cannot see. Every
+    involved partition gets a violation row carrying the GLOBAL count;
+    the corpus aggregates per (partition, key) first, so only the slim
+    key-grain frame shuffles on the bare key."""
+    from use_case_real_time_anomaly_detection_spark.operators.compiler import (
+        compile_rules,
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        UniqueRule,
+    )
+
+    ev = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .withColumn("partition_key", F.col("event_type"))
+    )
+    rule = UniqueRule(columns=("user_id", "value"), scope="global")
+    return compile_rules(ev, [rule]).violations
+
+
 def _q_ref_orphans(spark, sf):
     """Referential check: event users absent from a (filtered) manifest —
     the left-anti join pattern of RefIntegrityRule."""
@@ -2101,7 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_events": _q_profile_events,
         "profile_incremental": _q_profile_incremental,
         "profile_merge": _q_profile_merge,
-        "ref_orphans": _q_ref_orphans,
+        "unique_global": _q_unique_global,
         "agg_bounds": _q_agg_bounds,
         "completeness_check": _q_completeness,
         "mad_outliers": _q_mad_outliers,
@@ -2194,6 +2216,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # harness's 50-query horizon to make room for calibrated_range —
         # still CI-verified every round via tools/parity_check.py
         "clips_verdicts": _q_clips_verdicts,
+        # recorded green in CORRECTNESS_r03 (124 rows); rotated out of
+        # the head-50 for unique_global — CI-verified via parity_check
+        "ref_orphans": _q_ref_orphans,
     }
 
 
@@ -2485,6 +2510,23 @@ FROM events
 WHERE user_id NOT IN (
   SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
 )
+"""
+
+# ≙ _q_unique_global: per-(partition, key) counts rolled up over a
+# key-partitioned window — the same two-level shape the compiler emits,
+# so observed is the GLOBAL occurrence count on every involved partition.
+_SQL_UNIQUE_GLOBAL = """
+WITH per AS (
+  SELECT event_type AS partition_key, user_id, value, count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+tot AS (
+  SELECT *, SUM(n) OVER (PARTITION BY user_id, value) AS total FROM per
+)
+SELECT partition_key, CAST(user_id AS VARCHAR) AS clip_id,
+       'unique' AS detector, CAST(total AS VARCHAR) AS observed,
+       'duplicate key (user_id,value) global scope' AS note
+FROM tot WHERE total > 1
 """
 
 def _fmt_sql(expr: str, d: int = 2) -> str:
@@ -4674,6 +4716,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_incremental": _SQL_PROFILE_INCREMENTAL,
         "profile_merge": _SQL_PROFILE_MERGE,
         "unique_events": _SQL_UNIQUE_EVENTS,
+        "unique_global": _SQL_UNIQUE_GLOBAL,
         "ref_orphans": _SQL_REF_ORPHANS,
         "agg_bounds": _SQL_AGG_BOUNDS,
         "completeness_check": _SQL_COMPLETENESS,

@@ -704,3 +704,45 @@ def test_capped_limit_by_property(spark):
         assert got == want
 
     check()
+
+
+def test_unique_rule_scopes(spark):
+    """UniqueRule scope: 'partition' flags only within-partition dups;
+    'global' also catches a key split across partitions — every
+    involved partition gets a row and observed carries the GLOBAL
+    count, so either owner's verdict fails."""
+    from use_case_real_time_anomaly_detection_spark.operators.compiler import (
+        compile_rules,
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.config import (
+        rules_from_config,
+        rules_to_config,
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.rules import UniqueRule
+
+    rows = [
+        ("p0", "k1"), ("p0", "k1"),  # within-partition dup
+        ("p0", "k2"), ("p1", "k2"),  # cross-partition dup
+        ("p1", "k3"),                # unique
+    ]
+    df = spark.createDataFrame(rows, "partition_key string, clip_id string")
+
+    got = {
+        (r.partition_key, r.clip_id): r.observed
+        for r in compile_rules(df, [UniqueRule()]).violations.collect()
+    }
+    assert got == {("p0", "k1"): "2"}
+
+    rule = UniqueRule(scope="global")
+    viol = compile_rules(df, [rule]).violations.collect()
+    got = {(r.partition_key, r.clip_id): r.observed for r in viol}
+    assert got == {
+        ("p0", "k1"): "2",
+        ("p0", "k2"): "2",
+        ("p1", "k2"): "2",
+    }
+    assert all("global scope" in r.note for r in viol)
+
+    assert rules_from_config(rules_to_config([rule])) == [rule]
+    with pytest.raises(ValueError, match="scope"):
+        UniqueRule(scope="everywhere")

@@ -949,19 +949,34 @@ def compile_rules(
     # ---- unique ----------------------------------------------------------
     for r in rules:
         if isinstance(r, UniqueRule):
-            dup = (
-                df.groupBy(partition_col, *r.columns)
-                .agg(F.count(F.lit(1)).alias("__n"))
-                .filter(F.col("__n") > 1)
-                .select(
-                    F.col(partition_col).alias("partition_key"),
-                    F.col(r.columns[0]).cast("string").alias("clip_id"),
-                    F.lit(r.detector).alias("detector"),
-                    F.col("__n").cast("string").alias("observed"),
-                    F.lit(
-                        "duplicate key (" + ",".join(r.columns) + ")"
-                    ).alias("note"),
+            # per-(partition, key) counts first in BOTH scopes: the heavy
+            # aggregation is partition-co-located (map-side combinable on
+            # the table's physical layout); global scope then rolls the
+            # slim key-grain frame (≤ 1 row per key-partition) up over a
+            # key-partitioned window — the corpus itself never shuffles
+            # on the bare key.
+            per = df.groupBy(partition_col, *r.columns).agg(
+                F.count(F.lit(1)).alias("__n")
+            )
+            if r.scope == "global":
+                w = Window.partitionBy(*[F.col(c) for c in r.columns])
+                dup_src = per.withColumn(
+                    "__total", F.sum("__n").over(w)
+                ).filter(F.col("__total") > 1)
+                observed = F.col("__total")
+                note = (
+                    "duplicate key (" + ",".join(r.columns) + ") global scope"
                 )
+            else:
+                dup_src = per.filter(F.col("__n") > 1)
+                observed = F.col("__n")
+                note = "duplicate key (" + ",".join(r.columns) + ")"
+            dup = dup_src.select(
+                F.col(partition_col).alias("partition_key"),
+                F.col(r.columns[0]).cast("string").alias("clip_id"),
+                F.lit(r.detector).alias("detector"),
+                observed.cast("string").alias("observed"),
+                F.lit(note).alias("note"),
             )
             fused_parts.append(dup)
             if r.detector not in detectors:

@@ -360,10 +360,28 @@ class UniqueRule(Rule):
     Graft addition (north rule: uniqueness checks); the reference's
     closest analog is the dedup contract LIMIT 1 BY key
     (tinybird/pipes/dedup_log.pipe:4-6).
+
+    ``scope`` — ``"partition"`` (default) flags keys duplicated WITHIN a
+    partition (one aggregation, partition-co-located). ``"global"``
+    also catches a key landing in two DIFFERENT partitions (a replayed
+    delivery filed under a new date, a re-sharded clip): per-partition
+    key counts roll up over a key-partitioned window, and every
+    partition holding a globally-duplicated key gets a violation row —
+    each involved partition's verdict fails, so either owner's re-run
+    surfaces it. The key-grain frame the global pass shuffles is
+    ≤ one row per (key, partition), never the corpus.
     """
 
     columns: tuple = ("clip_id",)
     detector: str = "unique"
+    scope: str = "partition"
+
+    def __post_init__(self) -> None:
+        if self.scope not in ("partition", "global"):
+            raise ValueError(
+                f"UniqueRule: scope must be 'partition' or 'global', "
+                f"got {self.scope!r}"
+            )
 
 
 @dataclass(frozen=True)
