@@ -204,3 +204,42 @@ def test_interval_join_plan_is_equi_join(spark, frames, windows):
         )._jdf.queryExecution().executedPlan().toString()
     )
     assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_asof_integer_axis_with_tolerance(spark):
+    """The as-of axis can be any numeric sequence column (the clip seq
+    contract), with tolerance in axis units — parity vs pandas
+    merge_asof on the same integer frame."""
+    import pandas as pd
+
+    facts_pd = pd.DataFrame(
+        {
+            "key": ["a"] * 4 + ["b"] * 2,
+            "seq": [5, 40, 41, 200, 3, 9],
+            "fact_id": list(range(6)),
+        }
+    )
+    revs_pd = pd.DataFrame(
+        {"key": ["a", "a", "b"], "seq": [0, 40, 8], "cal": [1.0, 2.0, 3.0]}
+    )
+    exp = pd.merge_asof(
+        facts_pd.sort_values("seq"),
+        revs_pd.sort_values("seq"),
+        on="seq",
+        by="key",
+        tolerance=50,
+        direction="backward",
+    ).set_index("fact_id")["cal"]
+
+    facts = spark.createDataFrame(facts_pd)
+    revs = spark.createDataFrame(revs_pd)
+    got = {
+        r["fact_id"]: r["asof_cal"]
+        for r in asof_join(
+            facts, revs, on="key", ts="seq", tolerance_s=50
+        ).collect()
+    }
+    for fid, want in exp.items():
+        assert got[fid] == (None if pd.isna(want) else want), fid
+    # seq 200 is 160 units past the last revision: outside tolerance
+    assert got[3] is None

@@ -50,8 +50,10 @@ def asof_join(
     pandas ``merge_asof`` default) or at-or-after it (``"forward"``),
     per ``on`` key.  ``strict=True`` excludes ties (strictly before /
     after).  ``tolerance_s`` NULLs the match when it is further than
-    that many seconds from the left row's timestamp (staleness bound —
-    a calibration revision too old to trust is no match at all).
+    that many seconds (timestamp axis) — or axis units, when ``ts`` is
+    a numeric sequence column — from the left row's position
+    (staleness bound — a calibration revision too old to trust is no
+    match at all).
 
     Implementation: tag and union both sides, hash-partition by the
     key, and carry the latest right-side payload forward (backward
@@ -111,7 +113,17 @@ def asof_join(
 
     m = F.col("__m")
     if tolerance_s is not None:
-        gap = F.abs(F.unix_timestamp(F.col(ts)) - F.unix_timestamp(m[ts]))
+        # the axis may be a timestamp (tolerance in seconds) or any
+        # numeric sequence column (tolerance in axis units) — the same
+        # dual contract as the sequence rules' seq_col. unix_timestamp
+        # on a numeric column is an AnalysisException, so dispatch on
+        # the resolved type.
+        from pyspark.sql.types import DateType, TimestampType
+
+        if isinstance(left.schema[ts].dataType, (TimestampType, DateType)):
+            gap = F.abs(F.unix_timestamp(F.col(ts)) - F.unix_timestamp(m[ts]))
+        else:
+            gap = F.abs(F.col(ts).cast("double") - m[ts].cast("double"))
         m = F.when(gap <= tolerance_s, m)
     cols = [F.col(c) for c in left.columns] + [
         m[ts].alias(f"{prefix}{ts}"),
