@@ -195,8 +195,10 @@ def test_schema_roundtrips_through_ruleset_document(tmp_path):
 
     doc = rules_to_config(default_rules(with_audio=False))
     doc["schema"] = CLIPS_TABLE_SCHEMA.to_config()
+    doc["warn_detectors"] = ["z-score"]
     path = tmp_path / "ruleset.json"
     path.write_text(_json.dumps(doc))
-    rules, schema = load_ruleset_document(str(path))
+    rules, schema, warn = load_ruleset_document(str(path))
     assert schema == CLIPS_TABLE_SCHEMA
     assert rules == default_rules(with_audio=False)
+    assert warn == ("z-score",)

@@ -170,17 +170,38 @@ def schema_from_config(cfg) -> "TableSchema | None":
     return TableSchema.from_config(cfg["schema"])
 
 
+def warn_from_config(cfg) -> tuple:
+    """Optional top-level ``"warn_detectors"`` key of a ruleset document
+    → tuple of detector names demoted to WARN severity: their violations
+    are still evaluated, emitted and quarantine-eligible per the
+    engine's flags, but the per-partition verdict passes regardless of
+    count (an advisory signal, not a promotion blocker). Malformed
+    declarations raise at config time, like every other ruleset error."""
+    if not isinstance(cfg, dict) or "warn_detectors" not in cfg:
+        return ()
+    w = cfg["warn_detectors"]
+    if not isinstance(w, list) or not all(isinstance(x, str) and x for x in w):
+        raise ValueError(
+            "warn_detectors must be a list of non-empty detector names, "
+            f"got {w!r}"
+        )
+    return tuple(w)
+
+
 def load_ruleset(path: str) -> list:
     """Read a ruleset JSON file → rule list."""
     with open(path, "r", encoding="utf-8") as f:
         return rules_from_config(json.load(f))
 
 
-def load_ruleset_document(path: str) -> tuple[list, "TableSchema | None"]:
-    """Read a ruleset JSON file → (rules, declared table schema or None)."""
+def load_ruleset_document(
+    path: str,
+) -> tuple[list, "TableSchema | None", tuple]:
+    """Read a ruleset JSON file → (rules, declared table schema or None,
+    warn-severity detector names)."""
     with open(path, "r", encoding="utf-8") as f:
         doc = json.load(f)
-    return rules_from_config(doc), schema_from_config(doc)
+    return rules_from_config(doc), schema_from_config(doc), warn_from_config(doc)
 
 
 def dump_ruleset(rules, path: str) -> None:

@@ -78,6 +78,7 @@ class ValidationEngine:
         fail_threshold: float = 0.0,
         max_violations_per_group: int | None = None,
         exclusion_windows: DataFrame | None = None,
+        warn_detectors: tuple | list | None = None,
     ) -> RunResult:
         """Compile + evaluate ``rules`` over ``df`` (lazy: returned
         DataFrames trigger execution on action).
@@ -113,6 +114,16 @@ class ValidationEngine:
         completeness, timeout) are unaffected. The window set is
         operator-declared, so it broadcast-joins as one array row per
         partition — the fact table never shuffles for the exemption.
+
+        ``warn_detectors`` — detector names demoted to WARN severity:
+        violations are evaluated and emitted exactly as before (the
+        evidence trail stays complete, violation_count stays exact),
+        but the (partition, detector) verdict PASSES regardless of
+        count — an advisory signal, not a promotion blocker (the
+        Deequ/Great-Expectations warn-level contract). Overrides
+        fail_threshold and partition-level exactness for the named
+        detectors. A name matching no compiled detector raises — a
+        misspelled demotion must not silently gate nothing.
         """
         if not 0.0 <= fail_threshold < 1.0:
             # ≙ {{ error(...) }}: an impossible tolerance is a config bug
@@ -174,9 +185,20 @@ class ValidationEngine:
             violations = violations.persist()
         cached = violations if persist else None
 
+        if warn_detectors:
+            unknown = sorted(set(warn_detectors) - set(plan.detectors))
+            if unknown:
+                # ≙ {{ error(...) }}: a demotion naming no active
+                # detector is a config bug, not a no-op
+                raise ValueError(
+                    f"warn_detectors not produced by this rule set: "
+                    f"{unknown} (active: {sorted(plan.detectors)})"
+                )
+
         verdicts = self._verdicts(
             violations, plan.rows_checked, plan.detectors, run_id, frontier,
             fail_threshold, partition_level=plan.partition_level,
+            warn_detectors=warn_detectors,
         )
 
         if max_violations_per_group is not None:
@@ -215,6 +237,7 @@ class ValidationEngine:
         frontier: int | None,
         fail_threshold: float = 0.0,
         partition_level: list | None = None,
+        warn_detectors: tuple | list | None = None,
     ) -> DataFrame:
         spark = violations.sparkSession
         det = spark.createDataFrame(
@@ -237,6 +260,12 @@ class ValidationEngine:
             tolerance = F.when(
                 F.col("detector").isin(*partition_level), F.lit(0)
             ).otherwise(tolerance)
+        passes = F.col("violation_count") <= tolerance
+        if warn_detectors:
+            # WARN severity: the verdict row keeps the exact count (an
+            # operator reads count>0 with pass=true as "warn"), but never
+            # blocks promotion
+            passes = passes | F.col("detector").isin(*warn_detectors)
         # both sides are verdict-grid-sized (partitions × detectors);
         # broadcast the counts so no sort-merge join appears at scale
         return (
@@ -247,7 +276,7 @@ class ValidationEngine:
                 "detector",
                 # rate tolerance: <= threshold * rows passes (0.0 ==
                 # the reference's exact any-violation-fails semantics)
-                (F.col("violation_count") <= tolerance).alias("pass"),
+                passes.alias("pass"),
                 F.col("violation_count").cast("long"),
                 F.col("rows_checked").cast("long"),
                 F.lit(run_id).alias("run_id"),
@@ -263,6 +292,7 @@ def quarantine_split(
     key_col: str = "clip_id",
     partition_level_detectors: tuple = ("timeout",),
     broadcast_keys: bool = True,
+    warn_detectors: tuple | list = (),
 ) -> tuple[DataFrame, DataFrame]:
     """Route validated data: (clean, quarantine) from a validation run.
 
@@ -283,6 +313,9 @@ def quarantine_split(
     idiom — copy_timeout.pipe:39 — not as a bad row). Uniqueness
     violations name the duplicated key, so ALL copies of a duplicated
     clip are quarantined (strict: triage decides which copy returns).
+    ``warn_detectors`` (WARN severity, see ValidationEngine.run) are
+    likewise skipped: an advisory violation must not remove a clip from
+    the training corpus.
 
     Scale: the quarantine key set is violation-sized (≪ corpus in any
     healthy run), so the clean-side anti-join is broadcast by default —
@@ -290,9 +323,9 @@ def quarantine_split(
     pathological runs where violations approach corpus size (the
     anti-join then shuffles both sides instead of OOMing the driver).
     """
+    skip = tuple(partition_level_detectors) + tuple(warn_detectors)
     clip_level = violations.filter(
-        F.col("clip_id").isNotNull()
-        & ~F.col("detector").isin(*partition_level_detectors)
+        F.col("clip_id").isNotNull() & ~F.col("detector").isin(*skip)
     )
     quarantine = clip_level.groupBy("partition_key", "clip_id").agg(
         F.count(F.lit(1)).alias("n_violations"),

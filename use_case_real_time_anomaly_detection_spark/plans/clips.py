@@ -73,6 +73,7 @@ def validate_clips(
     max_violations_per_group: int | None = None,
     exclusion_windows: DataFrame | None = None,
     extra_refs: dict[str, DataFrame] | None = None,
+    warn_detectors: tuple | list | None = None,
 ) -> RunResult:
     """Run the full rule set over a clip table (any source).
 
@@ -108,6 +109,7 @@ def validate_clips(
         fail_threshold=fail_threshold,
         max_violations_per_group=max_violations_per_group,
         exclusion_windows=exclusion_windows,
+        warn_detectors=warn_detectors,
     )
 
 

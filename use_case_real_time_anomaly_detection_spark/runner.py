@@ -184,6 +184,17 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "clip table never shuffles for it",
     )
     p.add_argument(
+        "--warn",
+        default=None,
+        metavar="DET1,DET2",
+        help="comma-separated detector names demoted to WARN severity: "
+        "violations still recorded (verdict rows keep exact counts) but "
+        "the verdict passes and warned clips are not quarantined — an "
+        "advisory signal, not a promotion blocker. Unioned with the "
+        "ruleset document's warn_detectors key; unknown names abort "
+        "before any job",
+    )
+    p.add_argument(
         "--ref-table",
         action="append",
         default=None,
@@ -203,6 +214,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "(or local[$SPARK_GRAFT_CPUS] standalone)",
     )
     return p.parse_args(argv)
+
+
+def _split_warn(arg: str | None) -> tuple:
+    """--warn 'a,b' → ('a', 'b'); blanks dropped."""
+    if not arg:
+        return ()
+    return tuple(s.strip() for s in arg.split(",") if s.strip())
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -370,17 +388,20 @@ def main(argv: list[str] | None = None) -> int:
         store = CheckpointStore(get_catalog(spark, args.checkpoint_dir))
         manifest = spark.read.parquet(args.manifest)
         stream = spark.readStream.schema(CLIPS_SCHEMA).parquet(args.stream)
+        if args.rules:
+            s_rules, _, s_doc_warn = load_ruleset_document(args.rules)
+        else:
+            s_rules = default_rules(with_audio=not args.no_audio)
+            s_doc_warn = ()
+        s_warn = tuple(dict.fromkeys([*s_doc_warn, *_split_warn(args.warn)]))
         t0 = time.time()
         q = stream_clips_validation(
             stream,
             manifest,
             store,
             checkpoint_dir=f"{args.checkpoint_dir}/_stream_ckpt",
-            rules=(
-                load_ruleset_document(args.rules)[0]
-                if args.rules
-                else default_rules(with_audio=not args.no_audio)
-            ),
+            rules=s_rules,
+            warn_detectors=s_warn or None,
             quarantine=args.quarantine,
             fail_threshold=args.fail_threshold,
             profile=args.stream_profile or drift_col is not None,
@@ -446,10 +467,14 @@ def main(argv: list[str] | None = None) -> int:
     skip = None if args.no_resume else store.completed_partitions(frontier)
 
     if args.rules:
-        rules, declared_schema = load_ruleset_document(args.rules)
+        rules, declared_schema, doc_warn = load_ruleset_document(args.rules)
     else:
         rules = default_rules(with_audio=not args.no_audio)
         declared_schema = None
+        doc_warn = ()
+    # severity demotions: the ruleset document's warn_detectors plus any
+    # --warn names (union — either source can demote)
+    warn = tuple(dict.fromkeys([*doc_warn, *_split_warn(args.warn)]))
     # pre-flight schema gate: driver-side metadata comparison only (no
     # job) — a mis-typed upstream column aborts here, not mid-scan.
     # The ruleset document's "schema" key overrides the built-in clip
@@ -487,6 +512,7 @@ def main(argv: list[str] | None = None) -> int:
             else None
         ),
         extra_refs=extra_refs,
+        warn_detectors=warn or None,
     )
     if args.sample is not None:
         # smoke runs are NON-AUTHORITATIVE: verdicts recorded for
@@ -501,7 +527,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.quarantine and args.sample is None:
         from .operators.engine import quarantine_split, reindex_quarantine
 
-        _, quar = quarantine_split(clips, result.violations)
+        _, quar = quarantine_split(
+            clips, result.violations, warn_detectors=warn
+        )
         # idempotence contract: every partition this run validated is
         # replaced — including ones whose violations all cleared, which
         # emit a NULL-clip_id marker row (reindex_quarantine) so dynamic
@@ -541,16 +569,23 @@ def main(argv: list[str] | None = None) -> int:
             if skip is not None
             else keyed
         )
+        # profile only the columns the table actually has: a ruleset
+        # document's declared schema may legitimately narrow the clip
+        # contract (metadata-only tables), and the state pass must not
+        # crash the run over an absent default column
+        have = set(validated.columns)
         store.record_profile(
             profile_state(
                 validated,
                 partition_col="partition_key",
-                numeric_columns=["dur_ms", "sr_hz"],
-                distinct_columns=["codec", "clip_id"],
+                numeric_columns=[c for c in ("dur_ms", "sr_hz") if c in have],
+                distinct_columns=[c for c in ("codec", "clip_id") if c in have],
                 # fixed across runs (merge contract): 2x the RangeRule
                 # upper bound so out-of-range clips land in real bins,
                 # 40 bins → quantile error ≤ 100 ms
-                histogram_columns={"dur_ms": (0.0, 4000.0, 40)},
+                histogram_columns={
+                    c: (0.0, 4000.0, 40) for c in ("dur_ms",) if c in have
+                },
             )
         )
 

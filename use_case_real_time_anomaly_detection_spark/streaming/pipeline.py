@@ -53,6 +53,7 @@ def stream_clips_validation(
     drift_psi: float = 0.25,
     exclusion_windows: DataFrame | None = None,
     extra_refs: dict[str, DataFrame] | None = None,
+    warn_detectors: tuple | list | None = None,
 ):
     """Continuous clip-table validation: each micro-batch of newly landed
     clips runs the full rule engine and checkpoints its verdicts +
@@ -121,6 +122,7 @@ def stream_clips_validation(
             # static side tables (calibration revisions, extra
             # manifests) rebind per micro-batch like the manifest does
             extra_refs=extra_refs,
+            warn_detectors=warn_detectors,
         )
         # violations keyed (pk, batch_id) — a later batch delivering MORE
         # clips for a partition accumulates alongside earlier batches'
@@ -133,7 +135,9 @@ def stream_clips_validation(
         if quarantine:
             from ..operators.engine import quarantine_split
 
-            _, quar = quarantine_split(clips, res.violations)
+            _, quar = quarantine_split(
+                clips, res.violations, warn_detectors=warn_detectors or ()
+            )
             # a SEPARATE table from the batch runner's `quarantine`:
             # streaming accumulates per-batch evidence dirs ((pk, batch)
             # grain — a replayed batch overwrites only itself), while the
