@@ -118,9 +118,11 @@ def asof_join(
         # dual contract as the sequence rules' seq_col. unix_timestamp
         # on a numeric column is an AnalysisException, so dispatch on
         # the resolved type.
-        from pyspark.sql.types import DateType, TimestampType
+        from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
 
-        if isinstance(left.schema[ts].dataType, (TimestampType, DateType)):
+        if isinstance(
+            left.schema[ts].dataType, (TimestampType, TimestampNTZType, DateType)
+        ):
             gap = F.abs(F.unix_timestamp(F.col(ts)) - F.unix_timestamp(m[ts]))
         else:
             gap = F.abs(F.col(ts).cast("double") - m[ts].cast("double"))
