@@ -1139,6 +1139,37 @@ def _q_cusum_shift(spark, sf):
     return plan.violations
 
 
+def _q_ewma_shift(spark, sf):
+    """EWMA control chart (operators/rules.EwmaRule — Roberts 1959):
+    the detector family between per-row fences and CUSUM. The planted
+    +300 ms dur shift in c001 walks the exponentially weighted average
+    past target + 3*sigma*sqrt(lam/(2-lam)) within ~4 clips and KEEPS
+    it there (145/150 rows flagged — the chart signals for as long as
+    the process stays shifted, where CUSUM saturates once); healthy
+    partitions show only 2-6 transient decays of planted range
+    outliers. Compiled to a truncated closed form — 32 lag terms over
+    the shared (partition, seq) window, summed in fixed literal order
+    so the oracle reproduces every IEEE double bit-for-bit."""
+    from use_case_real_time_anomaly_detection_spark.operators.compiler import (
+        compile_rules,
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        EwmaRule,
+    )
+
+    _ensure_clips_oracle_files()
+    meta = spark.read.parquet(_CLIPS_META).withColumn(
+        "partition_key", F.substring("clip_id", 1, 4)
+    )
+    plan = compile_rules(
+        meta,
+        [EwmaRule("dur_ms", target=1000.0, sigma=130.0, lam=0.25,
+                  nsigma=3.0, truncate=32)],
+        seq_col="seq",
+    )
+    return plan.violations
+
+
 def _q_clips_topk(spark, sf):
     """Frequent-items profile of the categorical clip columns
     (functions/stats.topk_values): top-3 values per (partition, column)."""
@@ -2128,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completeness_check": _q_completeness,
         "mad_outliers": _q_mad_outliers,
         "cusum_shift": _q_cusum_shift,
+        "ewma_shift": _q_ewma_shift,
         "predicate_check": _q_predicate_check,
         "audio_segments": _q_audio_segments,
         "seq_pack": _q_seq_pack,
@@ -2634,6 +2666,55 @@ SELECT partition_key, clip_id,
        'target:1000| k:150| h:2500' AS note
 FROM s
 WHERE x IS NOT NULL AND (su > 2500 OR sd > 2500)
+"""
+
+
+# ≙ _q_ewma_shift: the truncated EWMA closed form, replayed with the
+# IDENTICAL coefficient literals in the IDENTICAL left-to-right add
+# order the compiler emits (rules.EwmaRule.weights()), so every IEEE
+# double — and every rounded note digit — matches bit-for-bit.
+def _dlit(x: float) -> str:
+    """Python float → SQL literal DuckDB parses as DOUBLE (exponent
+    suffix forces strtod, avoiding a DECIMAL intermediate)."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r or "inf" in r or "nan" in r) else r + "e0"
+
+
+def _sql_ewma_shift() -> str:
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        EwmaRule,
+    )
+
+    r = EwmaRule("dur_ms", target=1000.0, sigma=130.0, lam=0.25,
+                 nsigma=3.0, truncate=32)
+    coeffs, tail = r.weights()
+    tgt = _dlit(r.target)
+    terms = [f"{_dlit(coeffs[0])} * COALESCE(x, {tgt})"]
+    terms += [
+        f"{_dlit(c)} * COALESCE(LAG(x, {k}) OVER w, {tgt})"
+        for k, c in enumerate(coeffs[1:], start=1)
+    ]
+    z = " + ".join(terms) + f" + {_dlit(tail)}"
+    limit = r.limit()
+    lo, hi = _dlit(r.target - limit), _dlit(r.target + limit)
+    note_tail = f"| target:{r.target:g}| limit:{limit:.4f}| lam:{r.lam:g}"
+    return f"""
+WITH m AS (
+  SELECT substring(clip_id, 1, 4) AS partition_key, clip_id, seq,
+         CAST(dur_ms AS DOUBLE) AS x
+  FROM read_parquet('{_CLIPS_META}/*.parquet')
+), e AS (
+  SELECT partition_key, clip_id, x,
+         {z} AS z
+  FROM m
+  WINDOW w AS (PARTITION BY partition_key ORDER BY seq, clip_id)
+)
+SELECT partition_key, clip_id,
+       'ewma' AS detector,
+       {_fmt_sql("z", 4)} AS observed,
+       'ewma:' || {_fmt_sql("z", 4)} || '{note_tail}' AS note
+FROM e
+WHERE x IS NOT NULL AND (z < {lo} OR z > {hi})
 """
 
 
@@ -4722,6 +4803,7 @@ def oracle_sql() -> dict[str, str]:
         "completeness_check": _SQL_COMPLETENESS,
         "mad_outliers": _SQL_MAD_OUTLIERS,
         "cusum_shift": _SQL_CUSUM_SHIFT,
+        "ewma_shift": _sql_ewma_shift(),
         "predicate_check": _SQL_PREDICATE_CHECK,
         "audio_segments": _SQL_AUDIO_SEGMENTS,
         "seq_pack": _SQL_SEQ_PACK,

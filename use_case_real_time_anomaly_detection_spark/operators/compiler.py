@@ -48,6 +48,7 @@ from .rules import (
     CompletenessRule,
     CusumRule,
     DriftRule,
+    EwmaRule,
     GapRule,
     IqrRule,
     MadRule,
@@ -493,6 +494,51 @@ def compile_rules(
                     mcols.append((p - F.least(zero, m)).alias(f"__cusum_sd_{i}"))
             base = base.select("*", *mcols)
 
+    # ---- EWMA control-chart columns ---------------------------------------
+    # z_t = lam*x_t + (1-lam)*z_{t-1} via the truncated closed form
+    # z_t ≈ Σ_{k<K} lam(1-lam)^k x_{t-k} + (1-lam)^K target: K lag terms
+    # over ONE (partition, seq, key) window, summed in a fixed
+    # left-to-right literal order so the DuckDB oracle reproduces every
+    # IEEE double bit-for-bit (see rules.EwmaRule). Pre-head lags and
+    # NULL values contribute `target` (the chart's z_{-1} convention).
+    ewma_rules = [r for r in rules if isinstance(r, EwmaRule)]
+    if ewma_rules:
+        if seq_col is None:
+            raise ValueError("sequence rules need seq_col")
+
+        def ewma_cols(w) -> list[Column]:
+            cols: list[Column] = []
+            for i, r in enumerate(ewma_rules):
+                x = F.col(r.column).cast("double")
+                tgt = F.lit(float(r.target))
+                coeffs, tail = r.weights()
+                z = F.lit(coeffs[0]) * F.coalesce(x, tgt)
+                for k in range(1, r.truncate):
+                    z = z + F.lit(coeffs[k]) * F.coalesce(
+                        F.lag(x, k).over(w), tgt
+                    )
+                cols.append((z + F.lit(tail)).alias(f"__ewma_{i}"))
+            return cols
+
+        if window_chunk_size is not None:
+            # same skew-safe decomposition the other sequence rules use:
+            # the truncated form only ever looks `truncate` rows back, so
+            # a chunk prefixed with the previous chunk's tail reproduces
+            # the global window exactly (operators/skew.chunked_window_cols)
+            from .skew import chunked_window_cols
+
+            base = chunked_window_cols(
+                base,
+                partition_col=partition_col,
+                seq_col=seq_col,
+                frame_rows=max(r.truncate for r in ewma_rules),
+                chunk_size=window_chunk_size,
+                cols_builder=ewma_cols,
+            )
+        else:
+            we = Window.partitionBy(partition_col).orderBy(seq_col, key_col)
+            base = base.select("*", *ewma_cols(we))
+
     # ---- per-partition IQR fences: two-level agg + broadcast join --------
     iqr_rules = [r for r in rules if isinstance(r, IqrRule)]
     for r in iqr_rules:
@@ -790,6 +836,26 @@ def compile_rules(
                 f"target:{r.target:g}| k:{r.k:g}| h:{r.h:g}"
             )
             _entry(r.detector, cond, observed, note)
+
+        elif isinstance(r, EwmaRule):
+            i = next(j for j, er in enumerate(ewma_rules) if er is r)
+            z = F.col(f"__ewma_{i}")
+            limit = r.limit()
+            lo, hi = r.target - limit, r.target + limit
+            # NULL x rows contribute `target` to later rows' z but are
+            # never themselves flagged (same contract as CUSUM)
+            cond = F.col(r.column).isNotNull() & (
+                (z < F.lit(lo)) | (z > F.lit(hi))
+            )
+            note = F.concat(
+                F.lit("ewma:"),
+                _fmt(z, 4),
+                F.lit(
+                    f"| target:{r.target:g}| limit:{limit:.4f}"
+                    f"| lam:{r.lam:g}"
+                ),
+            )
+            _entry(r.detector, cond, _fmt(z, 4), note)
 
         elif isinstance(r, RefMatchRule):
             refc = F.col(f"__ref_{r.ref_column}")

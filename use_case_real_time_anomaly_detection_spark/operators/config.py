@@ -30,6 +30,7 @@ from .rules import (
     CompletenessRule,
     CusumRule,
     DriftRule,
+    EwmaRule,
     GapRule,
     IqrRule,
     MadRule,
@@ -66,6 +67,7 @@ RULE_TYPES = {
     "iqr": IqrRule,
     "mad": MadRule,
     "cusum": CusumRule,
+    "ewma": EwmaRule,
     "aggregate": AggregateRule,
     "completeness": CompletenessRule,
     "unique": UniqueRule,

@@ -292,6 +292,84 @@ class CusumRule(Rule):
             )
 
 
+@dataclass(frozen=True)
+class EwmaRule(Rule):
+    """EWMA control chart (Roberts, Technometrics 1959; NIST/SEMATECH
+    §6.3.2.4): flag rows whose exponentially weighted moving average
+
+        z_t = lam * x_t + (1 - lam) * z_{t-1},   z_{-1} = target
+
+    leaves the band  target ± nsigma * sigma * sqrt(lam / (2 - lam))
+    (the chart's asymptotic control limits).
+
+    The detector family between the per-row fences and CUSUM: a spike
+    must be LARGE to move z (transients are discounted at (1-lam) per
+    step, so one wild value never pages), while a sustained shift walks
+    z to target+shift within ~1/lam rows and holds it there — CUSUM
+    answers "did a shift happen?" once and saturates; the EWMA chart
+    keeps signalling for as long as the process stays shifted, which is
+    what an operator watching a corpus intake wants on a dashboard.
+
+    Spark-first compilation: the recursion has the closed form
+    z_t = Σ_{k≥0} lam(1-lam)^k x_{t-k}; the geometric weights decay, so
+    truncating at ``truncate`` terms bounds the error by
+    (1-lam)^truncate * |x - target| — with the default lam=0.25, K=32
+    that is < 1e-4 of the signal, far below the chart's own noise. The
+    truncated form is a FIXED expression over ``truncate`` lag columns
+    sharing one (partition, seq) window — the same exchange every other
+    sequence rule rides — summed in a fixed left-to-right literal order,
+    so any engine (the DuckDB oracle) reproduces every IEEE double
+    bit-for-bit. Rows before the partition head and NULL values
+    contribute ``target`` (the chart's own z_{-1} convention): a NULL
+    is "no evidence", never evidence of a shift, and is never flagged
+    itself. Ties on seq are broken by key_col (total order, the CUSUM
+    contract). With ``window_chunk_size`` the compiler evaluates the
+    same expression via operators/skew.chunked_window_cols (chunk
+    overlap = truncate rows), so a 10^12-row partition runs as
+    parallel chunk tasks instead of one straggler.
+    """
+
+    column: str
+    target: float
+    sigma: float
+    lam: float = 0.25
+    nsigma: float = 3.0
+    truncate: int = 32
+    detector: str = "ewma"
+
+    def __post_init__(self) -> None:
+        if not (0.0 < self.lam <= 1.0):
+            # ≙ {{ error(...) }} on an impossible parameterization
+            raise ValueError(
+                f"EwmaRule({self.column}): lam must be in (0, 1], got {self.lam}"
+            )
+        if self.sigma <= 0 or self.nsigma <= 0:
+            raise ValueError(
+                f"EwmaRule({self.column}): need sigma > 0 and nsigma > 0, "
+                f"got sigma={self.sigma}, nsigma={self.nsigma}"
+            )
+        if self.truncate < 1:
+            raise ValueError(
+                f"EwmaRule({self.column}): truncate must be >= 1, "
+                f"got {self.truncate}"
+            )
+
+    def weights(self) -> tuple[list[float], float]:
+        """(per-lag coefficients lam*(1-lam)^k for k=0..truncate-1,
+        tail constant (1-lam)^truncate * target). Computed by repeated
+        multiplication so both engines see the IDENTICAL literals."""
+        coeffs: list[float] = []
+        w = 1.0
+        for _ in range(self.truncate):
+            coeffs.append(self.lam * w)
+            w *= 1.0 - self.lam
+        return coeffs, w * self.target
+
+    def limit(self) -> float:
+        """Asymptotic control-band half-width nsigma*sigma*sqrt(lam/(2-lam))."""
+        return self.nsigma * self.sigma * (self.lam / (2.0 - self.lam)) ** 0.5
+
+
 # --------------------------------------------------------------------------
 # Aggregate rules — per-partition statistics then fence comparison.
 # --------------------------------------------------------------------------
