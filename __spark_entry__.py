@@ -1170,6 +1170,35 @@ def _q_ewma_shift(spark, sf):
     return plan.violations
 
 
+def _q_fd_check(spark, sf):
+    """Functional-dependency validation (operators/rules.FdRule):
+    codec -> sr_hz within each partition — the schema contract "one
+    capture chain per codec per day" that no single-column rule can
+    express (ValueSetRule pins sr_hz's global domain; the FD pins its
+    domain PER codec). Flags mulaw in every partition (planted sr
+    flips put mulaw clips at two rates) and pcm16 in c002 (the sr-flip
+    drift partition runs pcm16 at three rates). The corpus aggregates
+    once to the slim (partition, codec, sr_hz) grain; violations are
+    partition-level (clip_id carries the determinant value)."""
+    from use_case_real_time_anomaly_detection_spark.operators.compiler import (
+        compile_rules,
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        FdRule,
+    )
+
+    _ensure_clips_oracle_files()
+    meta = spark.read.parquet(_CLIPS_META).withColumn(
+        "partition_key", F.substring("clip_id", 1, 4)
+    )
+    plan = compile_rules(
+        meta,
+        [FdRule(("codec",), "sr_hz", scope="partition")],
+        seq_col="seq",
+    )
+    return plan.violations
+
+
 def _q_clips_topk(spark, sf):
     """Frequent-items profile of the categorical clip columns
     (functions/stats.topk_values): top-3 values per (partition, column)."""
@@ -2160,6 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": _q_mad_outliers,
         "cusum_shift": _q_cusum_shift,
         "ewma_shift": _q_ewma_shift,
+        "fd_check": _q_fd_check,
         "predicate_check": _q_predicate_check,
         "audio_segments": _q_audio_segments,
         "seq_pack": _q_seq_pack,
@@ -2715,6 +2745,28 @@ SELECT partition_key, clip_id,
        'ewma:' || {_fmt_sql("z", 4)} || '{note_tail}' AS note
 FROM e
 WHERE x IS NOT NULL AND (z < {lo} OR z > {hi})
+"""
+
+
+# ≙ _q_fd_check: the FD rolled up from the same slim
+# (partition, determinant, dependent) grain; COUNT(DISTINCT) over
+# non-NULL values matches the rule's NULL-skipping contract.
+_SQL_FD_CHECK = f"""
+WITH m AS (
+  SELECT substring(clip_id, 1, 4) AS partition_key, codec, sr_hz
+  FROM read_parquet('{_CLIPS_META}/*.parquet')
+  WHERE codec IS NOT NULL AND sr_hz IS NOT NULL
+), per AS (
+  SELECT partition_key, codec, COUNT(DISTINCT sr_hz) AS ndep
+  FROM m GROUP BY 1, 2
+)
+SELECT partition_key,
+       codec AS clip_id,
+       'functional-dependency' AS detector,
+       CAST(ndep AS VARCHAR) AS observed,
+       'fd (codec) -> sr_hz violated (partition scope)' AS note
+FROM per
+WHERE ndep > 1
 """
 
 
@@ -4804,6 +4856,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers": _SQL_MAD_OUTLIERS,
         "cusum_shift": _SQL_CUSUM_SHIFT,
         "ewma_shift": _sql_ewma_shift(),
+        "fd_check": _SQL_FD_CHECK,
         "predicate_check": _SQL_PREDICATE_CHECK,
         "audio_segments": _SQL_AUDIO_SEGMENTS,
         "seq_pack": _SQL_SEQ_PACK,

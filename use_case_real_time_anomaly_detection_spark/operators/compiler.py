@@ -49,6 +49,7 @@ from .rules import (
     CusumRule,
     DriftRule,
     EwmaRule,
+    FdRule,
     GapRule,
     IqrRule,
     MadRule,
@@ -950,7 +951,9 @@ def compile_rules(
             )
             _entry(r.detector, cond, observed, F.lit("| ".join(bound_bits)))
 
-        elif isinstance(r, (UniqueRule, DriftRule, AggregateRule, CompletenessRule)):
+        elif isinstance(
+            r, (UniqueRule, FdRule, DriftRule, AggregateRule, CompletenessRule)
+        ):
             continue  # aggregate-/table-level; handled below
         elif isinstance(r, ProfileSpec):
             continue
@@ -1047,6 +1050,63 @@ def compile_rules(
             fused_parts.append(dup)
             if r.detector not in detectors:
                 detectors.append(r.detector)
+
+    # ---- functional dependencies ------------------------------------------
+    for r in rules:
+        if isinstance(r, FdRule):
+            dets = list(r.determinants)
+            # NULL determinants / dependents are skipped: NotNullRule owns
+            # null policy, and COUNT(DISTINCT) semantics ignore NULLs —
+            # the FD asserts agreement among PRESENT values.
+            grain = df
+            for c in (*dets, r.dependent):
+                grain = grain.filter(F.col(c).isNotNull())
+            # corpus → slim (partition, determinant, dependent) grain:
+            # partition-co-located, map-side combinable. Global scope then
+            # rolls THIS frame up by determinant — the corpus itself never
+            # shuffles on the bare determinant (the UniqueRule contract).
+            per = grain.groupBy(partition_col, *dets, r.dependent).agg(
+                F.count(F.lit(1)).alias("__n")
+            )
+            if r.scope == "global":
+                bad = (
+                    per.select(*dets, r.dependent)
+                    .distinct()
+                    .groupBy(*dets)
+                    .agg(F.count(F.lit(1)).alias("__ndep"))
+                    .filter(F.col("__ndep") > 1)
+                )
+                # every partition holding a violating determinant value
+                # gets the row (either owner's verdict fails)
+                src = (
+                    per.join(bad, dets, "inner")
+                    .select(partition_col, *dets, "__ndep")
+                    .distinct()
+                )
+            else:
+                src = per.groupBy(partition_col, *dets).agg(
+                    F.count(F.lit(1)).alias("__ndep")
+                ).filter(F.col("__ndep") > 1)
+            fused_parts.append(
+                src.select(
+                    F.col(partition_col).alias("partition_key"),
+                    F.concat_ws(
+                        "|", *[F.col(c).cast("string") for c in dets]
+                    ).alias("clip_id"),
+                    F.lit(r.detector).alias("detector"),
+                    F.col("__ndep").cast("string").alias("observed"),
+                    F.lit(
+                        f"fd ({','.join(dets)}) -> {r.dependent} violated "
+                        f"({r.scope} scope)"
+                    ).alias("note"),
+                )
+            )
+            if r.detector not in detectors:
+                detectors.append(r.detector)
+            if r.detector not in partition_level:
+                # a broken dependency is one defect per partition
+                # regardless of row count — exempt from rate tolerance
+                partition_level.append(r.detector)
 
     # ---- aggregate bounds: ONE fused groupBy for every AggregateRule -----
     agg_rules = [r for r in rules if isinstance(r, AggregateRule)]

@@ -31,6 +31,7 @@ from .rules import (
     CusumRule,
     DriftRule,
     EwmaRule,
+    FdRule,
     GapRule,
     IqrRule,
     MadRule,
@@ -68,6 +69,7 @@ RULE_TYPES = {
     "mad": MadRule,
     "cusum": CusumRule,
     "ewma": EwmaRule,
+    "fd": FdRule,
     "aggregate": AggregateRule,
     "completeness": CompletenessRule,
     "unique": UniqueRule,

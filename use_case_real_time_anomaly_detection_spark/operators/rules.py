@@ -463,6 +463,57 @@ class UniqueRule(Rule):
 
 
 @dataclass(frozen=True)
+class FdRule(Rule):
+    """Functional dependency: the determinant columns must determine the
+    dependent column (A → B; Deequ/Metanome-style FD validation).
+
+    Graft addition: the schema-contract check no single-column rule can
+    express — "codec determines sample rate", "speaker_id determines
+    locale". A violated FD is how silent pipeline splits surface: two
+    capture chains writing the same codec at different rates, a
+    re-shard that re-keyed half a speaker's clips. ValueSetRule can only
+    pin B's global domain; the FD pins B's domain PER determinant value.
+
+    ``scope`` — ``"global"`` (default) checks the dependency across the
+    whole table: one determinant value mapping to >1 dependent value
+    ANYWHERE violates, and every partition holding that determinant
+    value gets a violation row carrying the global dependent count (so
+    either owner's verdict fails — the UniqueRule scope=global
+    contract). ``"partition"`` checks the dependency within each
+    partition only (A → B given the partition; a per-day calibration
+    may legitimately differ across days).
+
+    Scale shape: the corpus aggregates once to the slim
+    (partition, determinant, dependent) grain — partition-co-located,
+    map-side combinable; global scope then rolls THAT frame up by
+    determinant. The corpus never shuffles on the bare determinant.
+    Violations are partition-level (clip_id carries the determinant
+    value, not a clip): a broken dependency is one defect per
+    partition regardless of row count, so the fail_threshold rate
+    tolerance never silently disables it.
+    """
+
+    determinants: tuple = ("codec",)
+    dependent: str = "sr_hz"
+    detector: str = "functional-dependency"
+    scope: str = "global"
+
+    def __post_init__(self) -> None:
+        if not self.determinants:
+            raise ValueError("FdRule: need at least one determinant column")
+        if self.dependent in self.determinants:
+            raise ValueError(
+                f"FdRule: dependent {self.dependent!r} cannot also be a "
+                "determinant"
+            )
+        if self.scope not in ("partition", "global"):
+            raise ValueError(
+                f"FdRule: scope must be 'partition' or 'global', "
+                f"got {self.scope!r}"
+            )
+
+
+@dataclass(frozen=True)
 class RefIntegrityRule(Rule):
     """Keys absent from a reference (manifest) table → violations.
 
