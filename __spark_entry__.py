@@ -439,6 +439,21 @@ def _q_top_customers(spark, sf):
 # ---- documents: text analysis + dedup -------------------------------------
 
 
+def _q_gopher_quality(spark, sf):
+    """Intra-document repetition signals (functions/text.
+    gopher_repetition — Gopher, Rae et al. 2021 Table A1): top-2/3-gram
+    occurrence share + duplicate-5-gram share per doc, with the paper's
+    threshold flags. The quality axis corpus-level dedup can't see:
+    repetition INSIDE one document. One corpus scan — n-grams for all
+    three sizes built row-locally by array HOFs and exploded once as
+    tagged pairs."""
+    from use_case_real_time_anomaly_detection_spark.functions.text import (
+        gopher_repetition,
+    )
+
+    return gopher_repetition(_docs(spark, sf))
+
+
 def _q_text_quality(spark, sf):
     from use_case_real_time_anomaly_detection_spark.functions.text import quality_score
 
@@ -2190,6 +2205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_shift": _q_cusum_shift,
         "ewma_shift": _q_ewma_shift,
         "fd_check": _q_fd_check,
+        "gopher_quality": _q_gopher_quality,
         "predicate_check": _q_predicate_check,
         "audio_segments": _q_audio_segments,
         "seq_pack": _q_seq_pack,
@@ -2745,6 +2761,45 @@ SELECT partition_key, clip_id,
        'ewma:' || {_fmt_sql("z", 4)} || '{note_tail}' AS note
 FROM e
 WHERE x IS NOT NULL AND (z < {lo} OR z > {hi})
+"""
+
+
+# ≙ _q_gopher_quality: same tagged-(n, gram) construction via DuckDB
+# list HOFs; occurrence fractions are identical two-long-int divisions,
+# so every double matches bit-for-bit.
+_SQL_GOPHER_QUALITY = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS arr
+  FROM documents
+), g AS (
+  SELECT doc_id, ns.n AS n,
+         unnest(CASE WHEN len(arr) >= ns.n
+                THEN list_transform(
+                       generate_series(1, len(arr) - ns.n + 1),
+                       i -> array_to_string(list_slice(arr, i, i + ns.n - 1), ' '))
+                ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM toks, (SELECT unnest([2, 3, 5]) AS n) ns
+), c AS (
+  SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3
+), m AS (
+  SELECT doc_id, n, sum(cnt) AS total, max(cnt) AS top,
+         coalesce(sum(cnt) FILTER (WHERE cnt > 1), 0) AS dup
+  FROM c GROUP BY 1, 2
+), p AS (
+  SELECT doc_id,
+    max(CASE WHEN n = 2 THEN CAST(top AS DOUBLE) / CAST(total AS DOUBLE) END) AS t2,
+    max(CASE WHEN n = 3 THEN CAST(top AS DOUBLE) / CAST(total AS DOUBLE) END) AS t3,
+    max(CASE WHEN n = 5 THEN CAST(dup AS DOUBLE) / CAST(total AS DOUBLE) END) AS d5
+  FROM m GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(t2, 0.0e0) AS top_2gram_frac,
+       coalesce(t3, 0.0e0) AS top_3gram_frac,
+       coalesce(d5, 0.0e0) AS dup_5gram_frac,
+       (coalesce(t2, 0.0e0) > 0.20e0 OR coalesce(t3, 0.0e0) > 0.18e0
+        OR coalesce(d5, 0.0e0) > 0.15e0) AS repetitive
+FROM documents d LEFT JOIN p USING (doc_id)
 """
 
 
@@ -4857,6 +4912,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_shift": _SQL_CUSUM_SHIFT,
         "ewma_shift": _sql_ewma_shift(),
         "fd_check": _SQL_FD_CHECK,
+        "gopher_quality": _SQL_GOPHER_QUALITY,
         "predicate_check": _SQL_PREDICATE_CHECK,
         "audio_segments": _SQL_AUDIO_SEGMENTS,
         "seq_pack": _SQL_SEQ_PACK,

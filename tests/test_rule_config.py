@@ -53,6 +53,8 @@ def test_every_rule_type_roundtrips():
             samples.append(cls("dur_ms", agg="null_rate", max_value=0.05))
         elif tag == "cusum":
             samples.append(cls("dur_ms", target=1000.0, k=150.0, h=2500.0))
+        elif tag == "ewma":
+            samples.append(cls("dur_ms", target=1000.0, sigma=130.0))
         elif tag == "predicate":
             samples.append(cls("codec <> 'mulaw' OR sr_hz = 8000"))
         elif tag in (

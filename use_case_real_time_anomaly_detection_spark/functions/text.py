@@ -149,6 +149,100 @@ def corpus_filter(
     return keep
 
 
+def gopher_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_top2gram_frac: float = 0.20,
+    max_top3gram_frac: float = 0.18,
+    max_dup5gram_frac: float = 0.15,
+) -> DataFrame:
+    """Intra-document repetition quality signals (Gopher, Rae et al.
+    2021, Table A1): the "quietly degenerate" docs — looping generations,
+    boilerplate stutter, scraper echo — that corpus-LEVEL dedup can
+    never see because the repetition is inside one document.
+
+    Per doc: ``top_2gram_frac`` / ``top_3gram_frac`` (occurrence share
+    of the single most frequent word n-gram) and ``dup_5gram_frac``
+    (share of 5-gram occurrences whose gram appears more than once),
+    plus ``repetitive`` = any metric above its threshold (defaults are
+    the Gopher paper's cutoffs for the corresponding filters; we measure
+    occurrence fractions rather than the paper's character fractions —
+    same signal, exactly replayable cross-engine without character
+    bookkeeping).
+
+    Scale shape: n-grams for all three sizes are built ROW-LOCALLY from
+    one split array (array HOFs — no explode+window, the
+    functions/dedup.py shingle idiom) and explode ONCE as tagged
+    (n, gram) pairs; two partial-agg-friendly groupBys reduce to doc
+    grain. One corpus scan total; the doc table re-joins on id only to
+    re-attach zero metrics for docs shorter than the smallest n.
+    """
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
+    )
+
+    def grams(n: int):
+        # guarded: sequence(1, k) with k < 1 would DESCEND, not empty
+        return F.when(
+            F.size(arr) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(arr, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def tag(n: int):
+        # NB: a 2-arg lambda would make F.transform pass the array INDEX
+        # as the second argument — the closure must stay unary
+        def f(g):
+            return F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+        return f
+
+    tagged = F.flatten(
+        F.array(*[F.transform(grams(n), tag(n)) for n in (2, 3, 5)])
+    )
+    counts = (
+        df.select(F.col(id_col), F.explode(tagged).alias("g"))
+        .groupBy(id_col, "g.n", "g.gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_n = counts.groupBy(id_col, "n").agg(
+        F.sum("cnt").alias("total"),
+        F.max("cnt").alias("top"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))), F.lit(0)
+        ).alias("dup"),
+    )
+    frac = F.col("top").cast("double") / F.col("total").cast("double")
+    dupfrac = F.col("dup").cast("double") / F.col("total").cast("double")
+    metrics = per_n.groupBy(id_col).agg(
+        F.max(F.when(F.col("n") == 2, frac)).alias("__t2"),
+        F.max(F.when(F.col("n") == 3, frac)).alias("__t3"),
+        F.max(F.when(F.col("n") == 5, dupfrac)).alias("__d5"),
+    )
+    t2 = F.coalesce(F.col("__t2"), F.lit(0.0))
+    t3 = F.coalesce(F.col("__t3"), F.lit(0.0))
+    d5 = F.coalesce(F.col("__d5"), F.lit(0.0))
+    return (
+        df.select(id_col)
+        .join(metrics, id_col, "left")
+        .select(
+            F.col(id_col),
+            t2.alias("top_2gram_frac"),
+            t3.alias("top_3gram_frac"),
+            d5.alias("dup_5gram_frac"),
+            (
+                (t2 > F.lit(max_top2gram_frac))
+                | (t3 > F.lit(max_top3gram_frac))
+                | (d5 > F.lit(max_dup5gram_frac))
+            ).alias("repetitive"),
+        )
+    )
+
+
 def token_counts(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
