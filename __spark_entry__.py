@@ -2195,8 +2195,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "z_score": _q_z_score,
         "iqr": _q_iqr,
         "violations_log": _q_violations_log,
-        "profile_events": _q_profile_events,
-        "profile_incremental": _q_profile_incremental,
         "profile_merge": _q_profile_merge,
         "unique_global": _q_unique_global,
         "agg_bounds": _q_agg_bounds,
@@ -2217,7 +2215,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_exempt": _q_clips_exempt,
         "window_exempt": _q_window_exempt,
         "calibrated_range": _q_calibrated_range,
-        "clips_validate": _q_clips_validate,
         "audio_qc": _q_audio_qc,
         "ref_match": _q_ref_match,
         "speech_rate": _q_speech_rate,
@@ -2250,6 +2247,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sorted(oracle_sql())) and tools/parity_check.py, so a
         # regression in a rotated query still fails the suite ------------
         "clips_validate_audio": _q_clips_validate_audio,
+        "profile_events": _q_profile_events,
+        "profile_incremental": _q_profile_incremental,
+        "clips_validate": _q_clips_validate,
         "clips_quarantine": _q_clips_quarantine,
         "clips_clean": _q_clips_clean,
         "clips_topk": _q_clips_topk,

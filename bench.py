@@ -56,6 +56,8 @@ HEADLINE = [
     "train_split",         # LSH pairs -> log-round CC -> leakage-guarded split (r4)
     "asof_calibration",    # as-of join: union+window, zero join nodes (r4)
     "window_exempt",       # interval anti-join on the bucket grid (r4)
+    "ewma_shift",          # EWMA chart: 32 lag terms, one window pass (r4)
+    "gopher_quality",      # intra-doc repetition: tagged single explode (r4)
 ]
 
 CLIPS_SPEC = dict(partitions=32, clips_per_partition=1000, sr_hz=8000)
