@@ -1185,6 +1185,30 @@ def _q_ewma_shift(spark, sf):
     return plan.violations
 
 
+def _q_corr_profile(spark, sf):
+    """Cross-column correlation profiling (functions/stats.corr_profile):
+    per-partition Pearson r for (dur_ms, transcript length) and
+    (dur_ms, sr_hz) — the statistical sibling of FdRule's hard
+    dependency. A mis-paired (clip, transcript) delivery collapses the
+    first correlation toward 0 while every single-column stat stays
+    healthy. One fused groupBy of conditional sums (pairwise deletion);
+    the r formula is a fixed IEEE op sequence the oracle replays
+    bit-for-bit."""
+    from use_case_real_time_anomaly_detection_spark.functions.stats import (
+        corr_profile,
+    )
+
+    _ensure_clips_oracle_files()
+    meta = (
+        spark.read.parquet(_CLIPS_META)
+        .withColumn("partition_key", F.substring("clip_id", 1, 4))
+        .withColumn("t_len", F.length("transcript"))
+    )
+    return corr_profile(
+        meta, [("dur_ms", "t_len"), ("dur_ms", "sr_hz")]
+    )
+
+
 def _q_fd_check(spark, sf):
     """Functional-dependency validation (operators/rules.FdRule):
     codec -> sr_hz within each partition — the schema contract "one
@@ -2191,7 +2215,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "out_of_range": _q_out_of_range,
         "rate_of_change": _q_rate_of_change,
-        "timeout": _q_timeout,
         "z_score": _q_z_score,
         "iqr": _q_iqr,
         "violations_log": _q_violations_log,
@@ -2203,6 +2226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_shift": _q_cusum_shift,
         "ewma_shift": _q_ewma_shift,
         "fd_check": _q_fd_check,
+        "corr_profile": _q_corr_profile,
         "gopher_quality": _q_gopher_quality,
         "predicate_check": _q_predicate_check,
         "audio_segments": _q_audio_segments,
@@ -2247,6 +2271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sorted(oracle_sql())) and tools/parity_check.py, so a
         # regression in a rotated query still fails the suite ------------
         "clips_validate_audio": _q_clips_validate_audio,
+        "timeout": _q_timeout,
         "profile_events": _q_profile_events,
         "profile_incremental": _q_profile_incremental,
         "clips_validate": _q_clips_validate,
@@ -2801,6 +2826,40 @@ SELECT d.doc_id,
         OR coalesce(d5, 0.0e0) > 0.15e0) AS repetitive
 FROM documents d LEFT JOIN p USING (doc_id)
 """
+
+
+# ≙ _q_corr_profile: the same five conditional sums and the same fixed
+# IEEE op sequence for r — bit-identical doubles. One branch per pair,
+# unioned like the Spark side.
+def _sql_corr_pair(x_expr: str, x_name: str, y_expr: str, y_name: str) -> str:
+    both = f"({x_expr}) IS NOT NULL AND ({y_expr}) IS NOT NULL"
+    xd = f"CASE WHEN {both} THEN CAST({x_expr} AS DOUBLE) END"
+    yd = f"CASE WHEN {both} THEN CAST({y_expr} AS DOUBLE) END"
+    return f"""
+  SELECT partition_key, '{x_name}' AS x_col, '{y_name}' AS y_col,
+         n_pairs,
+         CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+              THEN (n * sxy - sx * sy)
+                   / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+         END AS pearson_r
+  FROM (
+    SELECT substring(clip_id, 1, 4) AS partition_key,
+           COUNT(CASE WHEN {both} THEN 1 END) AS n_pairs,
+           CAST(COUNT(CASE WHEN {both} THEN 1 END) AS DOUBLE) AS n,
+           SUM({xd}) AS sx, SUM({yd}) AS sy,
+           SUM(({xd}) * ({yd})) AS sxy,
+           SUM(({xd}) * ({xd})) AS sxx,
+           SUM(({yd}) * ({yd})) AS syy
+    FROM read_parquet('{_CLIPS_META}/*.parquet')
+    GROUP BY 1
+  )"""
+
+
+_SQL_CORR_PROFILE = (
+    _sql_corr_pair("dur_ms", "dur_ms", "length(transcript)", "t_len")
+    + "\nUNION ALL\n"
+    + _sql_corr_pair("dur_ms", "dur_ms", "sr_hz", "sr_hz")
+)
 
 
 # ≙ _q_fd_check: the FD rolled up from the same slim
@@ -4912,6 +4971,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_shift": _SQL_CUSUM_SHIFT,
         "ewma_shift": _sql_ewma_shift(),
         "fd_check": _SQL_FD_CHECK,
+        "corr_profile": _SQL_CORR_PROFILE,
         "gopher_quality": _SQL_GOPHER_QUALITY,
         "predicate_check": _SQL_PREDICATE_CHECK,
         "audio_segments": _SQL_AUDIO_SEGMENTS,

@@ -99,6 +99,78 @@ def profile_table(
     return long.select("partition_key", "column", "stat", "value", "rows")
 
 
+def corr_profile(
+    df: DataFrame,
+    pairs: list,
+    *,
+    partition_col: str = "partition_key",
+) -> DataFrame:
+    """Per-partition Pearson correlation for each (x, y) column pair —
+    the cross-column PROFILE companion to FdRule's hard dependency
+    check: "transcript length tracks duration" is a statistical
+    contract, not a functional one, and its per-partition correlation
+    collapsing toward 0 is how a mis-paired (clip, transcript) delivery
+    surfaces while every single-column stat stays healthy.
+
+    Pairwise deletion: a row contributes only where BOTH columns are
+    non-null (the n_pairs column reports how many). Computed from the
+    five conditional sums in one fused groupBy (map-side combinable,
+    ~1 output row per partition·pair):
+
+        r = (n·Sxy − Sx·Sy) / (sqrt(n·Sxx − Sx²) · sqrt(n·Syy − Sy²))
+
+    — a fixed IEEE op sequence over sums that are exact for integer /
+    quantized columns, so the DuckDB oracle reproduces every double
+    bit-for-bit (the profile_table determinism contract; F.corr's
+    streaming co-moments differ per engine in the last ulp). Zero
+    variance on either side → r NULL (undefined, not 0).
+    """
+    aggs = []
+    for x, y in pairs:
+        both = F.col(x).isNotNull() & F.col(y).isNotNull()
+        xd = F.when(both, F.col(x).cast("double"))
+        yd = F.when(both, F.col(y).cast("double"))
+        p = f"{x}::{y}"
+        aggs += [
+            F.count(F.when(both, F.lit(1))).alias(f"__n_{p}"),
+            F.sum(xd).alias(f"__sx_{p}"),
+            F.sum(yd).alias(f"__sy_{p}"),
+            F.sum(xd * yd).alias(f"__sxy_{p}"),
+            F.sum(xd * xd).alias(f"__sxx_{p}"),
+            F.sum(yd * yd).alias(f"__syy_{p}"),
+        ]
+    sums = df.groupBy(partition_col).agg(*aggs)
+
+    parts = []
+    for x, y in pairs:
+        p = f"{x}::{y}"
+        n = F.col(f"__n_{p}").cast("double")
+        sx, sy = F.col(f"__sx_{p}"), F.col(f"__sy_{p}")
+        sxy, sxx, syy = (
+            F.col(f"__sxy_{p}"),
+            F.col(f"__sxx_{p}"),
+            F.col(f"__syy_{p}"),
+        )
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        r = F.when(
+            (vx > 0) & (vy > 0),
+            (n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)),
+        )
+        parts.append(
+            sums.select(
+                F.col(partition_col),
+                F.lit(x).alias("x_col"),
+                F.lit(y).alias("y_col"),
+                F.col(f"__n_{p}").alias("n_pairs"),
+                r.alias("pearson_r"),
+            )
+        )
+    from functools import reduce as _reduce
+
+    return _reduce(DataFrame.unionByName, parts)
+
+
 def drift_scores(
     df: DataFrame,
     column: str,
