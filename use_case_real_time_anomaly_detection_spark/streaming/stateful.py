@@ -197,3 +197,82 @@ def cusum_stream(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_OUTPUT_SCHEMA = "id long, ts timestamp, value double, ewma double"
+EWMA_STATE_SCHEMA = "z double"
+
+
+def ewma_stream(
+    events: DataFrame,
+    *,
+    target: float,
+    sigma: float,
+    lam: float = 0.25,
+    nsigma: float = 3.0,
+    id_col: str = "id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Streaming EWMA control chart (the continuous sibling of the batch
+    EwmaRule, operators/rules.py): Roberts' recursion carried as ONE
+    double of state per key across micro-batches —
+
+        z ← lam·x + (1−lam)·z,   z₀ = target
+
+    emitting each row where |z − target| exceeds the chart's asymptotic
+    band nsigma·sigma·sqrt(lam/(2−lam)). Where the batch rule compiles a
+    TRUNCATED closed form (bounded error (1-lam)^K·|x−target|), the
+    stream runs the exact recursion — O(1) state, checkpoint-persisted,
+    so a restart resumes the chart instead of re-centering it at target
+    (which would silently un-flag a currently-shifted process).
+
+    Rows are processed in (ts, *order_cols) order within a micro-batch;
+    the recursion is a fixed float64 op sequence in that total order, so
+    flags are deterministic and batch-boundary independent. NULL values
+    contribute ``target`` — z decays one step toward center, the batch
+    rule's z_{-1} convention — and are never themselves flagged.
+    """
+    if not (0.0 < lam <= 1.0):
+        # ≙ {{ error(...) }}: config-time, before any stream starts
+        raise ValueError(f"ewma_stream: lam must be in (0, 1], got {lam}")
+    if sigma <= 0 or nsigma <= 0:
+        raise ValueError(
+            f"ewma_stream: need sigma > 0 and nsigma > 0, "
+            f"got sigma={sigma}, nsigma={nsigma}"
+        )
+    limit = nsigma * sigma * (lam / (2.0 - lam)) ** 0.5
+    sort_cols = [ts_col, *order_cols]
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (z,) = state.get if state.exists else (target,)
+
+        out: list[tuple] = []
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                sort_cols, kind="mergesort"
+            )
+            for row in pdf.itertuples(index=False):
+                v = getattr(row, value_col)
+                null = v is None or (isinstance(v, float) and math.isnan(v))
+                x = target if null else float(v)
+                z = lam * x + (1.0 - lam) * z
+                if not null and abs(z - target) > limit:
+                    out.append(
+                        (key[0], getattr(row, ts_col), float(v), round(z, 4))
+                    )
+
+        state.update((z,))
+        yield pd.DataFrame(out, columns=["id", "ts", "value", "ewma"])
+
+    return events.groupBy(id_col).applyInPandasWithState(
+        fn,
+        EWMA_OUTPUT_SCHEMA,
+        EWMA_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
