@@ -57,9 +57,11 @@ def test_every_rule_type_roundtrips():
             samples.append(cls("dur_ms", target=1000.0, sigma=130.0))
         elif tag == "predicate":
             samples.append(cls("codec <> 'mulaw' OR sr_hz = 8000"))
+        elif tag == "entropy":
+            samples.append(cls("codec", min_entropy=0.1))
         elif tag in (
             "not_null", "rate_of_change", "z_score", "iqr", "mad", "drift",
-            "calibrated_range",
+            "calibrated_range", "monotonic", "seasonal", "cat_drift",
         ):
             samples.append(cls("dur_ms"))
         else:

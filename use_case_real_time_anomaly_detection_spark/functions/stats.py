@@ -256,6 +256,81 @@ def drift_scores(
     ).select(F.col("pk").alias("partition_key"), "psi", "ks")
 
 
+def categorical_scores(
+    df: DataFrame,
+    column: str,
+    *,
+    partition_col: str,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-partition PSI + Shannon entropy of a CATEGORICAL column's
+    value mix — the unordered-domain sibling of :func:`drift_scores`
+    (codec / sr_hz-mode mixes have no bin order, so KS is meaningless
+    and the histogram is the value domain itself).
+
+    Same robust-baseline construction as drift_scores:
+
+    - per (partition, value) counts — map-side partial agg, then a dense
+      partition × domain grid so absent categories participate;
+    - Laplace-smoothed shares p = (n + α) / (N + α·V), α = `smoothing`,
+      V = |observed domain|;
+    - baseline q = per-category MEDIAN of partition shares, renormalized
+      (robust to a minority of drifted partitions);
+    - PSI = Σ (p − q) ln(p / q);
+    - entropy H = −Σ (n/N) ln(n/N) over the UNsmoothed observed mix
+      (zero-count categories contribute 0; a single-valued partition
+      scores exactly 0.0).
+
+    Returns (partition_key, psi, entropy) for ALL partitions
+    (thresholding is the caller's policy). NULLs in `column` are
+    excluded. Scale shape: the count frame is ≤ partitions × V rows and
+    is localCheckpoint-pinned because four downstream subtrees consume
+    it (Catalyst does no cross-branch CSE — same measured pathology as
+    drift_scores' histogram).
+    """
+    from pyspark.sql import Window
+
+    src = df.filter(F.col(column).isNotNull()).select(
+        F.col(partition_col).alias("pk"),
+        F.col(column).cast("string").alias("value"),
+    )
+    counts = (
+        src.groupBy("pk", "value")
+        .agg(F.count(F.lit(1)).alias("pn"))
+        .localCheckpoint()
+    )
+    pks = counts.select("pk").distinct()
+    vals = counts.select("value").distinct()
+    nvals = vals.agg(F.count(F.lit(1)).alias("nv"))
+    grid = pks.crossJoin(F.broadcast(vals))
+    h = grid.join(counts, ["pk", "value"], "left").fillna(0, subset=["pn"])
+    h = h.crossJoin(F.broadcast(nvals))
+    wpk = Window.partitionBy("pk")
+    h = h.withColumn("pt", F.sum("pn").over(wpk))
+    h = h.withColumn(
+        "p",
+        (F.col("pn") + F.lit(smoothing))
+        / (F.col("pt") + F.lit(smoothing) * F.col("nv")),
+    )
+    med = h.groupBy("value").agg(F.expr("percentile(p, 0.5D)").alias("qraw"))
+    med = med.crossJoin(F.broadcast(med.agg(F.sum("qraw").alias("qsum")))).select(
+        "value", (F.col("qraw") / F.col("qsum")).alias("q")
+    )
+    h = h.join(F.broadcast(med), "value")
+    h = h.withColumn(
+        "psi_term", (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    )
+    share = F.col("pn") / F.col("pt")
+    h = h.withColumn(
+        "ent_term",
+        F.when(F.col("pn") > 0, -share * F.log(share)).otherwise(F.lit(0.0)),
+    )
+    return h.groupBy("pk").agg(
+        F.sum("psi_term").alias("psi"),
+        F.sum("ent_term").alias("entropy"),
+    ).select(F.col("pk").alias("partition_key"), "psi", "entropy")
+
+
 # --- incremental / mergeable profiling --------------------------------------
 
 

@@ -45,14 +45,17 @@ from .rules import (
     AudioDecodeRule,
     AudioQcRule,
     CalibratedRangeRule,
+    CategoricalDriftRule,
     CompletenessRule,
     CusumRule,
     DriftRule,
+    EntropyRule,
     EwmaRule,
     FdRule,
     GapRule,
     IqrRule,
     MadRule,
+    MonotonicRule,
     NotNullRule,
     PatternRule,
     PayloadSizeRule,
@@ -63,6 +66,7 @@ from .rules import (
     RateOfChangeRule,
     RefIntegrityRule,
     Rule,
+    SeasonalRule,
     SpeechRateRule,
     TranscriptDistanceRule,
     TranscriptRule,
@@ -363,7 +367,11 @@ def compile_rules(
 
     # ---- shared window columns ------------------------------------------
     window_rules = [
-        r for r in rules if isinstance(r, (RateOfChangeRule, GapRule, ZScoreRule))
+        r
+        for r in rules
+        if isinstance(
+            r, (RateOfChangeRule, GapRule, ZScoreRule, MonotonicRule)
+        )
     ]
     if window_rules:
         if seq_col is None:
@@ -379,6 +387,10 @@ def compile_rules(
                     cols.append(F.lag(seq_col, 1).over(w).alias("__prev_seq_roc"))
                 elif isinstance(r, GapRule):
                     cols.append(F.lag(seq_col, 1).over(w).alias("__prev_seq_gap"))
+                elif isinstance(r, MonotonicRule):
+                    cols.append(
+                        F.lag(r.column, 1).over(w).alias(f"__prev_mono_{r.column}")
+                    )
                 elif isinstance(r, ZScoreRule):
                     # Sliding count window per north star (SURVEY.md §2.5 W1
                     # generalization): trailing `window` rows, excluding self.
@@ -588,6 +600,35 @@ def compile_rules(
         )
         base = base.join(F.broadcast(stats), partition_col, "left")
 
+    # ---- per-(partition, phase) seasonal baselines: one agg + broadcast ---
+    seasonal_rules = [r for r in rules if isinstance(r, SeasonalRule)]
+    for r in seasonal_rules:
+        if seq_col is None:
+            raise ValueError("sequence rules need seq_col")
+        tag = f"{r.column}_{r.period}"
+        ph = F.pmod(F.col(seq_col), F.lit(r.period)).cast("long")
+        d = F.col(r.column).cast("decimal(28,6)")
+        # exact decimal moments per (partition, phase) — the same
+        # determinism contract as AggregateRule avg/stddev: the derived
+        # double is one fixed IEEE op sequence any engine reproduces.
+        # ≤ partitions × period rows → always broadcast; reads ONE slim
+        # column off the pre-audio frame.
+        stats = df.groupBy(
+            F.col(partition_col), ph.alias(f"__sphase_{tag}")
+        ).agg(
+            F.sum(d).cast("double").alias(f"__ss1_{tag}"),
+            F.sum(d * d).cast("double").alias(f"__ss2_{tag}"),
+            F.count(F.col(r.column)).alias(f"__scnt_{tag}"),
+        )
+        if f"__sphase_{tag}" not in base.columns:
+            base = base.withColumn(
+                f"__sphase_{tag}",
+                F.pmod(F.col(seq_col), F.lit(r.period)).cast("long"),
+            )
+            base = base.join(
+                F.broadcast(stats), [partition_col, f"__sphase_{tag}"], "left"
+            )
+
     # ---- fused violation projection --------------------------------------
     entries: list[Column] = []
     detectors: list[str] = []
@@ -747,6 +788,22 @@ def compile_rules(
             )
             _entry(r.detector + "-gap", cond, gap.cast("string"), note)
 
+        elif isinstance(r, MonotonicRule):
+            prev = F.col(f"__prev_mono_{r.column}")
+            cur = F.col(r.column)
+            # NULL prev (first row) / NULL value → cond NULL → dropped
+            if r.direction == "increasing":
+                cond = (cur <= prev) if r.strict else (cur < prev)
+            else:
+                cond = (cur >= prev) if r.strict else (cur > prev)
+            expect = ("strictly " if r.strict else "") + r.direction
+            note = F.concat(
+                F.lit("prev:"), prev.cast("string"),
+                F.lit(" -> value:"), cur.cast("string"),
+                F.lit(f" violates {expect} {r.column}"),
+            )
+            _entry(r.detector, cond, cur.cast("string"), note)
+
         elif isinstance(r, ZScoreRule):
             cnt_c = F.col(f"__zcnt_{r.column}")
             avg_c = F.col(f"__zs1_{r.column}") / cnt_c
@@ -784,6 +841,30 @@ def compile_rules(
                 F.lit("| upper_bound:"), _fmt(hi),
             )  # ≙ copy_iqr.pipe:80
             _entry(r.detector, cond, F.col(r.column), note)
+
+        elif isinstance(r, SeasonalRule):
+            tag = f"{r.column}_{r.period}"
+            cnt_s = F.col(f"__scnt_{tag}")
+            avg_s = F.col(f"__ss1_{tag}") / cnt_s
+            std_s = F.sqrt(
+                F.greatest(
+                    F.col(f"__ss2_{tag}") / cnt_s - avg_s * avg_s,
+                    F.lit(0.0),
+                )
+            )
+            z = F.when(
+                (cnt_s >= r.min_count) & (std_s > 0),
+                (F.col(r.column).cast("double") - avg_s) / std_s,
+            )
+            cond = F.abs(z) > F.lit(r.threshold)
+            note = F.concat(
+                F.lit("seasonal z: "), F.substring(z.cast("string"), 1, 6),
+                F.lit(" | phase: "), F.col(f"__sphase_{tag}").cast("string"),
+                F.lit(f"/{r.period}"),
+                F.lit(" | average: "), _fmt(avg_s),
+                F.lit(" | std_dev: "), _fmt(std_s),
+            )
+            _entry(r.detector, cond, _fmt(z, 4), note)
 
         elif isinstance(r, MadRule):
             medc = F.col(f"__med_{r.column}")
@@ -952,7 +1033,16 @@ def compile_rules(
             _entry(r.detector, cond, observed, F.lit("| ".join(bound_bits)))
 
         elif isinstance(
-            r, (UniqueRule, FdRule, DriftRule, AggregateRule, CompletenessRule)
+            r,
+            (
+                UniqueRule,
+                FdRule,
+                DriftRule,
+                CategoricalDriftRule,
+                EntropyRule,
+                AggregateRule,
+                CompletenessRule,
+            ),
         ):
             continue  # aggregate-/table-level; handled below
         elif isinstance(r, ProfileSpec):
@@ -1239,6 +1329,75 @@ def compile_rules(
             detectors.append(r.detector)
         if r.detector not in partition_level:
             partition_level.append(r.detector)
+
+    # ---- categorical mix: PSI drift + entropy fences ----------------------
+    # Both rule families read the SAME per-(partition, value) count frame
+    # (functions/stats.categorical_scores), so a CategoricalDriftRule and
+    # an EntropyRule on one column cost one groupBy, not two.
+    cat_rules = [
+        r for r in rules if isinstance(r, (CategoricalDriftRule, EntropyRule))
+    ]
+    by_col: dict[str, list] = {}
+    for r in cat_rules:
+        by_col.setdefault(r.column, []).append(r)
+    for colname, rs in by_col.items():
+        from ..functions.stats import categorical_scores
+
+        smoothings = {
+            r.smoothing for r in rs if isinstance(r, CategoricalDriftRule)
+        }
+        if len(smoothings) > 1:
+            raise ValueError(
+                f"CategoricalDriftRule({colname}): conflicting smoothing "
+                f"values {sorted(smoothings)} — one shared count frame "
+                "per column means one smoothing per column"
+            )
+        scores = categorical_scores(
+            df,
+            colname,
+            partition_col=partition_col,
+            smoothing=smoothings.pop() if smoothings else 0.5,
+        ).localCheckpoint()  # consumed once per rule below
+        for r in rs:
+            if isinstance(r, CategoricalDriftRule):
+                fused_parts.append(
+                    scores.filter(F.col("psi") > r.psi_threshold).select(
+                        "partition_key",
+                        F.lit(None).cast("string").alias("clip_id"),
+                        F.lit(r.detector).alias("detector"),
+                        F.concat(F.lit("psi:"), _fmt(F.col("psi"), 4)).alias(
+                            "observed"
+                        ),
+                        F.lit(
+                            f"column:{colname} "
+                            f"psi_threshold:{r.psi_threshold:g}"
+                        ).alias("note"),
+                    )
+                )
+            else:  # EntropyRule
+                conds = []
+                note_bits = [f"column:{colname}"]
+                if r.min_entropy is not None:
+                    conds.append(F.col("entropy") < F.lit(float(r.min_entropy)))
+                    note_bits.append(f"min_entropy:{r.min_entropy:g}")
+                if r.max_entropy is not None:
+                    conds.append(F.col("entropy") > F.lit(float(r.max_entropy)))
+                    note_bits.append(f"max_entropy:{r.max_entropy:g}")
+                fused_parts.append(
+                    scores.filter(reduce(lambda a, b: a | b, conds)).select(
+                        "partition_key",
+                        F.lit(None).cast("string").alias("clip_id"),
+                        F.lit(r.detector).alias("detector"),
+                        F.concat(
+                            F.lit("entropy:"), _fmt(F.col("entropy"), 4)
+                        ).alias("observed"),
+                        F.lit(" ".join(note_bits)).alias("note"),
+                    )
+                )
+            if r.detector not in detectors:
+                detectors.append(r.detector)
+            if r.detector not in partition_level:
+                partition_level.append(r.detector)
 
     violations = reduce(DataFrame.unionByName, fused_parts) if fused_parts else None
     rows_checked = df.groupBy(F.col(partition_col).alias("partition_key")).agg(

@@ -27,14 +27,17 @@ from .rules import (
     AudioDecodeRule,
     AudioQcRule,
     CalibratedRangeRule,
+    CategoricalDriftRule,
     CompletenessRule,
     CusumRule,
     DriftRule,
+    EntropyRule,
     EwmaRule,
     FdRule,
     GapRule,
     IqrRule,
     MadRule,
+    MonotonicRule,
     NotNullRule,
     PatternRule,
     PayloadSizeRule,
@@ -44,6 +47,7 @@ from .rules import (
     RangeRule,
     RateOfChangeRule,
     RefIntegrityRule,
+    SeasonalRule,
     SpeechRateRule,
     TranscriptDistanceRule,
     TranscriptRule,
@@ -64,7 +68,9 @@ RULE_TYPES = {
     "value_set": ValueSetRule,
     "rate_of_change": RateOfChangeRule,
     "gap": GapRule,
+    "monotonic": MonotonicRule,
     "z_score": ZScoreRule,
+    "seasonal": SeasonalRule,
     "iqr": IqrRule,
     "mad": MadRule,
     "cusum": CusumRule,
@@ -76,6 +82,8 @@ RULE_TYPES = {
     "ref_integrity": RefIntegrityRule,
     "ref_match": RefMatchRule,
     "drift": DriftRule,
+    "cat_drift": CategoricalDriftRule,
+    "entropy": EntropyRule,
     "audio_decode": AudioDecodeRule,
     "audio_qc": AudioQcRule,
     "transcript": TranscriptRule,

@@ -186,6 +186,44 @@ class GapRule(Rule):
 
 
 @dataclass(frozen=True)
+class MonotonicRule(Rule):
+    """Ordering contract: `column` must be monotone along the sequence
+    axis within each partition — a delivery/ordering check no value
+    fence can express (a feed that replays an old batch keeps every
+    value in range while violating the contract).
+
+    The reference leans on this contract implicitly everywhere: its
+    lagInFrame detectors (tinybird/pipes/rate_of_change.pipe:31-34) and
+    latest-per-key endpoints (timeout.pipe:15-40) are only meaningful
+    because `timestamp` advances within each sensor's stream. This rule
+    makes the assumption checkable.
+
+    Rides the SAME (partition, seq) window shuffle as the other
+    sequence rules (one lag column — zero extra exchanges). A row
+    violates when its value moves against `direction` relative to the
+    previous row (`strict=True` additionally forbids ties — on the seq
+    axis itself that flags duplicate sequence positions). First row per
+    partition has no predecessor and never flags; NULL values never
+    flag (NotNullRule owns null policy).
+    """
+
+    column: str
+    direction: str = "increasing"  # or "decreasing"
+    strict: bool = False
+    detector: str = ""  # defaults to monotonic-<column>
+
+    def __post_init__(self) -> None:
+        if self.direction not in ("increasing", "decreasing"):
+            # ≙ {{ error(...) }} on an invalid parameter value
+            raise ValueError(
+                f"MonotonicRule({self.column}): direction must be "
+                f"'increasing' or 'decreasing', got {self.direction!r}"
+            )
+        if not self.detector:
+            object.__setattr__(self, "detector", f"monotonic-{self.column}")
+
+
+@dataclass(frozen=True)
 class ZScoreRule(Rule):
     """|value - rolling_avg| / rolling_stddev_pop > threshold → violation.
 
@@ -204,6 +242,45 @@ class ZScoreRule(Rule):
     window: int = 50  # trailing rows used for the rolling stats
     min_periods: int = 10  # below this the stats are too noisy to judge
     detector: str = "z-score"
+
+
+@dataclass(frozen=True)
+class SeasonalRule(Rule):
+    """|value - phase_mean| / phase_stddev > threshold → violation, where
+    the baseline is computed PER PHASE: phase = seq mod period.
+
+    The periodic complement of ZScoreRule: a rolling window mixes all
+    phases of a cyclic signal into one baseline, so a value that is
+    normal at peak hour but appears off-peak sits comfortably inside
+    the pooled band and never flags. Grouping the baseline by phase
+    (hour-of-day, frame-of-cycle) makes exactly that defect visible.
+    The reference's operators face this as false-positive tuning on
+    periodic sensors — its z-score window is wall-clock wide for the
+    same reason (tinybird/pipes/z_score.pipe:14-19); this rule makes
+    the period a declared parameter instead of a tuning compromise.
+
+    Compiles to ONE groupBy (partition, phase) of exact decimal
+    sum/sumsq/count over the slim pre-audio frame (map-side combinable,
+    ≤ partitions × period rows → always broadcast back). Population
+    stddev, matching ZScoreRule; moments from explicit sums so the
+    fence values are partial-agg-order independent and the DuckDB
+    oracle reproduces them bit-for-bit. Phases with fewer than
+    `min_count` rows or zero variance never flag.
+    """
+
+    column: str
+    period: int = 24
+    threshold: float = 3.0
+    min_count: int = 8
+    detector: str = "seasonal"
+
+    def __post_init__(self) -> None:
+        if self.period < 2:
+            # ≙ {{ error(...) }}: period 1 is ZScoreRule's job
+            raise ValueError(
+                f"SeasonalRule({self.column}): period must be >= 2, "
+                f"got {self.period}"
+            )
 
 
 @dataclass(frozen=True)
@@ -629,6 +706,77 @@ class DriftRule(Rule):
     psi_threshold: float = 0.25  # industry-standard "significant shift"
     ks_threshold: float = 0.2
     detector: str = "drift"
+
+
+@dataclass(frozen=True)
+class CategoricalDriftRule(Rule):
+    """Per-partition drift of a CATEGORICAL column's value mix vs the
+    consensus mix — PSI over category shares instead of histogram bins.
+
+    DriftRule bins a numeric axis; a codec mix or an sr_hz mode mix has
+    no meaningful bin order, so a partition that swaps pcm16 for mulaw
+    deliveries (the mis-transcoding failure mode) needs its own score.
+    Same robust-baseline construction as drift_scores: per-category
+    Laplace-smoothed shares, baseline = per-category MEDIAN share across
+    partitions renormalized (a global pooled mix would be contaminated
+    by the very partitions under test).
+
+    Compiles to one groupBy (partition, value) count over the slim
+    pre-audio frame (≤ partitions × |domain| rows), shared with any
+    EntropyRule on the same column. Partition-level violations (one per
+    partition, exempt from the fail_threshold rate tolerance). NULLs
+    are excluded (NotNullRule owns null policy).
+    """
+
+    column: str
+    psi_threshold: float = 0.25
+    smoothing: float = 0.5  # Laplace count added per category
+    detector: str = ""  # defaults to cat-drift-<column>
+
+    def __post_init__(self) -> None:
+        if self.smoothing <= 0:
+            # smoothing 0 would make ln(p/q) blow up on any category
+            # absent from one side — ≙ {{ error(...) }}
+            raise ValueError(
+                f"CategoricalDriftRule({self.column}): smoothing must be "
+                f"> 0, got {self.smoothing:g}"
+            )
+        if not self.detector:
+            object.__setattr__(self, "detector", f"cat-drift-{self.column}")
+
+
+@dataclass(frozen=True)
+class EntropyRule(Rule):
+    """Per-partition Shannon entropy (nats) of a categorical column must
+    sit inside [min_entropy, max_entropy].
+
+    The stuck-at / garbage detector for categorical columns (Deequ's
+    Entropy analyzer): a partition whose codec column froze to one value
+    (encoder wedged) collapses to H = 0 while every per-row domain check
+    still passes; a partition whose column turned to noise (corrupted
+    delivery) spikes toward ln(|domain|). Neither defect is visible to
+    ValueSetRule or to any numeric fence.
+
+    H = -Σ_v (n_v/N) · ln(n_v/N), zero-count categories contribute 0
+    (no smoothing — entropy is a property of the observed mix).
+    Shares the (partition, value) count frame with CategoricalDriftRule
+    on the same column. Partition-level violations.
+    """
+
+    column: str
+    min_entropy: float | None = None
+    max_entropy: float | None = None
+    detector: str = ""  # defaults to entropy-<column>
+
+    def __post_init__(self) -> None:
+        if self.min_entropy is None and self.max_entropy is None:
+            # ≙ {{ error('You need to define at least one of ...') }}
+            raise ValueError(
+                f"EntropyRule({self.column}): need at least one of "
+                "min_entropy/max_entropy"
+            )
+        if not self.detector:
+            object.__setattr__(self, "detector", f"entropy-{self.column}")
 
 
 # --------------------------------------------------------------------------
