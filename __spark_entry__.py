@@ -1185,6 +1185,112 @@ def _q_ewma_shift(spark, sf):
     return plan.violations
 
 
+def _q_monotonic_check(spark, sf):
+    """Ordering-contract validation (operators/rules.MonotonicRule):
+    seq must be STRICTLY increasing within each partition — strict mode
+    on the sequence axis itself flags duplicated sequence positions
+    (replayed deliveries), the assumption every lag-based detector
+    (≙ tinybird/pipes/rate_of_change.pipe:31-34) makes implicitly.
+    Rides the shared (partition, seq) window exchange. Within a
+    duplicated-seq group of k rows the window order among ties is
+    engine-arbitrary but ALWAYS flags exactly k-1 rows with identical
+    (observed, note) strings, so the result is aggregated to
+    (partition, detector, observed, note, n) — the deterministic grain
+    both engines agree on bit-for-bit."""
+    from use_case_real_time_anomaly_detection_spark.operators.compiler import (
+        compile_rules,
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        MonotonicRule,
+    )
+
+    _ensure_clips_oracle_files()
+    meta = spark.read.parquet(_CLIPS_META).withColumn(
+        "partition_key", F.substring("clip_id", 1, 4)
+    )
+    plan = compile_rules(
+        meta, [MonotonicRule("seq", strict=True)], seq_col="seq"
+    )
+    return plan.violations.groupBy(
+        "partition_key", "detector", "observed", "note"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_seasonal_check(spark, sf):
+    """Phase-grouped anomaly detection (operators/rules.SeasonalRule):
+    the z-score baseline computed PER PHASE (seq mod 4) instead of per
+    rolling window — values normal for the partition but wild for
+    their phase flag, where the pooled rolling band is blind. One
+    exact-decimal groupBy (partition, phase), broadcast back; the z
+    and every note digit are a fixed IEEE op sequence the DuckDB
+    oracle replays bit-for-bit."""
+    from use_case_real_time_anomaly_detection_spark.operators.compiler import (
+        compile_rules,
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        SeasonalRule,
+    )
+
+    _ensure_clips_oracle_files()
+    meta = spark.read.parquet(_CLIPS_META).withColumn(
+        "partition_key", F.substring("clip_id", 1, 4)
+    )
+    plan = compile_rules(
+        meta,
+        [SeasonalRule("dur_ms", period=4, threshold=3.0, min_count=8)],
+        seq_col="seq",
+    )
+    return plan.violations
+
+
+def _q_cat_drift_check(spark, sf):
+    """Categorical-mix drift (operators/rules.CategoricalDriftRule):
+    PSI of each partition's sr_hz VALUE MIX against the per-category
+    median-share consensus — the unordered-domain sibling of the
+    histogram DriftRule. Flags exactly c002, the planted sr-flip
+    partition (PSI ≈ 2.44 vs ≤ 0.006 elsewhere), which every per-row
+    domain check accepts because 8000 Hz is a legal value. One
+    (partition, value) count groupBy; partition-level violation rows
+    (clip_id NULL, exempt from rate tolerance)."""
+    from use_case_real_time_anomaly_detection_spark.operators.compiler import (
+        compile_rules,
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        CategoricalDriftRule,
+    )
+
+    _ensure_clips_oracle_files()
+    meta = spark.read.parquet(_CLIPS_META).withColumn(
+        "partition_key", F.substring("clip_id", 1, 4)
+    )
+    plan = compile_rules(meta, [CategoricalDriftRule("sr_hz")])
+    return plan.violations
+
+
+def _q_entropy_check(spark, sf):
+    """Categorical entropy fences (operators/rules.EntropyRule): each
+    partition's Shannon entropy of the sr_hz mix must sit inside
+    [0.02, 0.6] nats. Flags c003 (H = 0.0 — the column froze to one
+    rate: stuck-at, invisible to every per-row check) and c002
+    (H ≈ 0.727 — the sr-flip partition's mix turned bimodal). Shares
+    the (partition, value) count frame with CategoricalDriftRule."""
+    from use_case_real_time_anomaly_detection_spark.operators.compiler import (
+        compile_rules,
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        EntropyRule,
+    )
+
+    _ensure_clips_oracle_files()
+    meta = spark.read.parquet(_CLIPS_META).withColumn(
+        "partition_key", F.substring("clip_id", 1, 4)
+    )
+    plan = compile_rules(
+        meta, [EntropyRule("sr_hz", min_entropy=0.02, max_entropy=0.6)]
+    )
+    return plan.violations
+
+
 def _q_corr_profile(spark, sf):
     """Cross-column correlation profiling (functions/stats.corr_profile):
     per-partition Pearson r for (dur_ms, transcript length) and
@@ -2213,10 +2319,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotate to the tail — so the union of official records covers
     # every registered query.
     return {
-        "out_of_range": _q_out_of_range,
-        "rate_of_change": _q_rate_of_change,
-        "z_score": _q_z_score,
-        "iqr": _q_iqr,
+        "monotonic_check": _q_monotonic_check,
+        "seasonal_check": _q_seasonal_check,
+        "cat_drift_check": _q_cat_drift_check,
+        "entropy_check": _q_entropy_check,
         "violations_log": _q_violations_log,
         "profile_merge": _q_profile_merge,
         "unique_global": _q_unique_global,
@@ -2263,6 +2369,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_validate": _q_sampled_validate,
         "capped_validate": _q_capped_validate,
         "repeated_chunks": _q_repeated_chunks,
+        # --- green in r1 AND r2 AND r3 (and exercised inside
+        # violations_log, which stays in the head); rotated out of the
+        # head-50 for the four new rule-family queries above ------------
+        "out_of_range": _q_out_of_range,
+        "rate_of_change": _q_rate_of_change,
+        "z_score": _q_z_score,
+        "iqr": _q_iqr,
         # --- officially green in r2 AND r3; rotated past the harness's
         # observed 50-query horizon so the newer queries get recorded.
         # Rotation does NOT retire their verification: every key of
@@ -2786,6 +2899,128 @@ SELECT partition_key, clip_id,
        'ewma:' || {_fmt_sql("z", 4)} || '{note_tail}' AS note
 FROM e
 WHERE x IS NOT NULL AND (z < {lo} OR z > {hi})
+"""
+
+
+# ≙ _q_monotonic_check: within a duplicated-seq group of k rows any
+# total order flags exactly k-1 rows, each with prev == cur == seq, so
+# the deterministic grain is (partition, seq-group) with n = k-1.
+_SQL_MONOTONIC_CHECK = f"""
+WITH m AS (
+  SELECT substring(clip_id, 1, 4) AS partition_key, seq
+  FROM read_parquet('{_CLIPS_META}/*.parquet')
+), g AS (
+  SELECT partition_key, seq, count(*) AS k
+  FROM m GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT partition_key,
+       'monotonic-seq' AS detector,
+       CAST(seq AS VARCHAR) AS observed,
+       'prev:' || CAST(seq AS VARCHAR) || ' -> value:' || CAST(seq AS VARCHAR)
+         || ' violates strictly increasing seq' AS note,
+       k - 1 AS n
+FROM g
+"""
+
+
+# ≙ _q_seasonal_check: per-(partition, seq mod 4) moments from EXACT
+# decimal sums cast to double (the compiler's SeasonalRule contract), so
+# mean/std/z and every rounded note digit are one fixed IEEE op sequence
+# both engines reproduce bit-for-bit.
+_SQL_SEASONAL_CHECK = f"""
+WITH m AS (
+  SELECT substring(clip_id, 1, 4) AS partition_key, clip_id,
+         seq % 4 AS ph, CAST(dur_ms AS DOUBLE) AS x, dur_ms
+  FROM read_parquet('{_CLIPS_META}/*.parquet')
+), s AS (
+  SELECT partition_key, ph,
+         CAST(SUM(CAST(dur_ms AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(dur_ms AS DECIMAL(18,2))
+              * CAST(dur_ms AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+         COUNT(dur_ms) AS cnt
+  FROM m GROUP BY 1, 2
+), z AS (
+  SELECT m.partition_key, m.clip_id, m.ph, m.x, s.cnt,
+         s.s1 / s.cnt AS mean,
+         sqrt(greatest(s.s2 / s.cnt - (s.s1 / s.cnt) * (s.s1 / s.cnt),
+                       0.0)) AS std
+  FROM m JOIN s ON s.partition_key = m.partition_key AND s.ph = m.ph
+)
+SELECT partition_key, clip_id,
+       'seasonal' AS detector,
+       {_fmt_sql("(x - mean) / std", 4)} AS observed,
+       'seasonal z: ' || substring(CAST((x - mean) / std AS VARCHAR), 1, 6)
+         || ' | phase: ' || CAST(ph AS VARCHAR) || '/4'
+         || ' | average: ' || {_fmt_sql("mean", 2)}
+         || ' | std_dev: ' || {_fmt_sql("std", 2)} AS note
+FROM z
+WHERE cnt >= 8 AND std > 0 AND abs((x - mean) / std) > 3.0
+"""
+
+
+# shared by the two categorical-mix oracles: the smoothed-share /
+# unsmoothed-entropy construction of functions/stats.categorical_scores
+# over the sr_hz value domain (≙ _SQL_DRIFT_EVENTS's median-baseline
+# idiom, value domain instead of numeric bins).
+_SQL_CAT_GRID = f"""
+WITH src AS (
+  SELECT substring(clip_id, 1, 4) AS pk, CAST(sr_hz AS VARCHAR) AS value
+  FROM read_parquet('{_CLIPS_META}/*.parquet')
+  WHERE sr_hz IS NOT NULL
+), pc AS (
+  SELECT pk, value, count(*) AS pn FROM src GROUP BY 1, 2
+), nv AS (
+  SELECT count(DISTINCT value) AS nv FROM pc
+), grid AS (
+  SELECT p.pk, v.value
+  FROM (SELECT DISTINCT pk FROM pc) p, (SELECT DISTINCT value FROM pc) v
+), h1 AS (
+  SELECT g.pk, g.value, COALESCE(pc.pn, 0) AS pn,
+         sum(COALESCE(pc.pn, 0)) OVER (PARTITION BY g.pk) AS pt
+  FROM grid g LEFT JOIN pc ON pc.pk = g.pk AND pc.value = g.value
+)"""
+
+
+# ≙ _q_cat_drift_check: Laplace-smoothed shares, per-category MEDIAN
+# baseline renormalized, PSI = Σ (p−q)·ln(p/q) — flags exactly the
+# planted sr-flip partition c002 (PSI ≈ 2.44 vs ≤ 0.006 elsewhere; the
+# 0.25 threshold sits two orders of magnitude clear of both sides).
+_SQL_CAT_DRIFT_CHECK = f"""{_SQL_CAT_GRID}, h2 AS (
+  SELECT pk, value, (pn + 0.5) / (pt + 0.5 * (SELECT nv FROM nv)) AS p
+  FROM h1
+), med AS (
+  SELECT value, quantile_cont(p, 0.5) AS qraw FROM h2 GROUP BY value
+), medn AS (
+  SELECT value, qraw / (SELECT sum(qraw) FROM med) AS q FROM med
+), sc AS (
+  SELECT h2.pk, sum((h2.p - m.q) * ln(h2.p / m.q)) AS psi
+  FROM h2 JOIN medn m ON m.value = h2.value GROUP BY h2.pk
+)
+SELECT pk AS partition_key,
+       CAST(NULL AS VARCHAR) AS clip_id,
+       'cat-drift-sr_hz' AS detector,
+       'psi:' || {_fmt_sql("psi", 4)} AS observed,
+       'column:sr_hz psi_threshold:0.25' AS note
+FROM sc WHERE psi > 0.25
+"""
+
+
+# ≙ _q_entropy_check: H = −Σ (n/N)·ln(n/N) over the UNsmoothed observed
+# mix (zero-count categories contribute 0) — flags c003 (H = 0.0, the
+# frozen column) and c002 (H ≈ 0.727, the bimodal sr-flip mix).
+_SQL_ENTROPY_CHECK = f"""{_SQL_CAT_GRID}, ent AS (
+  SELECT pk,
+         sum(CASE WHEN pn > 0
+             THEN -(CAST(pn AS DOUBLE) / pt) * ln(CAST(pn AS DOUBLE) / pt)
+             ELSE 0.0 END) AS entropy
+  FROM h1 GROUP BY pk
+)
+SELECT pk AS partition_key,
+       CAST(NULL AS VARCHAR) AS clip_id,
+       'entropy-sr_hz' AS detector,
+       'entropy:' || {_fmt_sql("entropy", 4)} AS observed,
+       'column:sr_hz min_entropy:0.02 max_entropy:0.6' AS note
+FROM ent WHERE entropy < 0.02 OR entropy > 0.6
 """
 
 
@@ -4970,6 +5205,10 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers": _SQL_MAD_OUTLIERS,
         "cusum_shift": _SQL_CUSUM_SHIFT,
         "ewma_shift": _sql_ewma_shift(),
+        "monotonic_check": _SQL_MONOTONIC_CHECK,
+        "seasonal_check": _SQL_SEASONAL_CHECK,
+        "cat_drift_check": _SQL_CAT_DRIFT_CHECK,
+        "entropy_check": _SQL_ENTROPY_CHECK,
         "fd_check": _SQL_FD_CHECK,
         "corr_profile": _SQL_CORR_PROFILE,
         "gopher_quality": _SQL_GOPHER_QUALITY,

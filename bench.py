@@ -58,6 +58,8 @@ HEADLINE = [
     "window_exempt",       # interval anti-join on the bucket grid (r4)
     "ewma_shift",          # EWMA chart: 32 lag terms, one window pass (r4)
     "gopher_quality",      # intra-doc repetition: tagged single explode (r4)
+    "seasonal_check",      # phase-grouped baselines on the shared shuffle (r4)
+    "cat_drift_check",     # categorical-mix PSI vs median-share consensus (r4)
 ]
 
 CLIPS_SPEC = dict(partitions=32, clips_per_partition=1000, sr_hz=8000)
