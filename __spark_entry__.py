@@ -702,6 +702,10 @@ def _q_drift_events(spark, sf):
         "partition_key",
         F.round("psi", 4).alias("psi"),
         F.round("ks", 4).alias("ks"),
+        # Wasserstein-1 (earth-mover): the scale-aware axis PSI/KS lack —
+        # both saturate once supports stop overlapping; W1 reports how
+        # FAR the mass moved, in the column's units
+        F.round("w1", 4).alias("w1"),
     )
 
 
@@ -731,6 +735,7 @@ def _q_drift_incremental(spark, sf):
         "partition_key",
         F.round("psi", 4).alias("psi"),
         F.round("ks", 4).alias("ks"),
+        F.round("w1", 4).alias("w1"),
     )
 
 
@@ -3786,7 +3791,8 @@ WITH src AS (
 )
 SELECT pk AS partition_key,
        {_R("sum((p - q) * ln(p / q))", 4)} AS psi,
-       {_R("max(abs(pcum - qcum))", 4)} AS ks
+       {_R("max(abs(pcum - qcum))", 4)} AS ks,
+       {_R("sum(abs(pcum - qcum)) * (SELECT (hi - lo) / 20 FROM mm)", 4)} AS w1
 FROM h4 GROUP BY pk
 """
 

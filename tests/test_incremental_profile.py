@@ -176,7 +176,7 @@ def test_drift_from_states_matches_raw_scan(spark):
     )
     lo, hi = float(mm["lo"]), float(mm["hi"])
     ref = {
-        r["partition_key"]: (r["psi"], r["ks"])
+        r["partition_key"]: (r["psi"], r["ks"], r["w1"])
         for r in drift_scores(
             ev, "value", partition_col="event_type", bins=20, bounds=(lo, hi)
         ).collect()
@@ -186,13 +186,103 @@ def test_drift_from_states_matches_raw_scan(spark):
         histogram_columns={"value": (lo, hi, 20)},
     )
     got = {
-        r["partition_key"]: (r["psi"], r["ks"])
+        r["partition_key"]: (r["psi"], r["ks"], r["w1"])
         for r in drift_from_states(states, "value").collect()
     }
     assert ref.keys() == got.keys() and len(ref) > 1
     for k in ref:
         assert got[k][0] == pytest.approx(ref[k][0], abs=1e-12)
         assert got[k][1] == pytest.approx(ref[k][1], abs=1e-12)
+        assert got[k][2] == pytest.approx(ref[k][2], abs=1e-12)
+
+
+def test_wasserstein_is_scale_aware_where_ks_saturates(spark):
+    """The motivation for the W1 column: two drifted partitions whose
+    supports are BOTH fully disjoint from the consensus score the same
+    saturated KS (≈ 1) and comparable PSI, but W1 ranks them by HOW FAR
+    the mass moved — and matches a numpy replay of the smoothed math
+    bit-for-bit."""
+    import numpy as np
+
+    from use_case_real_time_anomaly_detection_spark.functions.stats import (
+        drift_scores,
+    )
+
+    rows = []
+    # six healthy partitions at value ~[0, 10); one near-shift partition
+    # at ~[20, 30); one far-shift partition at ~[90, 100)
+    rng = np.random.default_rng(7)
+    for p in range(6):
+        for i, v in enumerate(rng.uniform(0.0, 10.0, 200)):
+            rows.append((f"h{p}", float(round(v, 2))))
+    for i, v in enumerate(rng.uniform(20.0, 30.0, 200)):
+        rows.append(("near", float(round(v, 2))))
+    for i, v in enumerate(rng.uniform(90.0, 100.0, 200)):
+        rows.append(("far", float(round(v, 2))))
+    df = spark.createDataFrame(rows, "pk string, value double")
+    bins, lo, hi = 20, 0.0, 100.0
+    got = {
+        r["partition_key"]: (r["psi"], r["ks"], r["w1"])
+        for r in drift_scores(
+            df, "value", partition_col="pk", bins=bins, bounds=(lo, hi)
+        ).collect()
+    }
+    # KS saturates at the same (smoothing-capped) ceiling for both
+    # shifted partitions — it cannot tell a 20-unit move from a 90-unit
+    # move once supports are disjoint...
+    assert got["near"][1] > 0.9 and got["far"][1] > 0.9
+    assert got["near"][1] == pytest.approx(got["far"][1], abs=0.005)
+    # ...but W1 ranks them by shift distance, in value units
+    assert got["far"][2] > 3 * got["near"][2]
+    assert got["near"][2] > 10.0  # ~the 20-unit shift, minus smoothing
+    for p in range(6):
+        assert got[f"h{p}"][2] < 5.0  # healthy partitions near consensus
+
+    # numpy twin of the full smoothed-share/median-baseline W1
+    width = (hi - lo) / bins
+    pks = sorted({r[0] for r in rows})
+    counts = {pk: np.zeros(bins) for pk in pks}
+    for pk, v in rows:
+        counts[pk][min(bins - 1, int((v - lo) // width))] += 1
+    p = {pk: (c + 0.5) / (c.sum() + 0.5 * bins) for pk, c in counts.items()}
+    med = np.median(np.stack([p[pk] for pk in pks]), axis=0)
+    q = med / med.sum()
+    for pk in pks:
+        w1 = np.abs(np.cumsum(p[pk]) - np.cumsum(q)).sum() * width
+        assert got[pk][2] == pytest.approx(float(w1), rel=1e-9)
+
+
+def test_drift_rule_w1_threshold_gates_in_value_units(spark):
+    """DriftRule(w1_threshold=): the value-units earth-mover fence flags
+    the far-shifted partition while leaving strings/conditions of
+    w1-less rules byte-unchanged (existing oracles must not move)."""
+    from use_case_real_time_anomaly_detection_spark.operators.compiler import (
+        compile_rules,
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        DriftRule,
+    )
+
+    rows = []
+    for p in range(5):
+        rows += [(f"h{p}", f"h{p}-{i}", float(v % 10)) for i, v in enumerate(range(200))]
+    rows += [("far", f"far-{i}", 90.0 + (i % 10)) for i in range(200)]
+    df = spark.createDataFrame(rows, "partition_key string, clip_id string, value double")
+
+    # without w1_threshold: note/observed keep the two-axis format
+    base = compile_rules(df, [DriftRule("value", psi_threshold=1e9, ks_threshold=0.5)])
+    v0 = base.violations.collect()
+    assert {r["partition_key"] for r in v0} == {"far"}
+    assert all("w1" not in r["note"] and "w1" not in r["observed"] for r in v0)
+
+    # psi/ks disabled, ONLY the 50-value-unit w1 fence active
+    plan = compile_rules(
+        df,
+        [DriftRule("value", psi_threshold=1e9, ks_threshold=1e9, w1_threshold=50.0)],
+    )
+    v1 = plan.violations.collect()
+    assert {r["partition_key"] for r in v1} == {"far"}
+    assert "w1_threshold:50" in v1[0]["note"] and "|w1:" in v1[0]["observed"]
 
 
 def test_drift_from_states_skips_degenerate_partitions(spark):

@@ -193,10 +193,18 @@ def drift_scores(
     - baseline q = per-bin MEDIAN of partition fractions, renormalized
       (robust to a minority of drifted partitions — a global mixture
       baseline would be contaminated by the very partitions under test);
-    - PSI = Σ (p - q) ln(p / q); KS = max |CDF_p - CDF_q|.
+    - PSI = Σ (p - q) ln(p / q); KS = max |CDF_p - CDF_q|;
+    - W1 (Wasserstein-1 / earth-mover) = Σ |CDF_p - CDF_q| · bin_width —
+      the SCALE-AWARE complement: PSI and KS saturate once supports
+      stop overlapping (a 1-bin shift and a 10-bin shift both score
+      KS ≈ 1), while W1 keeps growing with HOW FAR the mass moved, in
+      the column's own units (the standard discrete identity
+      W1 = ∫|CDF_p − CDF_q|; both CDFs end at 1, so the last bin
+      contributes ~0 and summing over all bins is exact).
 
-    Returns (partition_key, psi, ks) for ALL partitions (thresholding is
-    the caller's policy). NULLs in `column` are excluded.
+    Returns (partition_key, psi, ks, w1) for ALL partitions
+    (thresholding is the caller's policy). NULLs in `column` are
+    excluded.
     """
     from pyspark.sql import Window
 
@@ -253,7 +261,11 @@ def drift_scores(
     return h.groupBy("pk").agg(
         F.sum("psi_term").alias("psi"),
         F.max(F.abs(F.col("pcum") - F.col("qcum"))).alias("ks"),
-    ).select(F.col("pk").alias("partition_key"), "psi", "ks")
+        # Σ|ΔCDF| first, ONE multiply by the width last — the same IEEE
+        # op order as drift_from_states' state path, so the two stay
+        # bit-comparable under the parity test
+        (F.sum(F.abs(F.col("pcum") - F.col("qcum"))) * F.lit(width)).alias("w1"),
+    ).select(F.col("pk").alias("partition_key"), "psi", "ks", "w1")
 
 
 def categorical_scores(
@@ -642,7 +654,7 @@ def topk_values(
 
 
 def drift_from_states(states: DataFrame, column: str) -> DataFrame:
-    """KS/PSI drift per partition computed from the MERGEABLE profile
+    """KS/PSI/W1 drift per partition computed from the MERGEABLE profile
     states' stored histograms — zero corpus IO.
 
     `drift_scores` re-bins the raw column every run; at 10^12 rows that
@@ -674,6 +686,10 @@ def drift_from_states(states: DataFrame, column: str) -> DataFrame:
     h = states.filter(F.col(f"{column}__hist").isNotNull()).select(
         F.col("partition_key").alias("pk"),
         F.posexplode(F.col(f"{column}__hist")).alias("bin", "pn"),
+        # the self-describing grid bounds ride along so W1 can be
+        # expressed in the column's own units (bin_width = (hi-lo)/nb)
+        F.col(f"{column}__hlo").alias("hlo"),
+        F.col(f"{column}__hhi").alias("hhi"),
     )
     # the stored array is dense (every bin present, zeros included), so
     # no grid join is needed; nb == nbins recovers the smoothing constant
@@ -700,11 +716,15 @@ def drift_from_states(states: DataFrame, column: str) -> DataFrame:
     h = h.withColumn("pcum", F.sum("p").over(wcum)).withColumn(
         "qcum", F.sum("q").over(wcum)
     )
+    # same op order as drift_scores: Σ|ΔCDF| first, one multiply by the
+    # (per-state, self-described) bin width last
+    width = (F.first("hhi") - F.first("hlo")) / F.first("nb")
     return (
         h.groupBy("pk")
         .agg(
             F.sum("psi_term").alias("psi"),
             F.max(F.abs(F.col("pcum") - F.col("qcum"))).alias("ks"),
+            (F.sum(F.abs(F.col("pcum") - F.col("qcum"))) * width).alias("w1"),
         )
-        .select(F.col("pk").alias("partition_key"), "psi", "ks")
+        .select(F.col("pk").alias("partition_key"), "psi", "ks", "w1")
     )

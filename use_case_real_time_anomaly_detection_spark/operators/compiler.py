@@ -1478,17 +1478,24 @@ def _drift_violations(
     scores = drift_scores(
         df, r.column, partition_col=partition_col, bins=r.bins, bounds=bounds
     )
-    return scores.filter(
-        (F.col("psi") > r.psi_threshold) | (F.col("ks") > r.ks_threshold)
-    ).select(
+    cond = (F.col("psi") > r.psi_threshold) | (F.col("ks") > r.ks_threshold)
+    observed = F.concat(
+        F.lit("psi:"), _fmt(F.col("psi"), 4), F.lit("|ks:"), _fmt(F.col("ks"), 4)
+    )
+    note = (
+        f"column:{r.column} psi_threshold:{r.psi_threshold:g} "
+        f"ks_threshold:{r.ks_threshold:g}"
+    )
+    if r.w1_threshold is not None:
+        # opt-in third axis; strings extend ONLY when declared, so
+        # existing rule sets (and their oracles) are byte-unchanged
+        cond = cond | (F.col("w1") > r.w1_threshold)
+        observed = F.concat(observed, F.lit("|w1:"), _fmt(F.col("w1"), 4))
+        note = note + f" w1_threshold:{r.w1_threshold:g}"
+    return scores.filter(cond).select(
         "partition_key",
         F.lit(None).cast("string").alias("clip_id"),
         F.lit(r.detector).alias("detector"),
-        F.concat(F.lit("psi:"), _fmt(F.col("psi"), 4), F.lit("|ks:"), _fmt(F.col("ks"), 4)).alias(
-            "observed"
-        ),
-        F.lit(
-            f"column:{r.column} psi_threshold:{r.psi_threshold:g} "
-            f"ks_threshold:{r.ks_threshold:g}"
-        ).alias("note"),
+        observed.alias("observed"),
+        F.lit(note).alias("note"),
     )

@@ -699,12 +699,22 @@ class DriftRule(Rule):
     global bucket counts, then PSI = Σ (p-q)·ln(p/q) and
     KS = max |CDF_p - CDF_q| computed over the tiny histogram frame.
     A partition violates if psi > psi_threshold or ks > ks_threshold.
+
+    ``w1_threshold`` (optional) adds the scale-aware third axis:
+    Wasserstein-1 / earth-mover distance Σ |ΔCDF| · bin_width, in the
+    COLUMN'S OWN UNITS. PSI and KS saturate once supports stop
+    overlapping — a 30 ms shift and a 300 ms shift both score KS ≈ 1 —
+    so they can gate but not rank; a W1 fence states the tolerance the
+    way an operator thinks about it ("flag partitions whose duration
+    distribution moved more than 50 ms"). Declared in value units, so
+    it composes with the same fixed grid at any bin count.
     """
 
     column: str
     bins: int = 20
     psi_threshold: float = 0.25  # industry-standard "significant shift"
     ks_threshold: float = 0.2
+    w1_threshold: float | None = None  # value-units earth-mover fence
     detector: str = "drift"
 
 
