@@ -135,6 +135,60 @@ def test_file_roundtrip_and_engine_equivalence(spark, tmp_path):
     assert want.count() > 0  # the fixture plants violations; prove non-vacuous
 
 
+def test_shipped_rulesets_load_and_run(spark):
+    """The two checked-in ruleset files (rulesets/clips.json,
+    rulesets/clips-strict.json) are the documented deployment surface —
+    pin that they (a) pass config-time validation, (b) the full-surface
+    strict set drives validate_clips end-to-end on a synthetic corpus,
+    evaluating every declared detector including the newest families
+    (monotonic/seasonal/cat_drift/entropy/ewma/fd) and the W1 drift
+    fence."""
+    from use_case_real_time_anomaly_detection_spark.operators.config import (
+        load_ruleset_document,
+    )
+    from use_case_real_time_anomaly_detection_spark.plans.clips import (
+        validate_clips,
+    )
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        frontier_of,
+        generate_clips,
+        generate_manifest,
+        with_partition_cols,
+    )
+
+    rules_basic, _, _ = load_ruleset_document("rulesets/clips.json")
+    assert len(rules_basic) > 5
+    rules, schema, warn = load_ruleset_document("rulesets/clips-strict.json")
+    assert schema is not None
+    drift_dur = next(
+        r for r in rules if getattr(r, "detector", "") == "drift-dur_ms"
+    )
+    assert drift_dur.w1_threshold == 300.0
+
+    spec = SynthSpec(partitions=4, clips_per_partition=150)
+    clips = with_partition_cols(generate_clips(spark, spec))
+    manifest = generate_manifest(spark, spec)
+    res = validate_clips(
+        clips, manifest, frontier=frontier_of(spec), rules=rules,
+        run_id="strict", warn_detectors=warn,
+    )
+    evaluated = {r["detector"] for r in res.verdicts.select("detector").distinct().collect()}
+    for d in (
+        "monotonic-seq", "seasonal", "cat-drift-sr_hz", "entropy-sr_hz",
+        "ewma", "functional-dependency", "drift-dur_ms", "audio-decode",
+    ):
+        assert d in evaluated, d
+    # the fixture plants violations; the strict set must catch some
+    assert res.violations.count() > 0
+    # the planted +300 ms dur drift trips the value-units W1 fence too
+    w1_notes = [
+        r["note"]
+        for r in res.violations.filter("detector = 'drift-dur_ms'").collect()
+    ]
+    assert w1_notes and all("w1_threshold:300" in n for n in w1_notes)
+
+
 def test_schema_contract_pass_and_column_order(spark):
     from use_case_real_time_anomaly_detection_spark.operators.schema import (
         CLIPS_TABLE_SCHEMA,
