@@ -2952,7 +2952,7 @@ WITH m AS (
   FROM m JOIN s ON s.partition_key = m.partition_key AND s.ph = m.ph
 )
 SELECT partition_key, clip_id,
-       'seasonal' AS detector,
+       'seasonal-dur_ms' AS detector,
        {_fmt_sql("(x - mean) / std", 4)} AS observed,
        'seasonal z: ' || substring(CAST((x - mean) / std AS VARCHAR), 1, 6)
          || ' | phase: ' || CAST(ph AS VARCHAR) || '/4'

@@ -175,7 +175,7 @@ def test_shipped_rulesets_load_and_run(spark):
     )
     evaluated = {r["detector"] for r in res.verdicts.select("detector").distinct().collect()}
     for d in (
-        "monotonic-seq", "seasonal", "cat-drift-sr_hz", "entropy-sr_hz",
+        "monotonic-seq", "seasonal-dur_ms", "cat-drift-sr_hz", "entropy-sr_hz",
         "ewma", "functional-dependency", "drift-dur_ms", "audio-decode",
     ):
         assert d in evaluated, d

@@ -68,7 +68,7 @@ def test_seasonal_matches_numpy_oracle(spark):
         z = (values[i] - mean) / std
         assert float(r.observed) == pytest.approx(round(z, 4), abs=1e-9)
         assert f"| phase: {i % period}/{period}" in r.note
-        assert r.detector == "seasonal"
+        assert r.detector == "seasonal-value"
 
 
 def test_pooled_rolling_zscore_is_blind_to_the_phase_anomaly(spark):

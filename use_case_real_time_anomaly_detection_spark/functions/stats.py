@@ -217,7 +217,12 @@ def drift_scores(
         mm = src.agg(F.min(column).alias("lo"), F.max(column).alias("hi")).collect()[0]
         bounds = (mm["lo"], mm["hi"])
     if bounds[0] is None:
-        return spark.createDataFrame([], "partition_key string, psi double, ks double")
+        # all-NULL column: keep the FULL result schema (incl. w1) so a
+        # DriftRule with any fence set degrades to zero violations
+        # instead of an UNRESOLVED_COLUMN crash downstream
+        return spark.createDataFrame(
+            [], "partition_key string, psi double, ks double, w1 double"
+        )
     lo, hi = float(bounds[0]), float(bounds[1])
     if hi <= lo:
         hi = lo + 1.0

@@ -378,19 +378,27 @@ def compile_rules(
             raise ValueError("sequence rules need seq_col")
 
         def window_cols(w) -> list[Column]:
-            cols: list[Column] = []
+            # keyed by alias, first-wins: two rules of the same family on
+            # the same column (e.g. strict + non-strict MonotonicRule, or
+            # several RateOfChange/Gap rules) request the IDENTICAL lag
+            # expression — emitting it twice would duplicate the column
+            # name and make the later F.col() read ambiguous
+            cols: dict[str, Column] = {}
+
+            def add(name: str, col: Column) -> None:
+                if name not in cols:
+                    cols[name] = col.alias(name)
+
             for r in window_rules:
                 if isinstance(r, RateOfChangeRule):
                     # ≙ lagInFrame(value/timestamp, 1) OVER (PARTITION BY id
                     #   ORDER BY timestamp) — tinybird/pipes/rate_of_change.pipe:31-34
-                    cols.append(F.lag(r.column, 1).over(w).alias(f"__prev_{r.column}"))
-                    cols.append(F.lag(seq_col, 1).over(w).alias("__prev_seq_roc"))
+                    add(f"__prev_{r.column}", F.lag(r.column, 1).over(w))
+                    add("__prev_seq_roc", F.lag(seq_col, 1).over(w))
                 elif isinstance(r, GapRule):
-                    cols.append(F.lag(seq_col, 1).over(w).alias("__prev_seq_gap"))
+                    add("__prev_seq_gap", F.lag(seq_col, 1).over(w))
                 elif isinstance(r, MonotonicRule):
-                    cols.append(
-                        F.lag(r.column, 1).over(w).alias(f"__prev_mono_{r.column}")
-                    )
+                    add(f"__prev_mono_{r.column}", F.lag(r.column, 1).over(w))
                 elif isinstance(r, ZScoreRule):
                     # Sliding count window per north star (SURVEY.md §2.5 W1
                     # generalization): trailing `window` rows, excluding self.
@@ -401,22 +409,22 @@ def compile_rules(
                     # any engine (the DuckDB oracle) reproduces bit-for-bit.
                     # Welford-style streaming moments give last-ulp results
                     # that differ per engine and flip rounded note digits.
+                    # alias carries the window size: two ZScoreRules on the
+                    # same column with DIFFERENT windows need distinct frames
                     wf = w.rowsBetween(-r.window, -1)
-                    cols.append(
-                        F.sum(F.col(r.column).cast("double"))
-                        .over(wf)
-                        .alias(f"__zs1_{r.column}")
+                    add(
+                        f"__zs1_{r.column}_w{r.window}",
+                        F.sum(F.col(r.column).cast("double")).over(wf),
                     )
-                    cols.append(
+                    add(
+                        f"__zs2_{r.column}_w{r.window}",
                         F.sum(
                             F.col(r.column).cast("double")
                             * F.col(r.column).cast("double")
-                        )
-                        .over(wf)
-                        .alias(f"__zs2_{r.column}")
+                        ).over(wf),
                     )
-                    cols.append(F.count(r.column).over(wf).alias(f"__zcnt_{r.column}"))
-            return cols
+                    add(f"__zcnt_{r.column}_w{r.window}", F.count(r.column).over(wf))
+            return list(cols.values())
 
         if window_chunk_size is not None:
             # skew-safe path (operators/skew.py): one task per
@@ -805,11 +813,11 @@ def compile_rules(
             _entry(r.detector, cond, cur.cast("string"), note)
 
         elif isinstance(r, ZScoreRule):
-            cnt_c = F.col(f"__zcnt_{r.column}")
-            avg_c = F.col(f"__zs1_{r.column}") / cnt_c
+            cnt_c = F.col(f"__zcnt_{r.column}_w{r.window}")
+            avg_c = F.col(f"__zs1_{r.column}_w{r.window}") / cnt_c
             std_c = F.sqrt(
                 F.greatest(
-                    F.col(f"__zs2_{r.column}") / cnt_c - avg_c * avg_c,
+                    F.col(f"__zs2_{r.column}_w{r.window}") / cnt_c - avg_c * avg_c,
                     F.lit(0.0),
                 )
             )

@@ -272,9 +272,15 @@ class SeasonalRule(Rule):
     period: int = 24
     threshold: float = 3.0
     min_count: int = 8
-    detector: str = "seasonal"
+    detector: str = ""  # defaults to seasonal-<column>
 
     def __post_init__(self) -> None:
+        if not self.detector:
+            # column-suffixed like monotonic-<col>/cat-drift-<col>/
+            # entropy-<col>: two SeasonalRules on different columns must
+            # yield distinguishable violation rows and distinct
+            # plan.detectors entries
+            object.__setattr__(self, "detector", f"seasonal-{self.column}")
         if self.period < 2:
             # ≙ {{ error(...) }}: period 1 is ZScoreRule's job
             raise ValueError(
