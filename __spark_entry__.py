@@ -773,6 +773,40 @@ def _q_image_features(spark, sf):
     return image_features(docs)
 
 
+def _q_image_features_png(spark, sf):
+    """REAL image decode: the fixture carries genuine PNG (all five
+    scanline filters, gray + RGB) and 24-bit BMP payload bytes with
+    prescribed defects (truncation, unsupported jpeg declaration);
+    image_features decodes them with the stdlib-zlib/numpy codecs in
+    functions/multimodal.py. Oracle = the pandas twin (same check_image
+    kernel over the same bytes, pre-encode ground truth asserted)."""
+    from use_case_real_time_anomaly_detection_spark.functions.multimodal import image_features
+
+    _ensure_images_oracle_files()
+    imgs = spark.read.parquet(_IMAGES)
+    return image_features(
+        imgs, id_col="item_id", bytes_col="payload", codec_col="codec"
+    )
+
+
+def _q_image_decode_check(spark, sf):
+    """ImageDecodeRule fused in the engine (one zero-copy mapInArrow
+    pass, payload dropped after — the AudioDecodeRule shape): violations
+    are undecodable payloads and decoded-vs-declared dim mismatches."""
+    from use_case_real_time_anomaly_detection_spark.operators.compiler import compile_rules
+    from use_case_real_time_anomaly_detection_spark.operators.rules import ImageDecodeRule
+
+    _ensure_images_oracle_files()
+    imgs = spark.read.parquet(_IMAGES)
+    plan = compile_rules(
+        imgs,
+        [ImageDecodeRule(bytes_column="payload", width_column="width",
+                         height_column="height")],
+        key_col="item_id",
+    )
+    return plan.violations
+
+
 def _q_embed_neardup(spark, sf):
     from use_case_real_time_anomaly_detection_spark.functions.similarity import neardup_pairs
 
@@ -847,6 +881,9 @@ _CLIPS_META = f"{_ORACLE_DIR}/clips_meta.parquet"
 _CLIPS_MAN = f"{_ORACLE_DIR}/manifest.parquet"
 _CLIPS_AUDIO = f"{_ORACLE_DIR}/clips_audio_violations.parquet"
 _CLIPS_QC = f"{_ORACLE_DIR}/clips_qc_violations.parquet"
+_IMAGES = f"{_ORACLE_DIR}/images.parquet"
+_IMAGES_FEAT = f"{_ORACLE_DIR}/image_features_expected.parquet"
+_IMAGES_VIOL = f"{_ORACLE_DIR}/image_violations.parquet"
 _CLIPS_FRONTIER = 149  # SynthSpec(clips_per_partition=150) → frontier 149
 
 # Bump whenever sources/synth.py or functions/audio.py change the RENDERED
@@ -854,8 +891,9 @@ _CLIPS_FRONTIER = 149  # SynthSpec(clips_per_partition=150) → frontier 149
 # dist/oracle is a bit-exact function of those bytes, so a stale cache
 # would silently compare fresh Spark results against old-universe parquet.
 # r4 bumps: 2 = reference_waveform QC gain buckets (AudioQcRule);
-# 3 = manifest expected_codec divergence plant (RefMatchRule).
-_FIXTURE_VERSION = "3"
+# 3 = manifest expected_codec divergence plant (RefMatchRule);
+# 4 = real PNG/BMP image fixture (ImageDecodeRule, image_features_png).
+_FIXTURE_VERSION = "4"
 
 
 def _ensure_fixture_version() -> None:
@@ -922,6 +960,49 @@ def _ensure_clips_oracle_files() -> None:
     pq.write_table(
         pa.Table.from_pandas(audio_qc_violations_pandas(spec), preserve_index=False),
         f"{_CLIPS_QC}/data.parquet",
+    )
+
+
+def _ensure_images_oracle_files() -> None:
+    """Materialize the image table (REAL PNG/BMP payload bytes) plus its
+    two oracle twins: expected features (same check_image kernel over the
+    same bytes — the audio discipline, with pre-encode ground-truth
+    asserts inside the twin) and expected ImageDecodeRule violations."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        image_features_expected_pandas,
+        image_violations_pandas,
+        images_pandas,
+    )
+
+    _ensure_fixture_version()
+    if (
+        os.path.exists(f"{_IMAGES}/data.parquet")
+        and os.path.exists(f"{_IMAGES_FEAT}/data.parquet")
+        and os.path.exists(f"{_IMAGES_VIOL}/data.parquet")
+    ):
+        return
+    spec = SynthSpec(partitions=4, clips_per_partition=150)
+    for d in (_IMAGES, _IMAGES_FEAT, _IMAGES_VIOL):
+        os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(images_pandas(spec), preserve_index=False),
+        f"{_IMAGES}/data.parquet",
+    )
+    pq.write_table(
+        pa.Table.from_pandas(
+            image_features_expected_pandas(spec), preserve_index=False
+        ),
+        f"{_IMAGES_FEAT}/data.parquet",
+    )
+    pq.write_table(
+        pa.Table.from_pandas(image_violations_pandas(spec), preserve_index=False),
+        f"{_IMAGES_VIOL}/data.parquet",
     )
 
 
@@ -2355,6 +2436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "speech_rate": _q_speech_rate,
         "transcript_distance": _q_transcript_distance,
         "image_features": _q_image_features,
+        "image_features_png": _q_image_features_png,
+        "image_decode_check": _q_image_decode_check,
         "drift_events": _q_drift_events,
         "drift_incremental": _q_drift_incremental,
         "running_z_score": _q_running_z_score,
@@ -4088,6 +4171,20 @@ FROM read_parquet('{_CLIPS_AUDIO}/*.parquet')
 """
 )
 
+# Real-codec image twins: expected features + expected ImageDecodeRule
+# violations, both produced by sources/synth.py running the SAME
+# check_image kernel over the SAME rendered bytes (with independent
+# pre-encode ground-truth asserts inside the features twin).
+_SQL_IMAGE_FEATURES_PNG = f"""
+SELECT item_id, width, height, channels, mean_luma, decode_error
+FROM read_parquet('{_IMAGES_FEAT}/*.parquet')
+"""
+
+_SQL_IMAGE_DECODE_CHECK = f"""
+SELECT partition_key, clip_id, detector, observed, note
+FROM read_parquet('{_IMAGES_VIOL}/*.parquet')
+"""
+
 # Decoded-PCM features: the oracle is the pandas twin parquet (same
 # clip_features numpy over the same rendered bytes — bit-identical
 # doubles, the clips_audio_violations discipline).
@@ -5268,6 +5365,8 @@ def oracle_sql() -> dict[str, str]:
         "verdict_regression": _SQL_VERDICT_REGRESSION,
         "clips_profile": _SQL_CLIPS_PROFILE,
         "image_features": _SQL_IMAGE_FEATURES,
+        "image_features_png": _SQL_IMAGE_FEATURES_PNG,
+        "image_decode_check": _SQL_IMAGE_DECODE_CHECK,
         "clips_validate_audio": _SQL_CLIPS_VALIDATE_AUDIO,
         "audio_qc": _SQL_AUDIO_QC,
         "ref_match": _SQL_REF_MATCH,

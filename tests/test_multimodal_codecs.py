@@ -1,0 +1,151 @@
+"""Real image codecs (PNG/BMP) + the fused ImageDecodeRule.
+
+The image column's decode path is REAL (stdlib zlib + numpy — no codec
+library): these tests pin the codec contract (round-trip exactness over
+every PNG filter type and color depth, BMP row padding, the stable
+decode-error taxonomy) and the engine integration (one zero-copy
+mapInArrow pass, payload column dropped, prescribed fixture violations
+flagged exactly).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from use_case_real_time_anomaly_detection_spark.functions.multimodal import (
+    _PNG_SIG,
+    _png_chunk,
+    bmp_decode,
+    bmp_encode,
+    check_image,
+    image_features,
+    png_decode,
+    png_encode,
+)
+from use_case_real_time_anomaly_detection_spark.operators.compiler import compile_rules
+from use_case_real_time_anomaly_detection_spark.operators.rules import ImageDecodeRule
+from use_case_real_time_anomaly_detection_spark.sources.synth import (
+    SynthSpec,
+    image_violations_pandas,
+    images_pandas,
+)
+
+
+def test_png_roundtrip_all_filters_and_depths():
+    rng = np.random.default_rng(0)
+    for c in (1, 2, 3, 4):  # gray / gray+alpha / RGB / RGBA
+        img = rng.integers(0, 256, size=(12, 16, c), dtype=np.uint8)
+        for ft in range(5):  # None / Sub / Up / Average / Paeth
+            out = png_decode(png_encode(img, filter_type=ft))
+            assert out.shape == img.shape
+            assert (out == img).all(), (c, ft)
+
+
+def test_png_palette_decode():
+    rng = np.random.default_rng(1)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(5, 7), dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 7, 5, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(5))
+    p = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert (png_decode(p) == pal[idx]).all()
+
+
+def test_bmp_roundtrip_row_padding():
+    rng = np.random.default_rng(2)
+    for w in (5, 6, 7, 8):  # every 4-byte-padding residue
+        img = rng.integers(0, 256, size=(9, w, 3), dtype=np.uint8)
+        assert (bmp_decode(bmp_encode(img)) == img).all(), w
+
+
+def test_decode_error_taxonomy_is_stable():
+    rng = np.random.default_rng(3)
+    b = png_encode(rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8))
+    assert check_image(b[: int(len(b) * 0.6)], "png")[1] == "truncated chunk"
+    assert check_image(b"nope", "png")[1] == "bad png signature"
+    corrupted = bytearray(b)
+    corrupted[60] ^= 0xFF  # inside IDAT data -> CRC breaks
+    assert check_image(bytes(corrupted), "png")[1].startswith("bad crc")
+    assert check_image(b"nope", "bmp")[1] == "bad bmp signature"
+    assert check_image(b, "jpeg")[1].startswith("jpeg decoding requires")
+    assert check_image(b, "tiff")[1] == "no decoder for 'tiff'"
+    assert check_image(None, "png")[1] == "null payload"
+
+
+def test_mean_luma_is_bit_exact_roundtrip():
+    # lossless codecs: decoded mean MUST equal the pre-encode mean
+    # bit-for-bit (the oracle twin depends on this)
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+    assert float(png_decode(png_encode(img)).mean()) == float(img.mean())
+    assert float(bmp_decode(bmp_encode(img)).mean()) == float(img.mean())
+
+
+@pytest.fixture(scope="module")
+def image_df(spark):
+    spec = SynthSpec(partitions=2, clips_per_partition=60)
+    pdf = images_pandas(spec)
+    return spec, spark.createDataFrame(pdf)
+
+
+def test_image_features_real_codecs(spark, image_df):
+    spec, df = image_df
+    got = {
+        r.item_id: r
+        for r in image_features(
+            df, id_col="item_id", bytes_col="payload", codec_col="codec"
+        ).collect()
+    }
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        image_features_expected_pandas,
+    )
+
+    want = image_features_expected_pandas(spec)
+    assert len(got) == len(want)
+    for row in want.itertuples(index=False):
+        g = got[row.item_id]
+        if row.decode_error is None or row.decode_error is pd_na(row.decode_error):
+            assert g.decode_error is None
+            assert (g.width, g.height, g.channels) == (
+                int(row.width), int(row.height), int(row.channels)
+            )
+            assert g.mean_luma == float(row.mean_luma)
+        else:
+            assert g.decode_error == row.decode_error
+
+
+def pd_na(x):
+    import pandas as pd
+
+    return x is pd.NA or (isinstance(x, float) and np.isnan(x))
+
+
+def test_image_decode_rule_fused_flags_prescribed_defects(spark, image_df):
+    spec, df = image_df
+    plan = compile_rules(
+        df,
+        [ImageDecodeRule(bytes_column="payload", width_column="width",
+                         height_column="height")],
+        key_col="item_id",
+    )
+    got = sorted(
+        (r.partition_key, r.clip_id, r.detector, r.observed, r.note)
+        for r in plan.violations.collect()
+    )
+    want = sorted(map(tuple, image_violations_pandas(spec).itertuples(index=False)))
+    assert got == want
+    assert len(got) > 0  # the fixture plants defects
+    # the payload column is dropped by the fused pass: no pixel bytes
+    # flow past the Arrow stage (narrow-rows contract, like audio)
+    plan_str = plan.violations._jdf.queryExecution().executedPlan().toString()
+    assert plan_str.count("MapInArrow") == 1

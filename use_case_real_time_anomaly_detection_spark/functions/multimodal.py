@@ -1,21 +1,27 @@
 """Multimodal payload plumbing: image / video / generic binary columns.
 
-The audio path (functions/audio.py) is fully real; image and video
-decoding need codec libraries this container doesn't ship, so the decode
-kernels are STUBBED behind a registry — deterministic fakes for the
-"fake:*" codecs used by tests, NotImplementedError for real ones. The
-Spark-side plumbing is real and tested: schemas, Arrow batching via
-mapInPandas (iterator form — streams batches, never materializes a
-partition), typed metadata extraction, resize/frame-sample signatures.
+The image column is REAL end-to-end for the lossless formats this
+container can decode with the stdlib: PNG (zlib inflate + pure-numpy
+scanline unfiltering, all five filter types, color types
+gray/RGB/palette/gray-alpha/RGBA at bit depth 8) and uncompressed
+24-bit BMP — both encoder and decoder live here, so sources/synth.py
+can render real payload bytes and the engine proves decoded pixels ==
+generated pixels bit-for-bit (the image analog of the audio column's
+PCM/μ-law path in functions/audio.py). Lossy codecs that need external
+libraries (JPEG) stay stubbed behind the registry and raise
+NotImplementedError; video demux remains a deterministic fake.
 
 Pattern for any modality at 100 TB: binary column + typed metadata
 columns, kernels as iterator-of-pandas mapInPandas (bounded memory via
-spark.sql.execution.arrow.maxRecordsPerBatch), outputs as flat typed
+spark.sql.execution.arrow.maxRecordsPerBatch) or zero-copy mapInArrow
+(with_image_checks — the fused-rule pass), outputs as flat typed
 columns so downstream rules stay JVM-side.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from typing import Callable, Iterator
 
 import numpy as np
@@ -23,12 +29,255 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     StringType,
     StructField,
     StructType,
 )
+
+# ---------------------------------------------------------------------------
+# PNG — RFC 2083 subset: bit depth 8, no interlace; color types 0 (gray),
+# 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); all five scanline
+# filters on decode. Pure stdlib zlib + numpy: no external codec library.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_row(
+    ftype: int, row: np.ndarray, prev: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Forward filter (encoder side), per PNG spec §6."""
+    cur = row.astype(np.int16)
+    left = np.zeros_like(cur)
+    left[bpp:] = cur[:-bpp]
+    up = prev.astype(np.int16)
+    upleft = np.zeros_like(up)
+    upleft[bpp:] = up[:-bpp]
+    if ftype == 0:
+        out = cur
+    elif ftype == 1:
+        out = cur - left
+    elif ftype == 2:
+        out = cur - up
+    elif ftype == 3:
+        out = cur - ((left + up) >> 1)
+    elif ftype == 4:
+        p = left + up - upleft
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+        pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
+        out = cur - pred
+    else:
+        raise ValueError(f"bad png filter type {ftype}")
+    return (out & 0xFF).astype(np.uint8)
+
+
+def png_encode(img: np.ndarray, *, filter_type: int = 0, level: int = 6) -> bytes:
+    """Encode (H, W[, C]) uint8 → PNG bytes. C ∈ {1, 2, 3, 4} maps to
+    color types 0/4/2/6. One filter type for all rows (0 is the fast
+    round-trip default; 1–4 exist so tests can exercise every decoder
+    unfilter branch against independently filtered bytes)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    bpp = c
+    prev = np.zeros(w * c, dtype=np.uint8)
+    parts = []
+    for y in range(h):
+        row = img[y].reshape(-1)
+        parts.append(bytes([filter_type]))
+        parts.append(_png_filter_row(filter_type, row, prev, bpp).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(parts), level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode(payload: bytes) -> np.ndarray:
+    """Decode PNG bytes → (H, W, C) uint8. CRC-checked chunk walk, zlib
+    inflate, numpy unfiltering (Up/Sub vectorized — Sub is a per-lane
+    mod-256 cumulative sum; Average/Paeth have a true left recursion and
+    run per-byte). Raises ValueError with a stable message taxonomy
+    (bad signature / truncated chunk / bad crc / unsupported ...) so
+    decode-failure notes are deterministic."""
+    payload = bytes(payload)
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("bad png signature")
+    pos = 8
+    w = h = depth = color = None
+    plte: np.ndarray | None = None
+    idat: list[bytes] = []
+    seen_iend = False
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated chunk header")
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data_end = pos + 8 + length
+        if data_end + 4 > len(payload):
+            raise ValueError("truncated chunk")
+        data = payload[pos + 8 : data_end]
+        (crc,) = struct.unpack_from(">I", payload, data_end)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad crc in {ctype.decode('latin1', 'replace')}")
+        pos = data_end + 4
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, inter = struct.unpack(">IIBBBBB", data)
+            if comp != 0 or filt != 0:
+                raise ValueError("unsupported png compression/filter method")
+            if inter != 0:
+                raise ValueError("unsupported png interlace")
+            if depth != 8:
+                raise ValueError(f"unsupported png bit depth {depth}")
+            if color not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported png color type {color}")
+        elif ctype == b"PLTE":
+            if len(data) % 3 != 0:
+                raise ValueError("bad plte length")
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        # ancillary chunks: skipped
+    if w is None:
+        raise ValueError("missing ihdr")
+    if not seen_iend:
+        raise ValueError("truncated chunk")  # ran off the buffer pre-IEND
+    if not idat:
+        raise ValueError("missing idat")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"bad idat stream: {exc}") from exc
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise ValueError("idat length mismatch")
+    rawm = np.frombuffer(raw, np.uint8).reshape(h, 1 + stride)
+    ftypes = rawm[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint16)
+    bpp = ch
+    for y in range(h):
+        ft = int(ftypes[y])
+        cur = rawm[y, 1:].astype(np.uint16)
+        if ft == 0:
+            rec = cur
+        elif ft == 2:  # Up: fully vectorized
+            rec = (cur + prev) & 0xFF
+        elif ft == 1:  # Sub: per-channel-lane cumulative sum mod 256
+            rec = cur.reshape(-1, bpp).cumsum(axis=0, dtype=np.uint64) & 0xFF
+            rec = rec.reshape(-1).astype(np.uint16)
+        elif ft in (3, 4):  # Average / Paeth: true left recursion
+            rec = np.zeros(stride, dtype=np.uint16)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if ft == 3:
+                    rec[x] = (int(cur[x]) + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    if pa <= pb and pa <= pc:
+                        pr = a
+                    elif pb <= pc:
+                        pr = b
+                    else:
+                        pr = c
+                    rec[x] = (int(cur[x]) + pr) & 0xFF
+        else:
+            raise ValueError(f"bad png filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    img = out.reshape(h, w, ch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette image without plte")
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        img = plte[idx]
+    return np.ascontiguousarray(img)
+
+
+# ---------------------------------------------------------------------------
+# BMP — uncompressed 24-bit BI_RGB (BITMAPINFOHEADER), bottom-up or
+# top-down, 4-byte row padding. Stored BGR; decoded to (H, W, 3) RGB.
+# ---------------------------------------------------------------------------
+
+
+def bmp_encode(img: np.ndarray) -> bytes:
+    """Encode (H, W[, C]) uint8 → 24-bit uncompressed BMP (bottom-up).
+    Gray broadcasts to 3 channels; alpha is dropped."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.shape[2] == 1:
+        img = np.repeat(img, 3, axis=2)
+    elif img.shape[2] == 4:
+        img = img[:, :, :3]
+    if img.shape[2] != 3:
+        raise ValueError(f"bmp_encode: unsupported channel count {img.shape[2]}")
+    h, w, _ = img.shape
+    rowsz = (w * 3 + 3) & ~3
+    pad = b"\x00" * (rowsz - w * 3)
+    bgr = img[:, :, ::-1]
+    body = b"".join(bgr[y].tobytes() + pad for y in range(h - 1, -1, -1))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    off = 14 + 40
+    head = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    return head + info + body
+
+
+def bmp_decode(payload: bytes) -> np.ndarray:
+    """Decode 24-bit uncompressed BMP bytes → (H, W, 3) uint8 RGB.
+    Stable ValueError taxonomy, mirroring png_decode."""
+    payload = bytes(payload)
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("bad bmp signature")
+    (off,) = struct.unpack_from("<I", payload, 10)
+    hsize, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if hsize < 40:
+        raise ValueError("unsupported bmp header")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported bmp: bpp={bpp} compression={comp}")
+    bottom_up = h > 0
+    h = abs(h)
+    if w < 1 or h < 1:
+        raise ValueError("bad bmp dimensions")
+    rowsz = (w * 3 + 3) & ~3
+    if len(payload) < off + rowsz * h:
+        raise ValueError("truncated bmp body")
+    buf = np.frombuffer(payload, np.uint8, count=rowsz * h, offset=off).reshape(
+        h, rowsz
+    )
+    img = buf[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    if bottom_up:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
 
 IMAGE_FEATURES_SCHEMA = StructType(
     [
@@ -49,7 +298,8 @@ def _fake_image_decode(payload: bytes) -> np.ndarray:
     return arr.reshape(8, 8, 1)
 
 
-# kernel registry: real codecs raise until a decoder library is wired in
+# kernel registry: lossless stdlib-decodable codecs are REAL; lossy
+# codecs needing external libraries raise until one is wired in
 def _unsupported(name: str) -> Callable[[bytes], np.ndarray]:
     def _raise(_: bytes) -> np.ndarray:
         raise NotImplementedError(
@@ -62,9 +312,89 @@ def _unsupported(name: str) -> Callable[[bytes], np.ndarray]:
 
 IMAGE_DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
     "fake:gray8x8": _fake_image_decode,
+    "png": png_decode,
+    "bmp": bmp_decode,
     "jpeg": _unsupported("jpeg"),
-    "png": _unsupported("png"),
 }
+
+
+def check_image(payload, codec: str):
+    """Single-image decode + features; the kernel shared by the
+    image_features operator, the fused ImageDecodeRule pass below, and
+    the oracle twin in sources/synth.py (same function over the same
+    bytes ⇒ bit-identical feature doubles and error strings on both
+    sides — the audio column's check_clip precedent).
+
+    Returns (ok, err, width, height, channels, mean_luma)."""
+    try:
+        dec = IMAGE_DECODERS.get(codec)
+        if dec is None:
+            raise ValueError(f"no decoder for {codec!r}")
+        if payload is None:
+            raise ValueError("null payload")
+        img = dec(bytes(payload))
+        return (
+            True,
+            None,
+            int(img.shape[1]),
+            int(img.shape[0]),
+            int(img.shape[2]),
+            float(img.mean()),
+        )
+    except Exception as exc:  # decode failures are data, not crashes
+        return False, str(exc)[:120], None, None, None, None
+
+
+def with_image_checks(df: DataFrame, rule, *, key_col: str = "clip_id") -> DataFrame:
+    """Append __img_ok / __img_err / __img_w / __img_h / __img_luma and
+    DROP the payload column (downstream of the check nothing needs the
+    pixels) — the image twin of functions/audio.with_audio_checks, and
+    the same zero-copy `mapInArrow` shape: binary payloads reach numpy
+    as buffer slices, never as materialized Python bytes-per-row through
+    pandas (measured on the audio column as a ~1.2 GB/s pipeline ceiling
+    that flattens core scaling)."""
+    import pyarrow as pa
+
+    bytes_col = rule.bytes_column
+    codec_c = rule.codec_column
+
+    passthrough = [f for f in df.schema.fields if f.name != bytes_col]
+    extra = [
+        StructField("__img_ok", BooleanType()),
+        StructField("__img_err", StringType()),
+        StructField("__img_w", IntegerType()),
+        StructField("__img_h", IntegerType()),
+        StructField("__img_luma", DoubleType()),
+    ]
+    out_schema = StructType(list(passthrough) + extra)
+    out_names = [f.name for f in passthrough] + [f.name for f in extra]
+
+    def run(batches):
+        for b in batches:
+            names = b.schema.names
+            barr = b.column(names.index(bytes_col))
+            codecs = b.column(names.index(codec_c)).to_pylist()
+            oks, errs, ws, hs, lumas = [], [], [], [], []
+            for i in range(len(barr)):
+                sc = barr[i]
+                mv = memoryview(sc.as_buffer()) if sc.is_valid else None
+                ok, err, w, h, _c, luma = check_image(mv, codecs[i])
+                oks.append(ok)
+                errs.append(err)
+                ws.append(w)
+                hs.append(h)
+                lumas.append(luma)
+            arrays = [b.column(names.index(f.name)) for f in passthrough]
+            arrays += [
+                pa.array(oks, type=pa.bool_()),
+                pa.array(errs, type=pa.string()),
+                pa.array(ws, type=pa.int32()),
+                pa.array(hs, type=pa.int32()),
+                pa.array(lumas, type=pa.float64()),
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names=out_names)
+
+    return df.mapInArrow(run, out_schema)
 
 
 def image_features(
@@ -81,32 +411,17 @@ def image_features(
         for b in batches:
             out = []
             for iid, payload, codec in zip(b[id_col], b[bytes_col], b[codec_col]):
-                try:
-                    dec = IMAGE_DECODERS.get(codec)
-                    if dec is None:
-                        raise ValueError(f"no decoder for {codec!r}")
-                    img = dec(bytes(payload))
-                    out.append(
-                        {
-                            "item_id": iid,
-                            "width": img.shape[1],
-                            "height": img.shape[0],
-                            "channels": img.shape[2],
-                            "mean_luma": float(img.mean()),
-                            "decode_error": None,
-                        }
-                    )
-                except Exception as exc:
-                    out.append(
-                        {
-                            "item_id": iid,
-                            "width": None,
-                            "height": None,
-                            "channels": None,
-                            "mean_luma": None,
-                            "decode_error": str(exc)[:120],
-                        }
-                    )
+                ok, err, w, h, c, luma = check_image(payload, codec)
+                out.append(
+                    {
+                        "item_id": iid,
+                        "width": w,
+                        "height": h,
+                        "channels": c,
+                        "mean_luma": luma,
+                        "decode_error": err,
+                    }
+                )
             yield pd.DataFrame(out, columns=[f.name for f in IMAGE_FEATURES_SCHEMA])
 
     return df.select(id_col, bytes_col, codec_col).mapInPandas(

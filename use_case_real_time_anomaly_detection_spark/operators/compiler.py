@@ -53,6 +53,7 @@ from .rules import (
     EwmaRule,
     FdRule,
     GapRule,
+    ImageDecodeRule,
     IqrRule,
     MadRule,
     MonotonicRule,
@@ -274,6 +275,15 @@ def compile_rules(
             qc=bool(qc_rules),
             compute_snr=bool(audio_rules),
         )
+
+    # ---- image decode pass (same fused shape as audio: ONE zero-copy
+    # Arrow pass appends the check columns and drops the payload) --------
+    image_rules = [r for r in rules if isinstance(r, ImageDecodeRule)]
+    if image_rules:
+        from ..functions.multimodal import with_image_checks
+
+        (img_rule,) = image_rules  # one image rule per run
+        base = with_image_checks(base, img_rule, key_col=key_col)
 
     # ---- one manifest join serves referential/transcript/match rules ----
     ref_rules = [
@@ -1012,6 +1022,32 @@ def compile_rules(
                 F.lit("| decode_error:"), F.coalesce(F.col("__audio_err"), F.lit("")),
             )
             _entry(r.detector, cond, snr_s, note)
+
+        elif isinstance(r, ImageDecodeRule):
+            # decode failure → __img_w/h NULL → mismatch cond NULL, so
+            # the OR short-circuits to the decode-failure arm exactly once
+            cond = ~F.col("__img_ok")
+            decoded = F.concat(
+                F.coalesce(F.col("__img_w").cast("string"), F.lit("?")),
+                F.lit("x"),
+                F.coalesce(F.col("__img_h").cast("string"), F.lit("?")),
+            )
+            declared_bits: list[Column] = []
+            if r.width_column is not None:
+                cond = cond | (F.col("__img_w") != F.col(r.width_column))
+                declared_bits.append(F.col(r.width_column).cast("string"))
+            if r.height_column is not None:
+                cond = cond | (F.col("__img_h") != F.col(r.height_column))
+                if declared_bits:
+                    declared_bits.append(F.lit("x"))
+                declared_bits.append(F.col(r.height_column).cast("string"))
+            note = F.concat(
+                F.lit("decoded:"), decoded,
+                F.lit("| declared:"),
+                F.concat(*declared_bits) if declared_bits else F.lit("-"),
+                F.lit("| decode_error:"), F.coalesce(F.col("__img_err"), F.lit("")),
+            )
+            _entry(r.detector, cond, decoded, note)
 
         elif isinstance(r, AudioQcRule):
             cr = F.col("__audio_clip_ratio")

@@ -25,6 +25,7 @@ import json
 from .rules import (
     AggregateRule,
     AudioDecodeRule,
+    ImageDecodeRule,
     AudioQcRule,
     CalibratedRangeRule,
     CategoricalDriftRule,
@@ -85,6 +86,7 @@ RULE_TYPES = {
     "cat_drift": CategoricalDriftRule,
     "entropy": EntropyRule,
     "audio_decode": AudioDecodeRule,
+    "image_decode": ImageDecodeRule,
     "audio_qc": AudioQcRule,
     "transcript": TranscriptRule,
     "transcript_distance": TranscriptDistanceRule,

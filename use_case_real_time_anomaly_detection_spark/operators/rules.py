@@ -823,6 +823,29 @@ class AudioDecodeRule(Rule):
 
 
 @dataclass(frozen=True)
+class ImageDecodeRule(Rule):
+    """Image payloads must decode (real PNG/BMP codecs —
+    functions/multimodal.py png_decode/bmp_decode, stdlib zlib + numpy)
+    and the decoded dimensions must match the declared width/height
+    metadata columns when given.
+
+    The image twin of AudioDecodeRule: same fused single-pass shape
+    (zero-copy mapInArrow via with_image_checks, payload column dropped
+    after the pass so everything downstream flows narrow rows), same
+    violation taxonomy (undecodable payload OR decoded-vs-declared
+    mismatch). Decode failures carry the decoder's stable error-message
+    taxonomy in the note.
+    """
+
+    bytes_column: str = "payload"
+    codec_column: str = "codec"
+    # declared-metadata cross-checks; None disables the dimension check
+    width_column: str | None = "width"
+    height_column: str | None = "height"
+    detector: str = "image-decode"
+
+
+@dataclass(frozen=True)
 class AudioQcRule(Rule):
     """Decoded-signal QC fences: hard-clipping fraction, dead-air
     fraction, and RMS level bounds on the DECODED waveform.

@@ -731,6 +731,149 @@ def audio_features_pandas(spec: SynthSpec = SynthSpec()) -> pd.DataFrame:
     return out.sort_values("clip_id", kind="mergesort").reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# Image fixture — REAL PNG/BMP payload bytes (functions/multimodal.py
+# codecs) with prescribed violations, same grammar as the audio clips:
+# content is a pure function of (partition, seq), defects land at fixed
+# seq moduli so a correct decoder MUST flag exactly those items.
+# ---------------------------------------------------------------------------
+
+IMG_W, IMG_H = 16, 12
+_IMG_TRUNC = (17, 5)  # seq % 17 == 5  → payload truncated (decode fails)
+_IMG_DIMS = (23, 7)  # seq % 23 == 7  → declared dims off by +2 (mismatch)
+_IMG_BADCODEC = (29, 11)  # seq % 29 == 11 → declared codec jpeg (unsupported)
+
+
+def image_pixels(p: int, seq: int) -> np.ndarray:
+    """Deterministic pixel grid for one item: index-arithmetic gradients,
+    gray every 5th item, RGB otherwise — pre-encode ground truth for the
+    round-trip features (the codecs are lossless, so decoded mean MUST
+    equal this array's mean bit-for-bit)."""
+    c = 1 if seq % 5 == 2 else 3
+    yy = np.arange(IMG_H)[:, None, None]
+    xx = np.arange(IMG_W)[None, :, None]
+    ch = np.arange(c)[None, None, :]
+    return ((xx * 7 + yy * 13 + ch * 29 + p * 31 + seq * 17) % 256).astype(np.uint8)
+
+
+def images_pandas(spec: SynthSpec = SynthSpec()) -> pd.DataFrame:
+    """The image table: (partition_key, item_id, seq, payload, codec,
+    width, height) with REAL encoded bytes. RGB items alternate PNG/BMP;
+    PNG rows cycle the scanline filter type (0–4) so the fixture
+    exercises every decoder unfilter branch, not just the fast path."""
+    from ..functions.multimodal import bmp_encode, png_encode
+
+    rows = []
+    for p in range(spec.partitions):
+        for seq in range(spec.clips_per_partition):
+            img = image_pixels(p, seq)
+            use_bmp = seq % 4 == 3 and img.shape[2] == 3
+            codec = "bmp" if use_bmp else "png"
+            payload = (
+                bmp_encode(img) if use_bmp else png_encode(img, filter_type=seq % 5)
+            )
+            w, h = IMG_W, IMG_H
+            if _hit(seq, _IMG_TRUNC):
+                payload = payload[: max(16, int(len(payload) * 0.6))]
+            if _hit(seq, _IMG_DIMS):
+                w, h = w + 2, h + 2
+            if _hit(seq, _IMG_BADCODEC):
+                codec = "jpeg"
+            rows.append(
+                {
+                    "partition_key": partition_tag(p),
+                    "item_id": make_clip_id(p, seq),
+                    "seq": seq,
+                    "payload": payload,
+                    "codec": codec,
+                    "width": w,
+                    "height": h,
+                }
+            )
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "partition_key", "item_id", "seq", "payload", "codec", "width", "height",
+        ],
+    )
+    out["seq"] = out["seq"].astype("int64")
+    out["width"] = out["width"].astype("int32")
+    out["height"] = out["height"].astype("int32")
+    return out
+
+
+def image_features_expected_pandas(spec: SynthSpec = SynthSpec()) -> pd.DataFrame:
+    """Oracle twin of the image_features query: the SAME check_image
+    kernel over the SAME payload bytes (the audio_violations_pandas
+    discipline ⇒ bit-identical feature doubles and error strings).
+    Clean rows additionally ASSERT the independent pre-encode ground
+    truth — dims and mean must round-trip the codec exactly — so the
+    twin is not a tautology: a lossy or dimension-mangling decoder
+    fails fixture generation itself."""
+    from ..functions.multimodal import check_image
+
+    imgs = images_pandas(spec)
+    rows = []
+    for row in imgs.itertuples(index=False):
+        ok, err, w, h, c, luma = check_image(row.payload, row.codec)
+        seq = int(row.seq)
+        p = int(row.partition_key[1:])
+        if ok:
+            truth = image_pixels(p, seq)
+            assert (w, h, c) == (truth.shape[1], truth.shape[0], truth.shape[2])
+            assert luma == float(truth.mean())
+        rows.append(
+            {
+                "item_id": row.item_id,
+                "width": w,
+                "height": h,
+                "channels": c,
+                "mean_luma": luma,
+                "decode_error": err,
+            }
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=["item_id", "width", "height", "channels", "mean_luma", "decode_error"],
+    )
+    for col in ("width", "height", "channels"):
+        out[col] = out[col].astype("Int32")
+    return out
+
+
+def image_violations_pandas(
+    spec: SynthSpec = SynthSpec(), *, detector: str = "image-decode"
+) -> pd.DataFrame:
+    """Expected ImageDecodeRule violation rows (VIOLATION_COLUMNS shape):
+    decode failure OR decoded-vs-declared dimension mismatch, with the
+    compiler's exact observed/note formatting."""
+    from ..functions.multimodal import check_image
+
+    imgs = images_pandas(spec)
+    rows = []
+    for row in imgs.itertuples(index=False):
+        ok, err, w, h, _c, _luma = check_image(row.payload, row.codec)
+        mismatch = ok and (w != int(row.width) or h != int(row.height))
+        if ok and not mismatch:
+            continue
+        decoded = f"{w if w is not None else '?'}x{h if h is not None else '?'}"
+        rows.append(
+            {
+                "partition_key": row.partition_key,
+                "clip_id": row.item_id,
+                "detector": detector,
+                "observed": decoded,
+                "note": (
+                    f"decoded:{decoded}| declared:{int(row.width)}x{int(row.height)}"
+                    f"| decode_error:{err or ''}"
+                ),
+            }
+        )
+    return pd.DataFrame(
+        rows, columns=["partition_key", "clip_id", "detector", "observed", "note"]
+    ).reset_index(drop=True)
+
+
 def generate_clips(spark: SparkSession, spec: SynthSpec = SynthSpec()) -> DataFrame:
     """Distributed clip generation: one task per partition tag.
 
