@@ -808,9 +808,15 @@ def _q_image_decode_check(spark, sf):
 
 
 def _q_embed_neardup(spark, sf):
+    """Exactness baseline with the corpus-size gate engaged: ≤10k
+    vectors run the exact distributed block-GEMM (the sf0.01 oracle
+    path); above it neardup_pairs auto-switches to the banded-LSH +
+    exact-verify scale path (the round-4 sf1 probe flagged the exact
+    GEMM's inherent O(N²) growth — the gate is the documented policy,
+    demonstrated live at the 10× probe scale)."""
     from use_case_real_time_anomaly_detection_spark.functions.similarity import neardup_pairs
 
-    return neardup_pairs(_emb(spark, sf), threshold=0.4)
+    return neardup_pairs(_emb(spark, sf), threshold=0.4, max_exact_rows=10_000)
 
 
 def _q_embed_neardup_lsh(spark, sf):

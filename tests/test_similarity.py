@@ -187,3 +187,41 @@ def test_neardup_lsh_banded_recall(spark):
     assert lsh <= brute  # exact verify: no false positives
     recall = len(lsh & brute) / len(brute)
     assert recall >= 0.95, f"banded LSH recall = {recall}"
+
+
+def test_neardup_exact_gate_switches_to_lsh(spark):
+    # above max_exact_rows the exact GEMM is declined: default switches
+    # to the LSH+verify scale path (schema-identical, pairs subset of
+    # exact); on_exceed='error' raises with a pointer
+    import warnings
+
+    import pytest
+
+    from use_case_real_time_anomaly_detection_spark.functions.similarity import (
+        neardup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 16))
+    rows = []
+    vid = 0
+    for i in range(20):
+        rows.append((vid, [float(x) for x in base[i]]))
+        vid += 1
+        noisy = base[i] + rng.normal(scale=0.05, size=16)
+        rows.append((vid, [float(x) for x in noisy]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r.a_id, r.b_id)
+        for r in neardup_pairs(emb, threshold=0.9, max_exact_rows=None).collect()
+    }
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        gated = neardup_pairs(emb, threshold=0.9, max_exact_rows=10)
+        assert any("switching to neardup_pairs_lsh" in str(x.message) for x in w)
+    got = {(r.a_id, r.b_id) for r in gated.collect()}
+    assert got <= exact
+    assert len(got) >= 0.9 * len(exact)  # recall bar
+    with pytest.raises(ValueError, match="max_exact_rows"):
+        neardup_pairs(emb, threshold=0.9, max_exact_rows=10, on_exceed="error")

@@ -206,6 +206,8 @@ def neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int = 8,
+    max_exact_rows: int | None = 1_000_000,
+    on_exceed: str = "lsh",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a, b) with a < b and
     round(cosine, 4) >= threshold. Exact (no pruning).
@@ -235,9 +237,46 @@ def neardup_pairs(
     baseline and stays correct/distributed at any N that fits the FLOP
     budget. Comparison runs on the ROUNDED cosine so last-ulp float
     noise cannot flip a boundary pair.
+
+    ``max_exact_rows`` is the corpus-size gate for exactly that reason
+    (the lone >15× sf1 growth flag of the round-4 scale probe): above
+    it the O(N²·d) exact GEMM is declined — ``on_exceed='lsh'``
+    (default) auto-switches to the banded-LSH + exact-verify scale path
+    (same output schema, pairs ⊆ exact, recall ≥0.95 test-measured);
+    ``on_exceed='error'`` raises with a pointer instead. The gate costs
+    one id-only count (column-pruned scan). ``max_exact_rows=None``
+    disables the gate (test-scale parity baselines).
     """
+    import warnings
+
     import numpy as np
     import pandas as pd
+
+    if max_exact_rows is not None:
+        n = emb.select(id_col).count()
+        if n > max_exact_rows:
+            if on_exceed == "lsh":
+                warnings.warn(
+                    f"neardup_pairs: {n} rows > max_exact_rows="
+                    f"{max_exact_rows}; switching to neardup_pairs_lsh "
+                    "(banded sign-LSH candidates + exact verify). Pass "
+                    "max_exact_rows=None to force the exact O(N^2) GEMM.",
+                    stacklevel=2,
+                )
+                return neardup_pairs_lsh(
+                    emb,
+                    threshold=threshold,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                    n_planes=6,
+                    bands=8,
+                )
+            raise ValueError(
+                f"neardup_pairs: {n} rows exceed max_exact_rows="
+                f"{max_exact_rows}; the exact all-pairs GEMM is O(N^2*d). "
+                "Use neardup_pairs_lsh (scale path) or pass "
+                "max_exact_rows=None to force the exact scan."
+            )
 
     tagged = emb.select(
         F.col(id_col).alias("id"),
