@@ -230,9 +230,16 @@ def drift_scores(
 
     binned = src.select(
         F.col(partition_col).alias("pk"),
-        F.least(
-            F.lit(bins - 1),
-            F.floor((F.col(column).cast("double") - F.lit(lo)) / F.lit(width)),
+        # clamp BOTH ends: callers may pass `bounds` from an external
+        # source (profile state, column stats) that is narrower than the
+        # live data — without the floor-at-0 clamp such rows would land
+        # in negative bins and silently vanish at the dense-grid join
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(bins - 1),
+                F.floor((F.col(column).cast("double") - F.lit(lo)) / F.lit(width)),
+            ),
         ).alias("bin"),
     )
     # pin the histogram: ≤ partitions × bins rows, but consumed by FIVE
@@ -733,3 +740,40 @@ def drift_from_states(states: DataFrame, column: str) -> DataFrame:
         )
         .select(F.col("pk").alias("partition_key"), "psi", "ks", "w1")
     )
+
+
+def bounds_from_states(states: DataFrame, columns: list[str]) -> dict:
+    """Global [min, max] per numeric column from the slim profile-state
+    table — ZERO corpus IO.
+
+    The drift bin-edge agg (compile_rules' one driver collect over all
+    DriftRule columns) is the only per-run full-corpus scan a
+    DriftRule-carrying ruleset adds; at 10^12 rows it is avoidable
+    whenever the checkpointed state table (maintained per validated
+    partition by every runner invocation — CheckpointStore.
+    record_profile) covers the table: min over the states' ``{c}__min``
+    / max over ``{c}__max`` IS the exact corpus min/max (the states are
+    exact mergeable moments, not sketches). One agg over
+    O(partitions) rows serves every drift column at once.
+
+    Columns without state fields, or whose state min/max are NULL
+    (never profiled / all-NULL column), are omitted from the result —
+    the caller falls back to the corpus agg for those (cold start).
+    """
+    have = set(states.columns)
+    usable = [c for c in columns if f"{c}__min" in have and f"{c}__max" in have]
+    if not usable:
+        return {}
+    aggs = []
+    for c in usable:
+        aggs += [
+            F.min(f"{c}__min").alias(f"__lo_{c}"),
+            F.max(f"{c}__max").alias(f"__hi_{c}"),
+        ]
+    row = states.agg(*aggs).collect()[0]
+    out = {}
+    for c in usable:
+        lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
+        if lo is not None and hi is not None:
+            out[c] = (float(lo), float(hi))
+    return out

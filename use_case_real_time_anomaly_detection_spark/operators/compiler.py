@@ -214,8 +214,16 @@ def compile_rules(
     audio_check_columns: DataFrame | None = None,
     window_chunk_size: int | None = None,
     exclusion_windows: DataFrame | None = None,
+    drift_bounds: dict | None = None,
 ) -> CompiledPlan:
     """Compile ``rules`` over ``df`` into a single fused plan.
+
+    ``drift_bounds`` — optional {column: (lo, hi)} bin-edge bounds for
+    DriftRule columns, typically served from the checkpointed profile
+    state table (functions/stats.bounds_from_states): when a drift
+    column is covered the per-run corpus min/max agg is skipped for it
+    (the one extra full scan a DriftRule otherwise costs); uncovered
+    columns fall back to the agg (cold start).
 
     ``df`` must already expose ``partition_col`` (the verdict axis) and,
     for sequence rules, ``seq_col`` (monotone within a partition — for the
@@ -1348,25 +1356,36 @@ def compile_rules(
     # ---- drift (KS + PSI over binned histograms) -------------------------
     drift_rules = [r for r in rules if isinstance(r, DriftRule)]
     if drift_rules:
-        # ONE driver agg fixes bin edges for every drift column (vs one
-        # full-scan collect per rule)
-        bounds_row = df.agg(
-            *[
-                a
-                for r in drift_rules
-                for a in (
-                    F.min(r.column).alias(f"__lo_{r.column}"),
-                    F.max(r.column).alias(f"__hi_{r.column}"),
-                )
-            ]
-        ).collect()[0]
+        bounds_map = dict(drift_bounds or {})
+        missing = list(
+            dict.fromkeys(
+                r.column for r in drift_rules if r.column not in bounds_map
+            )
+        )
+        if missing:
+            # ONE driver agg fixes bin edges for every UNCOVERED drift
+            # column (vs one full-scan collect per rule); columns served
+            # by drift_bounds (profile state / column stats) skip the
+            # corpus scan entirely
+            bounds_row = df.agg(
+                *[
+                    a
+                    for c in missing
+                    for a in (
+                        F.min(c).alias(f"__lo_{c}"),
+                        F.max(c).alias(f"__hi_{c}"),
+                    )
+                ]
+            ).collect()[0]
+            for c in missing:
+                bounds_map[c] = (bounds_row[f"__lo_{c}"], bounds_row[f"__hi_{c}"])
     for r in drift_rules:
         fused_parts.append(
             _drift_violations(
                 df,
                 r,
                 partition_col=partition_col,
-                bounds=(bounds_row[f"__lo_{r.column}"], bounds_row[f"__hi_{r.column}"]),
+                bounds=bounds_map[r.column],
             )
         )
         if r.detector not in detectors:

@@ -79,6 +79,7 @@ class ValidationEngine:
         max_violations_per_group: int | None = None,
         exclusion_windows: DataFrame | None = None,
         warn_detectors: tuple | list | None = None,
+        drift_bounds: dict | None = None,
     ) -> RunResult:
         """Compile + evaluate ``rules`` over ``df`` (lazy: returned
         DataFrames trigger execution on action).
@@ -160,6 +161,7 @@ class ValidationEngine:
             refs=refs,
             window_chunk_size=window_chunk_size,
             exclusion_windows=exclusion_windows,
+            drift_bounds=drift_bounds,
         )
 
         # composite-key dedup ≙ dedup_log.pipe:4-6 (FIXTURES.md §3).

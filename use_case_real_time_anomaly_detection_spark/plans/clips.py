@@ -74,6 +74,7 @@ def validate_clips(
     exclusion_windows: DataFrame | None = None,
     extra_refs: dict[str, DataFrame] | None = None,
     warn_detectors: tuple | list | None = None,
+    drift_bounds: dict | None = None,
 ) -> RunResult:
     """Run the full rule set over a clip table (any source).
 
@@ -110,6 +111,7 @@ def validate_clips(
         max_violations_per_group=max_violations_per_group,
         exclusion_windows=exclusion_windows,
         warn_detectors=warn_detectors,
+        drift_bounds=drift_bounds,
     )
 
 

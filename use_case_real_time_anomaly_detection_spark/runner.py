@@ -206,6 +206,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "ruleset abort at config time, before any job runs",
     )
     p.add_argument("--no-resume", action="store_true", help="revalidate everything")
+    p.add_argument(
+        "--no-state-bounds",
+        action="store_true",
+        help="always derive drift bin bounds from a corpus min/max scan "
+        "instead of the checkpointed profile-state table",
+    )
     p.add_argument("--run-id", default=None)
     p.add_argument(
         "--master",
@@ -495,6 +501,37 @@ def main(argv: list[str] | None = None) -> int:
         clips = hash_sample(
             clips, id_col="clip_id", fraction=args.sample, salt="validate"
         )
+    # drift bin bounds from the checkpointed profile-state table when it
+    # covers every partition of this table — the corpus min/max agg (the
+    # one extra full-column scan a DriftRule-carrying ruleset adds per
+    # run) then never happens; cold start / partial coverage falls back
+    # per column inside compile_rules. Coverage is checked against the
+    # table's partition set (a clip_id-pruned distinct here; free catalog
+    # metadata on Iceberg).
+    drift_bounds = None
+    if not args.no_state_bounds and args.sample is None:
+        from .operators.rules import DriftRule as _DriftRule
+
+        drift_cols = [r.column for r in rules if isinstance(r, _DriftRule)]
+        if drift_cols and store.catalog.exists("profile_state"):
+            from .functions.stats import bounds_from_states
+            from .sources.synth import with_partition_cols as _wpc
+
+            states = store.catalog.read("profile_state").drop("pk")
+            state_parts = {
+                r["partition_key"]
+                for r in states.select("partition_key").distinct().collect()
+            }
+            table_parts = {
+                r["partition_key"]
+                for r in _wpc(clips)
+                .select("partition_key")
+                .distinct()
+                .collect()
+            }
+            if table_parts <= state_parts:
+                drift_bounds = bounds_from_states(states, drift_cols) or None
+
     t0 = time.time()
     result = validate_clips(
         clips,
@@ -513,6 +550,7 @@ def main(argv: list[str] | None = None) -> int:
         ),
         extra_refs=extra_refs,
         warn_detectors=warn or None,
+        drift_bounds=drift_bounds,
     )
     if args.sample is not None:
         # smoke runs are NON-AUTHORITATIVE: verdicts recorded for
