@@ -3562,12 +3562,21 @@ cand AS (
   SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
 ),
-sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+gids AS (
+  -- dictionary-encoded grams, the EXACT 60-bit construction of
+  -- functions/dedup.hashed_shingles (hex digits 17-32 of the same md5:
+  -- hi*2^28 + lo%2^28) — the Spark verify joins on gid, so the oracle
+  -- must count/join the identical integers
+  SELECT DISTINCT doc_id,
+         {_hexslice_sql('md5(gram)', 17)} * 268435456 + ({_hexslice_sql('md5(gram)', 25)} % 268435456) AS gid
+  FROM grams
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM gids GROUP BY doc_id),
 inter AS (
   SELECT c.id_a, c.id_b, count(*) AS overlap
   FROM cand c
-  JOIN grams ta ON ta.doc_id = c.id_a
-  JOIN grams tb ON tb.doc_id = c.id_b AND tb.gram = ta.gram
+  JOIN gids ta ON ta.doc_id = c.id_a
+  JOIN gids tb ON tb.doc_id = c.id_b AND tb.gid = ta.gid
   GROUP BY c.id_a, c.id_b
 )
 SELECT i.id_a, i.id_b,
