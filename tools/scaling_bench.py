@@ -45,20 +45,35 @@ PAIRS = ((4, 16), (8, 32))
 
 
 def shard_files(data_dir: str, nshards: int) -> list[list[str]]:
-    """Deterministic size-balanced sharding (greedy bin-packing): codec
-    mix makes files differ ~2x in rows/byte, so round-robin would skew."""
+    """Deterministic cost-balanced sharding (greedy bin-packing).
+
+    Round-4 used bytes alone; the mu-law/pcm16 codec mix packs ~2x the
+    CLIPS per byte into mu-law files, so byte-balanced shards are
+    row-skewed and the slowest executor ran ~18% over the fastest
+    (per_executor_seconds 52-61 s) — which the max() in the efficiency
+    formula pays in full. The job's cost is decode (∝ bytes) plus
+    window/agg work (∝ rows), so balance on an equal blend of the two
+    (each normalized to its total); rows come from parquet footers
+    (metadata only, no data read)."""
     import glob
 
-    files = sorted(
-        glob.glob(f"{data_dir}/clips/part-*.parquet"),
-        key=lambda f: -os.path.getsize(f),
-    )
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(f"{data_dir}/clips/part-*.parquet"))
+    stats = {
+        f: (os.path.getsize(f), pq.ParquetFile(f).metadata.num_rows)
+        for f in files
+    }
+    tot_b = sum(b for b, _ in stats.values()) or 1
+    tot_r = sum(r for _, r in stats.values()) or 1
+    cost = {f: b / tot_b + r / tot_r for f, (b, r) in stats.items()}
+    ordered = sorted(files, key=lambda f: -cost[f])
     shards: list[list[str]] = [[] for _ in range(nshards)]
-    loads = [0] * nshards
-    for f in files:
+    loads = [0.0] * nshards
+    for f in ordered:
         k = loads.index(min(loads))
         shards[k].append(f)
-        loads[k] += os.path.getsize(f)
+        loads[k] += cost[f]
     return shards
 
 
@@ -151,6 +166,11 @@ def main() -> None:
         worker(int(sys.argv[2]), sys.argv[3], *extra)
         return
 
+    # --proc-only: re-measure ONLY the 4-independent-JVMs rendition,
+    # merging into the recorded level results (BENCH/scaling.json) — the
+    # proc pair is the cheapest phase and the one under active tuning
+    proc_only = len(sys.argv) > 1 and sys.argv[1] == "--proc-only"
+
     if not os.path.exists(f"{DATA_DIR}/manifest/_SUCCESS"):
         from use_case_real_time_anomaly_detection_spark.session import get_spark
         from use_case_real_time_anomaly_detection_spark.sources.synth import (
@@ -171,6 +191,40 @@ def main() -> None:
             f"{DATA_DIR}/manifest"
         )
         spark.stop()
+
+    if proc_only:
+        with open("/root/repo/BENCH/scaling.json") as f:
+            prev = json.load(f)
+        results = {
+            4: {"seconds": prev["proc_pair"]["seconds_N"], "clips": prev["clips"]}
+        }
+        for p in prev["pairs"]:
+            results[p["N_cores"]] = {"seconds": p["seconds_N"], "clips": prev["clips"]}
+            results[p["4N_cores"]] = {"seconds": p["seconds_4N"], "clips": prev["clips"]}
+        samples = {int(k): v for k, v in prev["samples_seconds"].items()}
+        levels = sorted(results)
+        reps = {int(k): v for k, v in prev["reps"].items()}
+        # re-measure the N side too (same code version on both sides of
+        # the ratio — never compare a fresh 4N against a stale N; the
+        # recorded N is discarded, not min'd with)
+        results[4] = {"seconds": float("inf"), "clips": prev["clips"]}
+        n_samples = []
+        for _ in range(3):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", "4", DATA_DIR],
+                capture_output=True, text=True, cwd="/root/repo", timeout=1800,
+            )
+            lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            if not lines:
+                sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
+                raise RuntimeError("worker local[4] produced no result line")
+            r = json.loads(lines[-1])
+            n_samples.append(round(r["seconds"], 2))
+            results[4] = {"seconds": min(results[4]["seconds"], r["seconds"]),
+                          "clips": r["clips"]}
+        samples[4] = n_samples
+        _run_proc_pair_and_finish(results, samples, levels, reps, prev)
+        return
 
     levels = sorted({c for pair in PAIRS for c in pair})
     # Shared-VM noise is the dominant measurement error at EVERY level
@@ -206,33 +260,50 @@ def main() -> None:
                 best = r
         results[cpus] = best
 
+    _run_proc_pair_and_finish(results, samples, levels, reps, None)
+
+
+def _run_proc_pair_and_finish(results, samples, levels, reps, prev) -> None:
     # --- process-executor pair: 1 JVM "executor" (local[4], all data) vs
-    # 4 concurrent JVM executors (local[4] each, size-balanced shards) —
-    # the closest sandbox rendition of "N executors -> 4N executors"
-    procs = [
-        subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--worker", "4",
-             DATA_DIR, str(i), "4"],
-            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
-            text=True, cwd="/root/repo",
-        )
-        for i in range(4)
-    ]
-    proc_secs = []
-    for pr in procs:
-        out_line = [l for l in pr.communicate()[0].splitlines() if l.startswith("{")][-1]
-        proc_secs.append(json.loads(out_line)["seconds"])
+    # 4 concurrent JVM executors (local[4] each, cost-balanced shards) —
+    # the closest sandbox rendition of "N executors -> 4N executors".
+    # Round-5: 3 reps (the r4 run had one), keeping the rep whose SLOWEST
+    # executor is fastest — same max()-inside-rep honesty (a job is done
+    # when its last executor is), min-across-reps steady-state like every
+    # other level; all per-executor samples recorded.
+    PROC_REPS = 3
+    rep_secs: list[list[float]] = []
+    for _ in range(PROC_REPS):
+        procs = [
+            subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--worker", "4",
+                 DATA_DIR, str(i), "4"],
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                text=True, cwd="/root/repo",
+            )
+            for i in range(4)
+        ]
+        proc_secs = []
+        for pr in procs:
+            out_line = [
+                l for l in pr.communicate()[0].splitlines() if l.startswith("{")
+            ][-1]
+            proc_secs.append(json.loads(out_line)["seconds"])
+        rep_secs.append(proc_secs)
+    best_rep = min(rep_secs, key=max)
 
     n = results[levels[0]]["clips"]
     thr = {c: n / results[c]["seconds"] for c in levels}
     proc_pair = {
         "N": "1 executor JVM x local[4], all data",
         "4N": "4 executor JVMs x local[4], 1/4 of the data each",
+        "reps": PROC_REPS,
         "seconds_N": round(results[4]["seconds"], 2),
-        "seconds_4N": round(max(proc_secs), 2),
-        "per_executor_seconds": [round(x, 2) for x in proc_secs],
+        "seconds_4N": round(max(best_rep), 2),
+        "per_executor_seconds": [round(x, 2) for x in best_rep],
+        "per_rep_seconds": [[round(x, 2) for x in r] for r in rep_secs],
         "scaling_efficiency": round(
-            results[4]["seconds"] / (4 * max(proc_secs)), 3
+            results[4]["seconds"] / (4 * max(best_rep)), 3
         ),
     }
     pairs = [
