@@ -368,6 +368,13 @@ noise). Three renditions of "N -> 4N":
 Peak throughput: **{s['peak_clips_per_sec']:,.0f} clips validated/sec**
 (all detectors + audio decode + profiling).
 
+Correctness companion: `PARITY_r05.json` at the repo root records the
+full registered query surface (101/101 ok, every query oracle-checked
+against DuckDB at sf0.01) — produced by
+`python tools/parity_check.py --json PARITY_r05.json` each session, so
+the driver's rotating 50-query CORRECTNESS window never hides the rest
+of the surface.
+
 Headline: the 4 → 16 pair measures **{s['pairs'][0]['scaling_efficiency']}**
 — {"MEETING" if s['pairs'][0]['scaling_efficiency'] >= 0.8 else "below"} the
 north rule's >= 0.8 bar. The two renditions that push past ~16 concurrent

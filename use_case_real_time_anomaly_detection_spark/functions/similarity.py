@@ -390,15 +390,19 @@ def neardup_pairs_lsh(
             F.lit(0.0).alias("cosine"),
         ).filter(F.lit(False))
 
-    # exact-collapse: one row per distinct vector value (slim frame)
+    # exact-collapse: one row per distinct vector value (slim frame).
+    # Membership comes out of the SAME groupBy (collect_list) — joining
+    # emb back on the array-typed vector key would plan as a
+    # SortMergeJoin (array keys aren't hash-join-able), and one groupBy
+    # is a strictly smaller plan anyway.
     groups = (
         emb.groupBy(F.col(vec_col).alias("__v"))
-        .agg(F.min(id_col).alias("__rep"), F.count(F.lit(1)).alias("__sz"))
+        .agg(F.min(id_col).alias("__rep"), F.collect_list(id_col).alias("__members"))
         .localCheckpoint()
     )
-    membership = emb.select(F.col(id_col).alias("__m"), F.col(vec_col).alias("__v")).join(
-        groups.select("__v", "__rep"), "__v"
-    ).select("__rep", "__m").localCheckpoint()
+    membership = groups.select(
+        "__rep", F.explode("__members").alias("__m")
+    ).localCheckpoint()
     emb = groups.select(F.col("__rep").alias(id_col), F.col("__v").alias(vec_col))
 
     bucket_arr = F.array(
