@@ -60,6 +60,8 @@ HEADLINE = [
     "gopher_quality",      # intra-doc repetition: tagged single explode (r4)
     "seasonal_check",      # phase-grouped baselines on the shared shuffle (r4)
     "cat_drift_check",     # categorical-mix PSI vs median-share consensus (r4)
+    "image_features_png",  # REAL PNG/BMP decode in one mapInPandas pass (r5)
+    "image_decode_check",  # fused ImageDecodeRule over real bytes (r5)
 ]
 
 CLIPS_SPEC = dict(partitions=32, clips_per_partition=1000, sr_hz=8000)
