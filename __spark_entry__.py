@@ -1383,6 +1383,94 @@ def _q_entropy_check(spark, sf):
     return plan.violations
 
 
+def _q_benford_check(spark, sf):
+    """First-digit conformity (operators/rules.BenfordRule, Nigrini MAD
+    test): per-partition first-significant-digit shares of dur_ms vs
+    Benford's log10(1+1/d), MAD fence 0.18. Flags exactly c002 (the
+    sr-flip partition, MAD ≈ 0.205 — its transcoded durations lost the
+    organic magnitude spread) while c000/c001 sit ≈ 0.151 and c003 is
+    skipped by min_count (90 usable rows < 100 — digit shares over a
+    small sample are noise, not evidence). ONE conditional-count
+    groupBy; the digit comes off the string representation (immune to
+    the log10(1000) = 2.999... floor bug), and the MAD is a fixed
+    left-to-right IEEE term sequence the oracle replays bit-for-bit."""
+    from use_case_real_time_anomaly_detection_spark.operators.compiler import (
+        compile_rules,
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        BenfordRule,
+    )
+
+    _ensure_clips_oracle_files()
+    meta = spark.read.parquet(_CLIPS_META).withColumn(
+        "partition_key", F.substring("clip_id", 1, 4)
+    )
+    plan = compile_rules(
+        meta, [BenfordRule("dur_ms", max_mad=0.18, min_count=100)]
+    )
+    return plan.violations
+
+
+def _q_volume_check(spark, sf):
+    """Delivery-volume fences (operators/rules.VolumeRule): each
+    partition's row count must sit within [median/1.5, median*1.5] of
+    the run's median partition count. Flags exactly c003 (90 rows vs
+    median 150 — the stopped partition arrived truncated; every row it
+    DID deliver passes every other check). Compiles over the same
+    tiny per-partition count frame the verdict grid already needs."""
+    from use_case_real_time_anomaly_detection_spark.operators.compiler import (
+        compile_rules,
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        VolumeRule,
+    )
+
+    _ensure_clips_oracle_files()
+    meta = spark.read.parquet(_CLIPS_META).withColumn(
+        "partition_key", F.substring("clip_id", 1, 4)
+    )
+    plan = compile_rules(meta, [VolumeRule(max_factor=1.5)])
+    return plan.violations
+
+
+def _q_reconcile_check(spark, sf):
+    """Control-total reconciliation (operators/rules.ReconciliationRule):
+    per-partition clip COUNT in the corpus vs the manifest
+    (full-outer over the two tiny per-partition aggregates; a side
+    absent reconciles against 0). The fixture's planted orphans/missing
+    rows put each partition 2-3 keys apart; abs_tolerance 2.5 flags
+    exactly c000/c001/c002 (|150-147| = 3 > 2.5) and accepts c003
+    (|90-88| = 2) — the aggregate sibling of RefIntegrityRule +
+    CompletenessRule, which see the key SETS but not the totals."""
+    from use_case_real_time_anomaly_detection_spark.operators.compiler import (
+        compile_rules,
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        ReconciliationRule,
+    )
+
+    _ensure_clips_oracle_files()
+    meta = spark.read.parquet(_CLIPS_META).withColumn(
+        "partition_key", F.substring("clip_id", 1, 4)
+    )
+    man = spark.read.parquet(_CLIPS_MAN).withColumn(
+        "partition_key", F.substring("clip_id", 1, 4)
+    )
+    plan = compile_rules(
+        meta,
+        [
+            ReconciliationRule(
+                "clip_id",
+                agg="count",
+                ref_table="clip_manifest",
+                abs_tolerance=2.5,
+            )
+        ],
+        refs={"clip_manifest": man},
+    )
+    return plan.violations
+
+
 def _q_corr_profile(spark, sf):
     """Cross-column correlation profiling (functions/stats.corr_profile):
     per-partition Pearson r for (dur_ms, transcript length) and
@@ -2411,6 +2499,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotate to the tail — so the union of official records covers
     # every registered query.
     return {
+        "benford_check": _q_benford_check,
+        "volume_check": _q_volume_check,
+        "reconcile_check": _q_reconcile_check,
         "monotonic_check": _q_monotonic_check,
         "seasonal_check": _q_seasonal_check,
         "cat_drift_check": _q_cat_drift_check,
@@ -3115,6 +3206,79 @@ SELECT pk AS partition_key,
        'entropy:' || {_fmt_sql("entropy", 4)} AS observed,
        'column:sr_hz min_entropy:0.02 max_entropy:0.6' AS note
 FROM ent WHERE entropy < 0.02 OR entropy > 0.6
+"""
+
+
+# ≙ _q_benford_check: identical string-path first-digit extraction,
+# identical left-to-right MAD term order (one IEEE op sequence), and the
+# SAME python-repr Benford expectation literals embedded on both sides —
+# every double matches bit-for-bit.
+_BENFORD_E = [__import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)]
+_SQL_BENFORD_CHECK = f"""
+WITH src AS (
+  SELECT substring(clip_id, 1, 4) AS pk,
+         substring(regexp_replace(
+             CAST(ABS(CAST(dur_ms AS DOUBLE)) AS VARCHAR),
+             '[^1-9]', '', 'g'), 1, 1) AS d
+  FROM read_parquet('{_CLIPS_META}/*.parquet')
+  WHERE dur_ms IS NOT NULL AND ABS(CAST(dur_ms AS DOUBLE)) > 0
+), c AS (
+  SELECT pk, count(*) AS n,
+         {", ".join(f"sum(CASE WHEN d = '{i}' THEN 1 ELSE 0 END) AS n{i}" for i in range(1, 10))}
+  FROM src GROUP BY pk
+), m AS (
+  SELECT pk, n,
+         ({" + ".join(f"ABS(CAST(n{d} AS DOUBLE) / CAST(n AS DOUBLE) - {_BENFORD_E[d-1]!r})" for d in range(1, 10))}) / 9.0 AS mad
+  FROM c
+)
+SELECT pk AS partition_key,
+       CAST(NULL AS VARCHAR) AS clip_id,
+       'benford-dur_ms' AS detector,
+       'mad:' || {{fmt_mad}} AS observed,
+       'column:dur_ms max_mad:0.18 min_count:100' AS note
+FROM m WHERE n >= 100 AND mad > 0.18
+""".replace("{fmt_mad}", _fmt_sql("mad", 4))
+
+
+# ≙ _q_volume_check: per-partition counts, median via quantile_cont
+# (both engines interpolate), band [median/1.5, median*1.5].
+_SQL_VOLUME_CHECK = f"""
+WITH c AS (
+  SELECT substring(clip_id, 1, 4) AS pk, count(*) AS n
+  FROM read_parquet('{_CLIPS_META}/*.parquet') GROUP BY 1
+), med AS (SELECT quantile_cont(n, 0.5) AS m FROM c)
+SELECT pk AS partition_key,
+       CAST(NULL AS VARCHAR) AS clip_id,
+       'volume' AS detector,
+       'rows:' || CAST(n AS VARCHAR) AS observed,
+       'max_factor:1.5' AS note
+FROM c, med WHERE n < m / 1.5 OR n > m * 1.5
+"""
+
+
+# ≙ _q_reconcile_check: two per-partition counts, FULL OUTER join with
+# COALESCE 0, |actual − expected| > 2.5.
+_SQL_RECONCILE_CHECK = f"""
+WITH a AS (
+  SELECT substring(clip_id, 1, 4) AS pk,
+         CAST(count(clip_id) AS DOUBLE) AS actual
+  FROM read_parquet('{_CLIPS_META}/*.parquet') GROUP BY 1
+), e AS (
+  SELECT substring(clip_id, 1, 4) AS pk,
+         CAST(count(clip_id) AS DOUBLE) AS expected
+  FROM read_parquet('{_CLIPS_MAN}/*.parquet') GROUP BY 1
+), j AS (
+  SELECT COALESCE(a.pk, e.pk) AS pk,
+         COALESCE(actual, 0.0) AS actual,
+         COALESCE(expected, 0.0) AS expected
+  FROM a FULL OUTER JOIN e ON a.pk = e.pk
+)
+SELECT pk AS partition_key,
+       CAST(NULL AS VARCHAR) AS clip_id,
+       'reconcile-clip_id' AS detector,
+       'count:' || {_fmt_sql("actual", 2)} || '| expected:' || {_fmt_sql("expected", 2)} AS observed,
+       'column:clip_id ref:clip_manifest.clip_id abs_tol:2.5 rel_tol:0' AS note
+FROM j WHERE ABS(actual - expected) > 2.5
 """
 
 
@@ -5327,6 +5491,9 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_check": _SQL_SEASONAL_CHECK,
         "cat_drift_check": _SQL_CAT_DRIFT_CHECK,
         "entropy_check": _SQL_ENTROPY_CHECK,
+        "benford_check": _SQL_BENFORD_CHECK,
+        "volume_check": _SQL_VOLUME_CHECK,
+        "reconcile_check": _SQL_RECONCILE_CHECK,
         "fd_check": _SQL_FD_CHECK,
         "corr_profile": _SQL_CORR_PROFILE,
         "gopher_quality": _SQL_GOPHER_QUALITY,

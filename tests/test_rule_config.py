@@ -59,9 +59,12 @@ def test_every_rule_type_roundtrips():
             samples.append(cls("codec <> 'mulaw' OR sr_hz = 8000"))
         elif tag == "entropy":
             samples.append(cls("codec", min_entropy=0.1))
+        elif tag == "volume":
+            samples.append(cls(min_rows=10))
         elif tag in (
             "not_null", "rate_of_change", "z_score", "iqr", "mad", "drift",
             "calibrated_range", "monotonic", "seasonal", "cat_drift",
+            "benford", "reconciliation",
         ):
             samples.append(cls("dur_ms"))
         else:

@@ -34,6 +34,7 @@ Scale notes (100 TB / 10^12 rows):
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 from functools import reduce
 
@@ -44,6 +45,7 @@ from .rules import (
     AggregateRule,
     AudioDecodeRule,
     AudioQcRule,
+    BenfordRule,
     CalibratedRangeRule,
     CategoricalDriftRule,
     CompletenessRule,
@@ -65,6 +67,7 @@ from .rules import (
     ProfileSpec,
     RangeRule,
     RateOfChangeRule,
+    ReconciliationRule,
     RefIntegrityRule,
     Rule,
     SeasonalRule,
@@ -73,6 +76,7 @@ from .rules import (
     TranscriptRule,
     UniqueRule,
     ValueSetRule,
+    VolumeRule,
     ZScoreRule,
 )
 
@@ -1094,6 +1098,9 @@ def compile_rules(
                 EntropyRule,
                 AggregateRule,
                 CompletenessRule,
+                BenfordRule,
+                ReconciliationRule,
+                VolumeRule,
             ),
         ):
             continue  # aggregate-/table-level; handled below
@@ -1457,6 +1464,157 @@ def compile_rules(
                         F.lit(" ".join(note_bits)).alias("note"),
                     )
                 )
+            if r.detector not in detectors:
+                detectors.append(r.detector)
+            if r.detector not in partition_level:
+                partition_level.append(r.detector)
+
+    # ---- Benford first-digit conformity (one conditional-count groupBy) ---
+    _BENFORD = [math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+    for r in [x for x in rules if isinstance(x, BenfordRule)]:
+        v = F.abs(F.col(r.column).cast("double"))
+        # first significant digit via the string path: representation-
+        # agnostic (plain and E-notation both), immune to the classic
+        # log10(1000) = 2.999... floor bug a pow/log derivation has
+        digit = F.substring(
+            F.regexp_replace(v.cast("string"), "[^1-9]", ""), 1, 1
+        )
+        usable = v.isNotNull() & (v > 0)
+        counts = [
+            F.sum(
+                F.when(usable & (digit == str(d)), F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"n{d}")
+            for d in range(1, 10)
+        ]
+        per_part = df.groupBy(F.col(partition_col).alias("partition_key")).agg(
+            *counts, F.sum(F.when(usable, 1).otherwise(0)).alias("n_used")
+        )
+        n = F.col("n_used").cast("double")
+        # fixed left-to-right term order: one IEEE op sequence both the
+        # engine and the SQL oracle replay identically
+        mad = reduce(
+            lambda a, b: a + b,
+            [
+                F.abs(F.col(f"n{d}") / n - F.lit(_BENFORD[d - 1]))
+                for d in range(1, 10)
+            ],
+        ) / F.lit(9.0)
+        fused_parts.append(
+            per_part.filter(F.col("n_used") >= r.min_count)
+            .withColumn("mad", mad)
+            .filter(F.col("mad") > r.max_mad)
+            .select(
+                "partition_key",
+                F.lit(None).cast("string").alias("clip_id"),
+                F.lit(r.detector).alias("detector"),
+                F.concat(F.lit("mad:"), _fmt(F.col("mad"), 4)).alias("observed"),
+                F.lit(
+                    f"column:{r.column} max_mad:{r.max_mad:g} "
+                    f"min_count:{r.min_count}"
+                ).alias("note"),
+            )
+        )
+        if r.detector not in detectors:
+            detectors.append(r.detector)
+        if r.detector not in partition_level:
+            partition_level.append(r.detector)
+
+    # ---- reconciliation control totals (two tiny aggs + outer join) ------
+    for r in [x for x in rules if isinstance(x, ReconciliationRule)]:
+        if r.ref_table not in refs:
+            raise ValueError(
+                f"ReconciliationRule({r.column}): unknown ref table "
+                f"{r.ref_table!r} — pass it via refs="
+            )
+        ref = refs[r.ref_table]
+        if partition_col not in ref.columns:
+            raise ValueError(
+                f"ReconciliationRule({r.column}): ref table {r.ref_table!r} "
+                f"must carry the run partition column {partition_col!r}"
+            )
+        rc = r.ref_column or r.column
+        if r.agg == "count":
+            a_expr = F.count(F.col(r.column)).cast("double")
+            e_expr = F.count(F.col(rc)).cast("double")
+        else:  # sum — exact decimal partials, order-independent verdict
+            a_expr = F.sum(F.col(r.column).cast("decimal(38,6)")).cast("double")
+            e_expr = F.sum(F.col(rc).cast("decimal(38,6)")).cast("double")
+        actual = df.groupBy(F.col(partition_col).alias("partition_key")).agg(
+            a_expr.alias("actual")
+        )
+        expected = ref.groupBy(F.col(partition_col).alias("partition_key")).agg(
+            e_expr.alias("expected")
+        )
+        joined = (
+            actual.join(expected, "partition_key", "full_outer")
+            .withColumn("actual", F.coalesce("actual", F.lit(0.0)))
+            .withColumn("expected", F.coalesce("expected", F.lit(0.0)))
+        )
+        tol = F.lit(float(r.abs_tolerance)) + F.lit(
+            float(r.rel_tolerance)
+        ) * F.abs(F.col("expected"))
+        fused_parts.append(
+            joined.filter(F.abs(F.col("actual") - F.col("expected")) > tol)
+            .select(
+                "partition_key",
+                F.lit(None).cast("string").alias("clip_id"),
+                F.lit(r.detector).alias("detector"),
+                F.concat(
+                    F.lit(f"{r.agg}:"),
+                    _fmt(F.col("actual"), 2),
+                    F.lit("| expected:"),
+                    _fmt(F.col("expected"), 2),
+                ).alias("observed"),
+                F.lit(
+                    f"column:{r.column} ref:{r.ref_table}.{rc} "
+                    f"abs_tol:{r.abs_tolerance:g} rel_tol:{r.rel_tolerance:g}"
+                ).alias("note"),
+            )
+        )
+        if r.detector not in detectors:
+            detectors.append(r.detector)
+        if r.detector not in partition_level:
+            partition_level.append(r.detector)
+
+    # ---- volume fences over the per-partition count frame -----------------
+    vol_rules = [x for x in rules if isinstance(x, VolumeRule)]
+    if vol_rules:
+        vol_counts = df.groupBy(F.col(partition_col).alias("partition_key")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        needs_median = any(r.max_factor is not None for r in vol_rules)
+        if needs_median:
+            med = vol_counts.agg(
+                F.expr("percentile(n, 0.5D)").alias("median_n")
+            )
+            vol_counts = vol_counts.crossJoin(F.broadcast(med))
+        for r in vol_rules:
+            conds = []
+            note_bits = []
+            if r.min_rows is not None:
+                conds.append(F.col("n") < F.lit(int(r.min_rows)))
+                note_bits.append(f"min_rows:{r.min_rows}")
+            if r.max_rows is not None:
+                conds.append(F.col("n") > F.lit(int(r.max_rows)))
+                note_bits.append(f"max_rows:{r.max_rows}")
+            if r.max_factor is not None:
+                f_ = F.lit(float(r.max_factor))
+                conds.append(
+                    (F.col("n") < F.col("median_n") / f_)
+                    | (F.col("n") > F.col("median_n") * f_)
+                )
+                note_bits.append(f"max_factor:{r.max_factor:g}")
+            fused_parts.append(
+                vol_counts.filter(reduce(lambda a, b: a | b, conds)).select(
+                    "partition_key",
+                    F.lit(None).cast("string").alias("clip_id"),
+                    F.lit(r.detector).alias("detector"),
+                    F.concat(F.lit("rows:"), F.col("n").cast("string")).alias(
+                        "observed"
+                    ),
+                    F.lit(" ".join(note_bits)).alias("note"),
+                )
+            )
             if r.detector not in detectors:
                 detectors.append(r.detector)
             if r.detector not in partition_level:

@@ -25,6 +25,7 @@ import json
 from .rules import (
     AggregateRule,
     AudioDecodeRule,
+    BenfordRule,
     ImageDecodeRule,
     AudioQcRule,
     CalibratedRangeRule,
@@ -47,6 +48,7 @@ from .rules import (
     ProfileSpec,
     RangeRule,
     RateOfChangeRule,
+    ReconciliationRule,
     RefIntegrityRule,
     SeasonalRule,
     SpeechRateRule,
@@ -54,6 +56,7 @@ from .rules import (
     TranscriptRule,
     UniqueRule,
     ValueSetRule,
+    VolumeRule,
     ZScoreRule,
 )
 
@@ -85,6 +88,9 @@ RULE_TYPES = {
     "drift": DriftRule,
     "cat_drift": CategoricalDriftRule,
     "entropy": EntropyRule,
+    "benford": BenfordRule,
+    "volume": VolumeRule,
+    "reconciliation": ReconciliationRule,
     "audio_decode": AudioDecodeRule,
     "image_decode": ImageDecodeRule,
     "audio_qc": AudioQcRule,

@@ -538,6 +538,9 @@ class UniqueRule(Rule):
     scope: str = "partition"
 
     def __post_init__(self) -> None:
+        if isinstance(self.columns, str):
+            # a bare string would splat into per-character groupBy keys
+            object.__setattr__(self, "columns", (self.columns,))
         if self.scope not in ("partition", "global"):
             raise ValueError(
                 f"UniqueRule: scope must be 'partition' or 'global', "
@@ -793,6 +796,128 @@ class EntropyRule(Rule):
             )
         if not self.detector:
             object.__setattr__(self, "detector", f"entropy-{self.column}")
+
+
+@dataclass(frozen=True)
+class BenfordRule(Rule):
+    """Per-partition first-significant-digit distribution must conform
+    to Benford's law within ``max_mad`` (Nigrini's MAD test).
+
+    The fabricated/defaulted-data detector for wide-ranged positive
+    measurements: organically-generated magnitudes (durations, sizes,
+    amounts spanning orders of magnitude) follow P(d) = log10(1 + 1/d);
+    a partition whose values were synthesized, clipped, or unit-mangled
+    deviates. Score = mean absolute deviation of the nine observed
+    digit shares from Benford's — Nigrini's published fences:
+    ≤0.006 close, ≤0.012 acceptable, ≤0.015 marginal conformity.
+
+    Compiles to ONE groupBy(partition) with nine conditional counts
+    (digit = floor(|v| / 10^floor(log10 |v|)), NULLs and zeros
+    excluded) — JVM-only, partial-aggregatable, no extra scan when
+    fused. Partitions with fewer than ``min_count`` usable rows are
+    skipped (digit shares over a handful of rows are noise, not
+    evidence). Partition-level violations.
+    """
+
+    column: str
+    max_mad: float = 0.015
+    min_count: int = 100
+    detector: str = ""  # defaults to benford-<column>
+
+    def __post_init__(self) -> None:
+        if self.max_mad <= 0:
+            raise ValueError(
+                f"BenfordRule({self.column}): max_mad must be > 0"
+            )
+        if not self.detector:
+            object.__setattr__(self, "detector", f"benford-{self.column}")
+
+
+@dataclass(frozen=True)
+class VolumeRule(Rule):
+    """Per-partition row count must sit inside absolute fences and/or a
+    median-relative band.
+
+    The delivery-anomaly detector: a partition that arrived truncated
+    (half a day of clips missing) or doubled (a replayed backfill)
+    passes every row-level and distribution check — the rows present
+    are fine; it's the COUNT that is wrong. Absolute fences
+    (min_rows/max_rows) state hard expectations; ``max_factor`` states
+    the relative contract: count must be within [median/f, median·f] of
+    the median partition count this run (the median is robust to the
+    very partitions under test, same principle as the categorical
+    drift consensus baseline).
+
+    Compiles over the run's existing rows_checked frame (zero extra
+    scans); the median is a percentile over the tiny per-partition
+    count frame. Partition-level violations.
+    """
+
+    min_rows: int | None = None
+    max_rows: int | None = None
+    max_factor: float | None = None
+    detector: str = "volume"
+
+    def __post_init__(self) -> None:
+        if (
+            self.min_rows is None
+            and self.max_rows is None
+            and self.max_factor is None
+        ):
+            # ≙ {{ error('You need to define at least one of ...') }}
+            raise ValueError(
+                "VolumeRule: need at least one of min_rows/max_rows/max_factor"
+            )
+        if self.max_factor is not None and self.max_factor < 1.0:
+            raise ValueError(
+                f"VolumeRule: max_factor must be >= 1, got {self.max_factor:g}"
+            )
+
+
+@dataclass(frozen=True)
+class ReconciliationRule(Rule):
+    """Per-partition control total: agg(column) on the validated table
+    must equal agg(ref_column) on the reference table within tolerance.
+
+    The trailer-record check of file-based pipelines, generalized: the
+    manifest (or any upstream system-of-record) states what each
+    partition should total — row count, total duration, total bytes —
+    and the validated table must reconcile. RefIntegrityRule and
+    CompletenessRule compare key SETS; this rule compares AGGREGATES,
+    which catches the defect neither set check can see: the right keys
+    with the wrong magnitudes (a re-encode that shaved every clip's
+    duration reconciles on keys and fails on sum(dur_ms)).
+
+    ``agg``: 'sum' (exact decimal sums — order-independent, so the
+    verdict is deterministic under any partial-aggregation schedule) or
+    'count'. Violation when |actual - expected| > abs_tolerance +
+    rel_tolerance·|expected|. The reference frame must carry the run's
+    partition column; partitions present on only one side reconcile
+    against 0 (a wholly-missing side is exactly the defect). Compiles
+    to two tiny per-partition aggregates + one broadcast-sized
+    full-outer join. Partition-level violations.
+    """
+
+    column: str = "clip_id"
+    agg: str = "count"  # count | sum
+    ref_table: str = "clip_manifest"
+    ref_column: str | None = None  # defaults to column
+    abs_tolerance: float = 0.0
+    rel_tolerance: float = 0.0
+    detector: str = ""  # defaults to reconcile-<column>
+
+    def __post_init__(self) -> None:
+        if self.agg not in ("count", "sum"):
+            raise ValueError(
+                f"ReconciliationRule({self.column}): agg must be 'count' "
+                f"or 'sum', got {self.agg!r}"
+            )
+        if self.abs_tolerance < 0 or self.rel_tolerance < 0:
+            raise ValueError(
+                f"ReconciliationRule({self.column}): tolerances must be >= 0"
+            )
+        if not self.detector:
+            object.__setattr__(self, "detector", f"reconcile-{self.column}")
 
 
 # --------------------------------------------------------------------------
