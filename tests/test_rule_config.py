@@ -180,6 +180,7 @@ def test_shipped_rulesets_load_and_run(spark):
     for d in (
         "monotonic-seq", "seasonal-dur_ms", "cat-drift-sr_hz", "entropy-sr_hz",
         "ewma", "functional-dependency", "drift-dur_ms", "audio-decode",
+        "benford-dur_ms", "volume", "reconcile-clip_id",
     ):
         assert d in evaluated, d
     # the fixture plants violations; the strict set must catch some
