@@ -890,6 +890,8 @@ _CLIPS_QC = f"{_ORACLE_DIR}/clips_qc_violations.parquet"
 _IMAGES = f"{_ORACLE_DIR}/images.parquet"
 _IMAGES_FEAT = f"{_ORACLE_DIR}/image_features_expected.parquet"
 _IMAGES_VIOL = f"{_ORACLE_DIR}/image_violations.parquet"
+_VIDEOS = f"{_ORACLE_DIR}/videos.parquet"
+_VIDEO_FRAMES = f"{_ORACLE_DIR}/video_frames_expected.parquet"
 _CLIPS_FRONTIER = 149  # SynthSpec(clips_per_partition=150) → frontier 149
 
 # Bump whenever sources/synth.py or functions/audio.py change the RENDERED
@@ -1009,6 +1011,43 @@ def _ensure_images_oracle_files() -> None:
     pq.write_table(
         pa.Table.from_pandas(image_violations_pandas(spec), preserve_index=False),
         f"{_IMAGES_VIOL}/data.parquet",
+    )
+
+
+def _ensure_videos_oracle_files() -> None:
+    """Materialize the video table (REAL AVI/RIFF container bytes with
+    uncompressed DIB frames) plus its oracle twin: expected demuxed
+    frames (same VIDEO_DEMUXERS kernel over the same bytes, frames
+    re-encoded as BMP and md5-hashed; pre-mux ground-truth asserts
+    inside the twin — the image_features_expected discipline)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        video_frames_expected_pandas,
+        videos_pandas,
+    )
+
+    _ensure_fixture_version()
+    if os.path.exists(f"{_VIDEOS}/data.parquet") and os.path.exists(
+        f"{_VIDEO_FRAMES}/data.parquet"
+    ):
+        return
+    spec = SynthSpec(partitions=4, clips_per_partition=150)
+    for d in (_VIDEOS, _VIDEO_FRAMES):
+        os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(videos_pandas(spec), preserve_index=False),
+        f"{_VIDEOS}/data.parquet",
+    )
+    pq.write_table(
+        pa.Table.from_pandas(
+            video_frames_expected_pandas(spec, every_n=2), preserve_index=False
+        ),
+        f"{_VIDEO_FRAMES}/data.parquet",
     )
 
 
@@ -1469,6 +1508,35 @@ def _q_reconcile_check(spark, sf):
         refs={"clip_manifest": man},
     )
     return plan.violations
+
+
+def _q_video_frames(spark, sf):
+    """Real video demux + frame sampling (functions/multimodal.
+    video_frames): AVI (RIFF) containers with uncompressed 24-bit DIB
+    frames demuxed inside one mapInPandas pass, every 2nd frame
+    re-encoded as a standalone BMP image payload (so the output column
+    composes with image_features downstream), md5-hashed for the
+    bit-exactness check. Truncated containers and the mp4-declared rows
+    degrade to one NULL-frame row with the stable demux-error string.
+    Oracle: the python-twin expected parquet (same demuxer registry
+    over the same bytes, pre-mux ground-truth asserts inside the twin —
+    the audio/image fixture discipline)."""
+    from use_case_real_time_anomaly_detection_spark.functions.multimodal import (
+        video_frames,
+    )
+
+    _ensure_videos_oracle_files()
+    vids = spark.read.parquet(_VIDEOS)
+    out = video_frames(vids, every_n=2)
+    return out.select(
+        "item_id",
+        "frame_idx",
+        "width",
+        "height",
+        "mean_luma",
+        F.md5("frame").alias("frame_md5"),
+        "demux_error",
+    )
 
 
 def _q_corr_profile(spark, sf):
@@ -2502,6 +2570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_check": _q_benford_check,
         "volume_check": _q_volume_check,
         "reconcile_check": _q_reconcile_check,
+        "video_frames": _q_video_frames,
         "monotonic_check": _q_monotonic_check,
         "seasonal_check": _q_seasonal_check,
         "cat_drift_check": _q_cat_drift_check,
@@ -4364,6 +4433,14 @@ SELECT partition_key, clip_id, detector, observed, note
 FROM read_parquet('{_IMAGES_VIOL}/*.parquet')
 """
 
+# ≙ _q_video_frames: the oracle is the pandas twin parquet (same
+# VIDEO_DEMUXERS registry over the same AVI bytes, same BMP re-encode +
+# md5 — bit-identical hashes, lumas, and error strings).
+_SQL_VIDEO_FRAMES = f"""
+SELECT item_id, frame_idx, width, height, mean_luma, frame_md5, demux_error
+FROM read_parquet('{_VIDEO_FRAMES}/*.parquet')
+"""
+
 # Decoded-PCM features: the oracle is the pandas twin parquet (same
 # clip_features numpy over the same rendered bytes — bit-identical
 # doubles, the clips_audio_violations discipline).
@@ -5494,6 +5571,7 @@ def oracle_sql() -> dict[str, str]:
         "benford_check": _SQL_BENFORD_CHECK,
         "volume_check": _SQL_VOLUME_CHECK,
         "reconcile_check": _SQL_RECONCILE_CHECK,
+        "video_frames": _SQL_VIDEO_FRAMES,
         "fd_check": _SQL_FD_CHECK,
         "corr_profile": _SQL_CORR_PROFILE,
         "gopher_quality": _SQL_GOPHER_QUALITY,

@@ -149,3 +149,124 @@ def test_image_decode_rule_fused_flags_prescribed_defects(spark, image_df):
     # flow past the Arrow stage (narrow-rows contract, like audio)
     plan_str = plan.violations._jdf.queryExecution().executedPlan().toString()
     assert plan_str.count("MapInArrow") == 1
+
+
+# ---------------------------------------------------------------- video/AVI
+
+
+def test_avi_roundtrip_rgb_gray_and_padding():
+    from use_case_real_time_anomaly_detection_spark.functions.multimodal import (
+        avi_demux,
+        avi_encode,
+    )
+
+    # odd width (17) exercises 4-byte DIB row padding
+    frames = [
+        ((np.arange(12 * 17 * 3).reshape(12, 17, 3) * (i + 3)) % 256).astype(
+            np.uint8
+        )
+        for i in range(5)
+    ]
+    w, h, out = avi_demux(avi_encode(frames, fps=5))
+    assert (w, h, len(out)) == (17, 12, 5)
+    for a, b in zip(frames, out):
+        assert np.array_equal(a, b)
+    # gray broadcasts to 3 channels (bmp_encode's policy)
+    g = [np.full((8, 8), 40 * i, np.uint8) for i in range(3)]
+    _, _, out = avi_demux(avi_encode(g))
+    assert np.array_equal(out[2], np.repeat(g[2][:, :, None], 3, axis=2))
+
+
+def test_avi_error_taxonomy_is_stable():
+    from use_case_real_time_anomaly_detection_spark.functions.multimodal import (
+        avi_demux,
+        avi_encode,
+    )
+
+    good = avi_encode([np.zeros((4, 4, 3), np.uint8)])
+    with pytest.raises(ValueError, match="bad riff signature"):
+        avi_demux(b"nope")
+    with pytest.raises(ValueError, match="truncated avi chunk"):
+        avi_demux(good[:40])
+    with pytest.raises(ValueError, match="avi frame size mismatch"):
+        # corrupt the '00db' chunk length: claim fewer payload bytes
+        idx = good.index(b"00db")
+        bad = bytearray(good)
+        bad[idx + 4 : idx + 8] = (10).to_bytes(4, "little")
+        avi_demux(bytes(bad))
+    with pytest.raises(ValueError):
+        avi_encode([])  # no frames
+    with pytest.raises(ValueError):
+        avi_encode([np.zeros((4, 4, 3), np.uint8),
+                    np.zeros((5, 4, 3), np.uint8)])  # mixed shapes
+
+
+def test_video_frames_operator_matches_python_twin(spark):
+    from use_case_real_time_anomaly_detection_spark.functions.multimodal import (
+        video_frames,
+    )
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        video_frames_expected_pandas,
+        videos_pandas,
+    )
+    import hashlib
+
+    spec = SynthSpec(partitions=2, clips_per_partition=60)
+    vids = videos_pandas(spec)
+    df = spark.createDataFrame(vids)
+    out = video_frames(df, every_n=2).toPandas()
+    exp = video_frames_expected_pandas(spec, every_n=2)
+    # the fixture plants both defect kinds
+    errs = set(exp["demux_error"].dropna())
+    assert any("truncated" in e for e in errs)
+    assert any("mp4" in e for e in errs)
+    key = lambda d: d.sort_values(["item_id", "frame_idx"]).reset_index(drop=True)
+    got, want = key(out), key(exp)
+    assert len(got) == len(want) > 0
+    for g, w in zip(got.itertuples(index=False), want.itertuples(index=False)):
+        assert g.item_id == w.item_id and pd_eq(g.frame_idx, w.frame_idx)
+        assert pd_eq(g.width, w.width) and pd_eq(g.height, w.height)
+        assert pd_eq(g.mean_luma, w.mean_luma)
+        got_md5 = None if g.frame is None else hashlib.md5(bytes(g.frame)).hexdigest()
+        assert pd_eq(got_md5, w.frame_md5)
+        assert pd_eq(g.demux_error, w.demux_error)
+
+
+def pd_eq(a, b):
+    def norm(x):
+        import pandas as pd
+
+        if x is None or x is pd.NA:
+            return None
+        if isinstance(x, float) and np.isnan(x):
+            return None
+        return x
+
+    return norm(a) == norm(b)
+
+
+def test_video_frames_compose_with_image_decoder(spark):
+    """The sampled frame column IS an image column: bmp_decode reads it."""
+    from use_case_real_time_anomaly_detection_spark.functions.multimodal import (
+        bmp_decode,
+        video_frames,
+    )
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        video_pixels,
+        videos_pandas,
+    )
+
+    spec = SynthSpec(partitions=1, clips_per_partition=9)
+    df = spark.createDataFrame(videos_pandas(spec))
+    rows = (
+        video_frames(df, every_n=3)
+        .filter("demux_error IS NULL")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        img = bmp_decode(bytes(r.frame))
+        seq = int(r.item_id.split("-")[1])
+        assert np.array_equal(img, video_pixels(0, seq, r.frame_idx))

@@ -7,9 +7,12 @@ gray/RGB/palette/gray-alpha/RGBA at bit depth 8) and uncompressed
 24-bit BMP — both encoder and decoder live here, so sources/synth.py
 can render real payload bytes and the engine proves decoded pixels ==
 generated pixels bit-for-bit (the image analog of the audio column's
-PCM/μ-law path in functions/audio.py). Lossy codecs that need external
-libraries (JPEG) stay stubbed behind the registry and raise
-NotImplementedError; video demux remains a deterministic fake.
+PCM/μ-law path in functions/audio.py). The VIDEO column is real too:
+an AVI (RIFF) muxer + demuxer for uncompressed 24-bit DIB frames, so
+video_frames demuxes real container bytes and re-emits sampled frames
+as standalone BMP image payloads. Codecs that need external libraries
+(JPEG images, mp4 video) stay stubbed behind the registries and raise
+NotImplementedError.
 
 Pattern for any modality at 100 TB: binary column + typed metadata
 columns, kernels as iterator-of-pandas mapInPandas (bounded memory via
@@ -426,6 +429,247 @@ def image_features(
 
     return df.select(id_col, bytes_col, codec_col).mapInPandas(
         run, IMAGE_FEATURES_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# AVI — RIFF container with uncompressed 24-bit DIB video frames ('DIB '
+# handler, BI_RGB). Pure stdlib struct + numpy: the video column's real
+# path, same discipline as PNG/BMP above (encoder + decoder both live
+# here so synth can render real container bytes and the engine proves
+# demuxed frames == generated frames bit-for-bit).
+# ---------------------------------------------------------------------------
+
+
+def _dib_encode_frame(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → raw bottom-up BGR DIB rows, 4-byte padded
+    (the pixel payload of one '00db' chunk — a BMP body without headers)."""
+    h, w, _ = img.shape
+    rowsz = (w * 3 + 3) & ~3
+    pad = b"\x00" * (rowsz - w * 3)
+    bgr = img[:, :, ::-1]
+    return b"".join(bgr[y].tobytes() + pad for y in range(h - 1, -1, -1))
+
+
+def _dib_decode_frame(data: bytes, w: int, h: int) -> np.ndarray:
+    rowsz = (w * 3 + 3) & ~3
+    if len(data) != rowsz * h:
+        raise ValueError("avi frame size mismatch")
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(h, rowsz)
+    bgr = arr[:, : w * 3].reshape(h, w, 3)[::-1]
+    return bgr[:, :, ::-1].copy()
+
+
+def avi_encode(frames: list, *, fps: int = 10) -> bytes:
+    """Encode equal-shaped uint8 frames → AVI (RIFF) with uncompressed
+    24-bit DIB '00db' chunks and an idx1 index. Gray frames broadcast
+    to RGB; alpha is dropped (bmp_encode's channel policy)."""
+    norm = []
+    for f in frames:
+        f = np.ascontiguousarray(f, dtype=np.uint8)
+        if f.ndim == 2:
+            f = f[:, :, None]
+        if f.shape[2] == 1:
+            f = np.repeat(f, 3, axis=2)
+        elif f.shape[2] == 4:
+            f = f[:, :, :3]
+        if f.shape[2] != 3:
+            raise ValueError(f"avi_encode: unsupported channel count {f.shape[2]}")
+        norm.append(f)
+    if not norm:
+        raise ValueError("avi_encode: need at least one frame")
+    h, w, _ = norm[0].shape
+    if any(f.shape != (h, w, 3) for f in norm):
+        raise ValueError("avi_encode: frames must share one shape")
+    bodies = [_dib_encode_frame(f) for f in norm]
+    frame_sz = len(bodies[0])
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) % 2 else b""
+        )
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    avih = struct.pack(
+        "<10I4I",
+        1_000_000 // fps, frame_sz * fps, 0, 0x10,  # AVIF_HASINDEX
+        len(bodies), 0, 1, frame_sz, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack(
+            "<IHHIIIIIIII4H",
+            0, 0, 0, 0, 1, fps, 0, len(bodies), frame_sz, 0, 0,
+            0, 0, w, h,
+        )
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_sz, 2835, 2835, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_items = [chunk(b"00db", b) for b in bodies]
+    movi = lst(b"movi", b"".join(movi_items))
+    # idx1 offsets are relative to the 'movi' fourcc position
+    idx, off = [], 4
+    for it in movi_items:
+        idx.append(b"00db" + struct.pack("<III", 0x10, off, len(it) - 8))
+        off += len(it)
+    idx1 = chunk(b"idx1", b"".join(idx))
+    payload = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def _riff_chunks(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_size); word-aligned walk
+    with the truncation taxonomy."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated avi chunk")
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        if pos + 8 + size > end:
+            raise ValueError("truncated avi chunk")
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size % 2)
+
+
+def avi_demux(payload: bytes) -> tuple[int, int, list]:
+    """Decode AVI bytes → (width, height, [frame (H, W, 3) uint8 ...]).
+    Stable ValueError taxonomy, mirroring png_decode/bmp_decode."""
+    data = bytes(payload)
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("bad riff signature")
+    (riff_sz,) = struct.unpack_from("<I", data, 4)
+    end = min(len(data), 8 + riff_sz)
+    w = h = None
+    frames: list = []
+    saw_movi = False
+    for fourcc, p, size in _riff_chunks(data, 12, end):
+        if fourcc != b"LIST":
+            continue
+        kind = data[p : p + 4]
+        if kind == b"hdrl":
+            for f2, p2, s2 in _riff_chunks(data, p + 4, p + size):
+                if f2 == b"LIST" and data[p2 : p2 + 4] == b"strl":
+                    for f3, p3, s3 in _riff_chunks(data, p2 + 4, p2 + s2):
+                        if f3 == b"strf" and s3 >= 40:
+                            _, bw, bh, _, bpp, comp = struct.unpack_from(
+                                "<IiiHHI", data, p3
+                            )
+                            if comp != 0 or bpp != 24:
+                                raise ValueError("unsupported avi compression")
+                            w, h = bw, abs(bh)
+        elif kind == b"movi":
+            saw_movi = True
+            if w is None:
+                raise ValueError("missing avi headers")
+            for f2, p2, s2 in _riff_chunks(data, p + 4, p + size):
+                if f2 in (b"00db", b"00dc"):
+                    frames.append(_dib_decode_frame(data[p2 : p2 + s2], w, h))
+    if w is None or not saw_movi:
+        raise ValueError("missing avi headers")
+    return w, h, frames
+
+
+def _unsupported_video(name: str) -> Callable[[bytes], tuple]:
+    def _raise(_: bytes) -> tuple:
+        raise NotImplementedError(
+            f"{name} demuxing requires a media library not present in this "
+            "environment; register a demuxer in VIDEO_DEMUXERS"
+        )
+
+    return _raise
+
+
+def _fake_video_demux(payload: bytes) -> tuple[int, int, list]:
+    """Deterministic fake: 256-byte windows reshaped as 16×16 gray frames
+    (the plumbing stand-in, kept for schema/batching tests)."""
+    data = bytes(payload)
+    n = max(1, len(data) // 256)
+    frames = [
+        np.frombuffer(data[i * 256 : (i + 1) * 256].ljust(256, b"\0"), np.uint8)
+        .reshape(16, 16, 1)
+        for i in range(n)
+    ]
+    return 16, 16, frames
+
+
+VIDEO_DEMUXERS: dict[str, Callable[[bytes], tuple]] = {
+    "fake:frames256": _fake_video_demux,
+    "avi": avi_demux,
+    "mp4": _unsupported_video("mp4"),
+}
+
+
+VIDEO_FRAMES_SCHEMA = StructType(
+    [
+        StructField("item_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_luma", DoubleType()),
+        StructField("frame", BinaryType()),
+        StructField("demux_error", StringType()),
+    ]
+)
+
+
+def video_frames(
+    df: DataFrame,
+    *,
+    every_n: int = 1,
+    id_col: str = "item_id",
+    bytes_col: str = "payload",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """Real video demux + 1-in-N frame sampling: one container row fans
+    out to (item_id, frame_idx, width, height, mean_luma, frame,
+    demux_error) rows — sampled frames re-encoded as standalone BMP
+    payloads, so the output column IS an image column (image_features /
+    ImageDecodeRule compose directly downstream). Demux failure yields
+    ONE row with NULL frame fields and the stable error string (same
+    taxonomy contract as check_image). mapInPandas because of the 1→N
+    fan-out; memory bounded by arrow batch size × frames-per-item."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, payload, codec in zip(b[id_col], b[bytes_col], b[codec_col]):
+                try:
+                    demux = VIDEO_DEMUXERS.get(codec)
+                    if demux is None:
+                        raise ValueError(f"unknown video codec {codec!r}")
+                    w, h, frames = demux(bytes(payload))
+                    for i in range(0, len(frames), every_n):
+                        rows.append(
+                            {
+                                "item_id": iid,
+                                "frame_idx": i,
+                                "width": w,
+                                "height": h,
+                                "mean_luma": float(frames[i].mean()),
+                                "frame": bmp_encode(frames[i]),
+                                "demux_error": None,
+                            }
+                        )
+                except (ValueError, NotImplementedError) as exc:
+                    rows.append(
+                        {
+                            "item_id": iid,
+                            "frame_idx": None,
+                            "width": None,
+                            "height": None,
+                            "mean_luma": None,
+                            "frame": None,
+                            "demux_error": str(exc),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FRAMES_SCHEMA])
+
+    return df.select(id_col, bytes_col, codec_col).mapInPandas(
+        run, VIDEO_FRAMES_SCHEMA
     )
 
 

@@ -874,6 +874,127 @@ def image_violations_pandas(
     ).reset_index(drop=True)
 
 
+VID_W, VID_H, VID_FRAMES = 16, 12, 6
+_VID_TRUNC = (19, 4)  # seq % 19 == 4  → payload truncated (demux fails)
+_VID_BADCODEC = (23, 9)  # seq % 23 == 9 → declared codec mp4 (unsupported)
+
+
+def video_pixels(p: int, seq: int, frame_idx: int) -> np.ndarray:
+    """Deterministic pixels for one video frame — index-arithmetic
+    gradients animated by the frame term; gray every 7th video (the
+    muxer broadcasts gray to RGB, so the demuxed ground truth is the
+    3-channel repeat)."""
+    c = 1 if seq % 7 == 3 else 3
+    yy = np.arange(VID_H)[:, None, None]
+    xx = np.arange(VID_W)[None, :, None]
+    ch = np.arange(c)[None, None, :]
+    img = ((xx * 7 + yy * 13 + ch * 29 + p * 31 + seq * 17 + frame_idx * 41) % 256)
+    img = img.astype(np.uint8)
+    return np.repeat(img, 3, axis=2) if c == 1 else img
+
+
+def videos_pandas(spec: SynthSpec = SynthSpec()) -> pd.DataFrame:
+    """The video table: (partition_key, item_id, seq, payload, codec,
+    n_frames, width, height) with REAL AVI (RIFF/DIB) container bytes.
+    One video per 3 clips (videos are heavier than images); prescribed
+    defects: truncated payload, mp4-declared codec (unsupported stub)."""
+    from ..functions.multimodal import avi_encode
+
+    rows = []
+    for p in range(spec.partitions):
+        for seq in range(0, spec.clips_per_partition, 3):
+            frames = [video_pixels(p, seq, i) for i in range(VID_FRAMES)]
+            payload = avi_encode(frames, fps=5)
+            codec = "avi"
+            if _hit(seq, _VID_TRUNC):
+                payload = payload[: max(16, int(len(payload) * 0.5))]
+            if _hit(seq, _VID_BADCODEC):
+                codec = "mp4"
+            rows.append(
+                {
+                    "partition_key": partition_tag(p),
+                    "item_id": make_clip_id(p, seq),
+                    "seq": seq,
+                    "payload": payload,
+                    "codec": codec,
+                    "n_frames": VID_FRAMES,
+                    "width": VID_W,
+                    "height": VID_H,
+                }
+            )
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "partition_key", "item_id", "seq", "payload", "codec",
+            "n_frames", "width", "height",
+        ],
+    )
+    out["seq"] = out["seq"].astype("int64")
+    for col in ("n_frames", "width", "height"):
+        out[col] = out[col].astype("int32")
+    return out
+
+
+def video_frames_expected_pandas(
+    spec: SynthSpec = SynthSpec(), *, every_n: int = 2
+) -> pd.DataFrame:
+    """Oracle twin of the video_frames query: the SAME demuxer registry
+    over the SAME container bytes, frames re-encoded as BMP and hashed
+    (the image_features_expected_pandas discipline). Clean frames
+    additionally ASSERT the pre-mux ground truth — demuxed pixels must
+    equal video_pixels bit-for-bit — so the twin is not a tautology."""
+    import hashlib
+
+    from ..functions.multimodal import VIDEO_DEMUXERS, bmp_encode
+
+    vids = videos_pandas(spec)
+    rows = []
+    for row in vids.itertuples(index=False):
+        p = int(row.partition_key[1:])
+        try:
+            demux = VIDEO_DEMUXERS.get(row.codec)
+            if demux is None:
+                raise ValueError(f"unknown video codec {row.codec!r}")
+            w, h, frames = demux(bytes(row.payload))
+            for i in range(0, len(frames), every_n):
+                truth = video_pixels(p, int(row.seq), i)
+                assert np.array_equal(frames[i], truth)
+                bmp = bmp_encode(frames[i])
+                rows.append(
+                    {
+                        "item_id": row.item_id,
+                        "frame_idx": i,
+                        "width": w,
+                        "height": h,
+                        "mean_luma": float(frames[i].mean()),
+                        "frame_md5": hashlib.md5(bmp).hexdigest(),
+                        "demux_error": None,
+                    }
+                )
+        except (ValueError, NotImplementedError) as exc:
+            rows.append(
+                {
+                    "item_id": row.item_id,
+                    "frame_idx": None,
+                    "width": None,
+                    "height": None,
+                    "mean_luma": None,
+                    "frame_md5": None,
+                    "demux_error": str(exc),
+                }
+            )
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "item_id", "frame_idx", "width", "height",
+            "mean_luma", "frame_md5", "demux_error",
+        ],
+    )
+    for col in ("frame_idx", "width", "height"):
+        out[col] = out[col].astype("Int32")
+    return out
+
+
 def generate_clips(spark: SparkSession, spec: SynthSpec = SynthSpec()) -> DataFrame:
     """Distributed clip generation: one task per partition tag.
 
