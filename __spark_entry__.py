@@ -892,6 +892,7 @@ _IMAGES_FEAT = f"{_ORACLE_DIR}/image_features_expected.parquet"
 _IMAGES_VIOL = f"{_ORACLE_DIR}/image_violations.parquet"
 _VIDEOS = f"{_ORACLE_DIR}/videos.parquet"
 _VIDEO_FRAMES = f"{_ORACLE_DIR}/video_frames_expected.parquet"
+_VIDEO_VIOL = f"{_ORACLE_DIR}/video_violations.parquet"
 _CLIPS_FRONTIER = 149  # SynthSpec(clips_per_partition=150) → frontier 149
 
 # Bump whenever sources/synth.py or functions/audio.py change the RENDERED
@@ -901,7 +902,9 @@ _CLIPS_FRONTIER = 149  # SynthSpec(clips_per_partition=150) → frontier 149
 # r4 bumps: 2 = reference_waveform QC gain buckets (AudioQcRule);
 # 3 = manifest expected_codec divergence plant (RefMatchRule);
 # 4 = real PNG/BMP image fixture (ImageDecodeRule, image_features_png).
-_FIXTURE_VERSION = "4"
+# r5 bump: 5 = video fixture declared-dims/frame-count plants
+# (VideoDecodeRule, video_decode_check).
+_FIXTURE_VERSION = "5"
 
 
 def _ensure_fixture_version() -> None:
@@ -1028,16 +1031,19 @@ def _ensure_videos_oracle_files() -> None:
     from use_case_real_time_anomaly_detection_spark.sources.synth import (
         SynthSpec,
         video_frames_expected_pandas,
+        video_violations_pandas,
         videos_pandas,
     )
 
     _ensure_fixture_version()
-    if os.path.exists(f"{_VIDEOS}/data.parquet") and os.path.exists(
-        f"{_VIDEO_FRAMES}/data.parquet"
+    if (
+        os.path.exists(f"{_VIDEOS}/data.parquet")
+        and os.path.exists(f"{_VIDEO_FRAMES}/data.parquet")
+        and os.path.exists(f"{_VIDEO_VIOL}/data.parquet")
     ):
         return
     spec = SynthSpec(partitions=4, clips_per_partition=150)
-    for d in (_VIDEOS, _VIDEO_FRAMES):
+    for d in (_VIDEOS, _VIDEO_FRAMES, _VIDEO_VIOL):
         os.makedirs(d, exist_ok=True)
     pq.write_table(
         pa.Table.from_pandas(videos_pandas(spec), preserve_index=False),
@@ -1048,6 +1054,10 @@ def _ensure_videos_oracle_files() -> None:
             video_frames_expected_pandas(spec, every_n=2), preserve_index=False
         ),
         f"{_VIDEO_FRAMES}/data.parquet",
+    )
+    pq.write_table(
+        pa.Table.from_pandas(video_violations_pandas(spec), preserve_index=False),
+        f"{_VIDEO_VIOL}/data.parquet",
     )
 
 
@@ -1537,6 +1547,33 @@ def _q_video_frames(spark, sf):
         F.md5("frame").alias("frame_md5"),
         "demux_error",
     )
+
+
+def _q_video_decode_check(spark, sf):
+    """Fused VideoDecodeRule (operators/rules.VideoDecodeRule): AVI
+    containers must demux AND demuxed dims/frame count must match the
+    declared metadata columns — one zero-copy mapInArrow pass, payload
+    dropped (the AudioDecodeRule/ImageDecodeRule fused shape, now for
+    the third modality). Flags the planted truncations, the
+    mp4-declared rows (unsupported-demuxer taxonomy), and the declared
+    dims/frame-count mismatches. Oracle: the python-twin violation
+    parquet (same check_video kernel over the same bytes, the
+    compiler's exact observed/note bytes)."""
+    from use_case_real_time_anomaly_detection_spark.operators.compiler import (
+        compile_rules,
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        VideoDecodeRule,
+    )
+
+    _ensure_videos_oracle_files()
+    vids = spark.read.parquet(_VIDEOS)
+    plan = compile_rules(
+        vids,
+        [VideoDecodeRule(bytes_column="payload")],
+        key_col="item_id",
+    )
+    return plan.violations
 
 
 def _q_corr_profile(spark, sf):
@@ -2571,6 +2608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_check": _q_volume_check,
         "reconcile_check": _q_reconcile_check,
         "video_frames": _q_video_frames,
+        "video_decode_check": _q_video_decode_check,
         "monotonic_check": _q_monotonic_check,
         "seasonal_check": _q_seasonal_check,
         "cat_drift_check": _q_cat_drift_check,
@@ -4441,6 +4479,11 @@ SELECT item_id, frame_idx, width, height, mean_luma, frame_md5, demux_error
 FROM read_parquet('{_VIDEO_FRAMES}/*.parquet')
 """
 
+_SQL_VIDEO_DECODE_CHECK = f"""
+SELECT partition_key, clip_id, detector, observed, note
+FROM read_parquet('{_VIDEO_VIOL}/*.parquet')
+"""
+
 # Decoded-PCM features: the oracle is the pandas twin parquet (same
 # clip_features numpy over the same rendered bytes — bit-identical
 # doubles, the clips_audio_violations discipline).
@@ -5572,6 +5615,7 @@ def oracle_sql() -> dict[str, str]:
         "volume_check": _SQL_VOLUME_CHECK,
         "reconcile_check": _SQL_RECONCILE_CHECK,
         "video_frames": _SQL_VIDEO_FRAMES,
+        "video_decode_check": _SQL_VIDEO_DECODE_CHECK,
         "fd_check": _SQL_FD_CHECK,
         "corr_profile": _SQL_CORR_PROFILE,
         "gopher_quality": _SQL_GOPHER_QUALITY,

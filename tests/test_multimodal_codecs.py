@@ -270,3 +270,41 @@ def test_video_frames_compose_with_image_decoder(spark):
         img = bmp_decode(bytes(r.frame))
         seq = int(r.item_id.split("-")[1])
         assert np.array_equal(img, video_pixels(0, seq, r.frame_idx))
+
+
+def test_video_decode_rule_fused_flags_prescribed_defects(spark):
+    from use_case_real_time_anomaly_detection_spark.operators.config import (
+        rules_from_config,
+        rules_to_config,
+    )
+    from use_case_real_time_anomaly_detection_spark.operators.rules import (
+        VideoDecodeRule,
+    )
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        video_violations_pandas,
+        videos_pandas,
+    )
+
+    spec = SynthSpec(partitions=2, clips_per_partition=150)
+    df = spark.createDataFrame(videos_pandas(spec))
+    rule = VideoDecodeRule(bytes_column="payload")
+    assert rules_from_config(rules_to_config([rule])) == [rule]
+    plan = compile_rules(df, [rule], key_col="item_id")
+    got = sorted(
+        (r.partition_key, r.clip_id, r.detector, r.observed, r.note)
+        for r in plan.violations.collect()
+    )
+    want = sorted(map(tuple, video_violations_pandas(spec).itertuples(index=False)))
+    assert got == want
+    assert len(got) > 0
+    # every planted defect kind appears: demux failure (truncated),
+    # unsupported codec (mp4), dims mismatch, frame-count mismatch
+    notes = "\n".join(n for *_x, n in got)
+    assert "truncated avi chunk" in notes
+    assert "mp4 demuxing requires" in notes
+    assert "decoded:16x12@6| declared:18x14@6" in notes
+    assert "decoded:16x12@6| declared:16x12@7" in notes
+    # ONE zero-copy Arrow pass; payload never flows past it
+    plan_str = plan.violations._jdf.queryExecution().executedPlan().toString()
+    assert plan_str.count("MapInArrow") == 1

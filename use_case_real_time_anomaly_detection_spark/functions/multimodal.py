@@ -603,6 +603,75 @@ VIDEO_DEMUXERS: dict[str, Callable[[bytes], tuple]] = {
 }
 
 
+def check_video(payload, codec: str):
+    """Single-container demux check; the kernel shared by the fused
+    VideoDecodeRule pass below and the oracle twin in sources/synth.py
+    (same function over the same bytes ⇒ bit-identical error strings —
+    the check_image/check_clip precedent).
+
+    Returns (ok, err, width, height, n_frames)."""
+    try:
+        demux = VIDEO_DEMUXERS.get(codec)
+        if demux is None:
+            raise ValueError(f"no demuxer for {codec!r}")
+        if payload is None:
+            raise ValueError("null payload")
+        w, h, frames = demux(bytes(payload))
+        return True, None, int(w), int(h), len(frames)
+    except Exception as exc:  # demux failures are data, not crashes
+        return False, str(exc)[:120], None, None, None
+
+
+def with_video_checks(df: DataFrame, rule, *, key_col: str = "clip_id") -> DataFrame:
+    """Append __vid_ok / __vid_err / __vid_w / __vid_h / __vid_frames and
+    DROP the payload column — the video member of the fused payload-rule
+    family (with_audio_checks / with_image_checks): one zero-copy
+    mapInArrow pass, payloads reach the demuxer as buffer slices, and
+    everything downstream flows narrow rows."""
+    import pyarrow as pa
+
+    bytes_col = rule.bytes_column
+    codec_c = rule.codec_column
+
+    passthrough = [f for f in df.schema.fields if f.name != bytes_col]
+    extra = [
+        StructField("__vid_ok", BooleanType()),
+        StructField("__vid_err", StringType()),
+        StructField("__vid_w", IntegerType()),
+        StructField("__vid_h", IntegerType()),
+        StructField("__vid_frames", IntegerType()),
+    ]
+    out_schema = StructType(list(passthrough) + extra)
+    out_names = [f.name for f in passthrough] + [f.name for f in extra]
+
+    def run(batches):
+        for b in batches:
+            names = b.schema.names
+            barr = b.column(names.index(bytes_col))
+            codecs = b.column(names.index(codec_c)).to_pylist()
+            oks, errs, ws, hs, ns = [], [], [], [], []
+            for i in range(len(barr)):
+                sc = barr[i]
+                mv = memoryview(sc.as_buffer()) if sc.is_valid else None
+                ok, err, w, h, n = check_video(mv, codecs[i])
+                oks.append(ok)
+                errs.append(err)
+                ws.append(w)
+                hs.append(h)
+                ns.append(n)
+            arrays = [b.column(names.index(f.name)) for f in passthrough]
+            arrays += [
+                pa.array(oks, type=pa.bool_()),
+                pa.array(errs, type=pa.string()),
+                pa.array(ws, type=pa.int32()),
+                pa.array(hs, type=pa.int32()),
+                pa.array(ns, type=pa.int32()),
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names=out_names)
+
+    return df.mapInArrow(run, out_schema)
+
+
 VIDEO_FRAMES_SCHEMA = StructType(
     [
         StructField("item_id", StringType()),

@@ -76,6 +76,7 @@ from .rules import (
     TranscriptRule,
     UniqueRule,
     ValueSetRule,
+    VideoDecodeRule,
     VolumeRule,
     ZScoreRule,
 )
@@ -296,6 +297,15 @@ def compile_rules(
 
         (img_rule,) = image_rules  # one image rule per run
         base = with_image_checks(base, img_rule, key_col=key_col)
+
+    # ---- video demux pass (same fused shape: ONE zero-copy Arrow pass
+    # appends the check columns and drops the payload) -------------------
+    video_rules = [r for r in rules if isinstance(r, VideoDecodeRule)]
+    if video_rules:
+        from ..functions.multimodal import with_video_checks
+
+        (vid_rule,) = video_rules  # one video rule per run
+        base = with_video_checks(base, vid_rule, key_col=key_col)
 
     # ---- one manifest join serves referential/transcript/match rules ----
     ref_rules = [
@@ -1058,6 +1068,37 @@ def compile_rules(
                 F.lit("| declared:"),
                 F.concat(*declared_bits) if declared_bits else F.lit("-"),
                 F.lit("| decode_error:"), F.coalesce(F.col("__img_err"), F.lit("")),
+            )
+            _entry(r.detector, cond, decoded, note)
+
+        elif isinstance(r, VideoDecodeRule):
+            cond = ~F.col("__vid_ok")
+            decoded = F.concat(
+                F.coalesce(F.col("__vid_w").cast("string"), F.lit("?")),
+                F.lit("x"),
+                F.coalesce(F.col("__vid_h").cast("string"), F.lit("?")),
+                F.lit("@"),
+                F.coalesce(F.col("__vid_frames").cast("string"), F.lit("?")),
+            )
+            declared_bits = []
+            if r.width_column is not None:
+                cond = cond | (F.col("__vid_w") != F.col(r.width_column))
+                declared_bits.append(F.col(r.width_column).cast("string"))
+            if r.height_column is not None:
+                cond = cond | (F.col("__vid_h") != F.col(r.height_column))
+                if declared_bits:
+                    declared_bits.append(F.lit("x"))
+                declared_bits.append(F.col(r.height_column).cast("string"))
+            if r.frames_column is not None:
+                cond = cond | (F.col("__vid_frames") != F.col(r.frames_column))
+                if declared_bits:
+                    declared_bits.append(F.lit("@"))
+                declared_bits.append(F.col(r.frames_column).cast("string"))
+            note = F.concat(
+                F.lit("decoded:"), decoded,
+                F.lit("| declared:"),
+                F.concat(*declared_bits) if declared_bits else F.lit("-"),
+                F.lit("| demux_error:"), F.coalesce(F.col("__vid_err"), F.lit("")),
             )
             _entry(r.detector, cond, decoded, note)
 

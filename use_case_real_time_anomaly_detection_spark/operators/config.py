@@ -56,6 +56,7 @@ from .rules import (
     TranscriptRule,
     UniqueRule,
     ValueSetRule,
+    VideoDecodeRule,
     VolumeRule,
     ZScoreRule,
 )
@@ -93,6 +94,7 @@ RULE_TYPES = {
     "reconciliation": ReconciliationRule,
     "audio_decode": AudioDecodeRule,
     "image_decode": ImageDecodeRule,
+    "video_decode": VideoDecodeRule,
     "audio_qc": AudioQcRule,
     "transcript": TranscriptRule,
     "transcript_distance": TranscriptDistanceRule,

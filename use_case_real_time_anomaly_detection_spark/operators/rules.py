@@ -971,6 +971,30 @@ class ImageDecodeRule(Rule):
 
 
 @dataclass(frozen=True)
+class VideoDecodeRule(Rule):
+    """Video payloads must demux (real AVI/RIFF container parser —
+    functions/multimodal.avi_demux, uncompressed 24-bit DIB frames) and
+    the demuxed dimensions / frame count must match the declared
+    metadata columns when given.
+
+    The video member of the fused payload-rule family (AudioDecodeRule,
+    ImageDecodeRule): same single-pass shape (zero-copy mapInArrow via
+    with_video_checks, payload column dropped after the pass), same
+    violation taxonomy (undemuxable payload OR demuxed-vs-declared
+    mismatch) with the demuxer's stable error-message taxonomy in the
+    note.
+    """
+
+    bytes_column: str = "payload"
+    codec_column: str = "codec"
+    # declared-metadata cross-checks; None disables each check
+    width_column: str | None = "width"
+    height_column: str | None = "height"
+    frames_column: str | None = "n_frames"
+    detector: str = "video-decode"
+
+
+@dataclass(frozen=True)
 class AudioQcRule(Rule):
     """Decoded-signal QC fences: hard-clipping fraction, dead-air
     fraction, and RMS level bounds on the DECODED waveform.

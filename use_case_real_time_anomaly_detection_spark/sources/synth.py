@@ -877,6 +877,8 @@ def image_violations_pandas(
 VID_W, VID_H, VID_FRAMES = 16, 12, 6
 _VID_TRUNC = (19, 4)  # seq % 19 == 4  → payload truncated (demux fails)
 _VID_BADCODEC = (23, 9)  # seq % 23 == 9 → declared codec mp4 (unsupported)
+_VID_DIMS = (29, 12)  # seq % 29 == 12 → declared dims off by +2 (mismatch)
+_VID_NFRAMES = (31, 15)  # seq % 31 == 15 → declared frame count +1 (mismatch)
 
 
 def video_pixels(p: int, seq: int, frame_idx: int) -> np.ndarray:
@@ -906,10 +908,15 @@ def videos_pandas(spec: SynthSpec = SynthSpec()) -> pd.DataFrame:
             frames = [video_pixels(p, seq, i) for i in range(VID_FRAMES)]
             payload = avi_encode(frames, fps=5)
             codec = "avi"
+            w, h, nf = VID_W, VID_H, VID_FRAMES
             if _hit(seq, _VID_TRUNC):
                 payload = payload[: max(16, int(len(payload) * 0.5))]
             if _hit(seq, _VID_BADCODEC):
                 codec = "mp4"
+            if _hit(seq, _VID_DIMS):
+                w, h = w + 2, h + 2
+            if _hit(seq, _VID_NFRAMES):
+                nf = nf + 1
             rows.append(
                 {
                     "partition_key": partition_tag(p),
@@ -917,9 +924,9 @@ def videos_pandas(spec: SynthSpec = SynthSpec()) -> pd.DataFrame:
                     "seq": seq,
                     "payload": payload,
                     "codec": codec,
-                    "n_frames": VID_FRAMES,
-                    "width": VID_W,
-                    "height": VID_H,
+                    "n_frames": nf,
+                    "width": w,
+                    "height": h,
                 }
             )
     out = pd.DataFrame(
@@ -993,6 +1000,46 @@ def video_frames_expected_pandas(
     for col in ("frame_idx", "width", "height"):
         out[col] = out[col].astype("Int32")
     return out
+
+
+def video_violations_pandas(
+    spec: SynthSpec = SynthSpec(), *, detector: str = "video-decode"
+) -> pd.DataFrame:
+    """Expected VideoDecodeRule violation rows (VIOLATION_COLUMNS shape):
+    demux failure OR demuxed-vs-declared dims/frame-count mismatch, with
+    the compiler's exact observed/note formatting (the
+    image_violations_pandas discipline)."""
+    from ..functions.multimodal import check_video
+
+    vids = videos_pandas(spec)
+    rows = []
+    for row in vids.itertuples(index=False):
+        ok, err, w, h, n = check_video(row.payload, row.codec)
+        mismatch = ok and (
+            w != int(row.width) or h != int(row.height) or n != int(row.n_frames)
+        )
+        if ok and not mismatch:
+            continue
+        decoded = (
+            f"{w if w is not None else '?'}x{h if h is not None else '?'}"
+            f"@{n if n is not None else '?'}"
+        )
+        rows.append(
+            {
+                "partition_key": row.partition_key,
+                "clip_id": row.item_id,
+                "detector": detector,
+                "observed": decoded,
+                "note": (
+                    f"decoded:{decoded}"
+                    f"| declared:{int(row.width)}x{int(row.height)}@{int(row.n_frames)}"
+                    f"| demux_error:{err or ''}"
+                ),
+            }
+        )
+    return pd.DataFrame(
+        rows, columns=["partition_key", "clip_id", "detector", "observed", "note"]
+    ).reset_index(drop=True)
 
 
 def generate_clips(spark: SparkSession, spec: SynthSpec = SynthSpec()) -> DataFrame:
