@@ -62,6 +62,11 @@ HEADLINE = [
     "cat_drift_check",     # categorical-mix PSI vs median-share consensus (r4)
     "image_features_png",  # REAL PNG/BMP decode in one mapInPandas pass (r5)
     "image_decode_check",  # fused ImageDecodeRule over real bytes (r5)
+    "video_frames",        # REAL AVI/RIFF demux -> BMP frame payloads (r5)
+    "video_decode_check",  # fused VideoDecodeRule over real containers (r5)
+    "benford_check",       # first-digit MAD conformity per partition (r5)
+    "volume_check",        # row-count fences vs median band (r5)
+    "reconcile_check",     # control totals vs the manifest (r5)
 ]
 
 CLIPS_SPEC = dict(partitions=32, clips_per_partition=1000, sr_hz=8000)
