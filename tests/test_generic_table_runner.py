@@ -1,0 +1,96 @@
+"""Generic-table validation through the SAME runner CLI + checkpoint
+machinery the clip table uses: `--key-col item_id` over the video table
+with rulesets/videos.json — the engine is key-agnostic (§2.10 multimodal
+mandate), so lineage/resume/quarantine work unchanged for any modality.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from use_case_real_time_anomaly_detection_spark import runner
+from use_case_real_time_anomaly_detection_spark.sources.synth import (
+    SynthSpec,
+    videos_pandas,
+)
+
+
+@pytest.fixture(scope="module")
+def video_parquet(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("videos")
+    path = str(d / "videos.parquet")
+    spark.createDataFrame(
+        videos_pandas(SynthSpec(partitions=3, clips_per_partition=90))
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run(args, capsys):
+    rc = runner.main(args)
+    out = capsys.readouterr().out.strip().splitlines()
+    return rc, json.loads(out[-1])
+
+
+def test_runner_validates_video_table(spark, video_parquet, tmp_path, capsys):
+    ckpt = str(tmp_path / "ckpt")
+    rc, summary = _run(
+        [
+            "--clips", video_parquet,
+            "--key-col", "item_id",
+            "--rules", "rulesets/videos.json",
+            "--checkpoint-dir", ckpt,
+            "--run-id", "vid-1",
+            "--quarantine",
+        ],
+        capsys,
+    )
+    assert rc == 0
+    dets = set(summary["per_detector"])
+    assert "video-decode" in dets and "volume" in dets and "unique" in dets
+    # the planted demux defects emit violations
+    assert summary["per_detector"]["video-decode"] > 0
+    assert summary["violations"] > 0
+    assert summary["partitions_validated"] == 3
+    # quarantine carries the individually-implicated items
+    from use_case_real_time_anomaly_detection_spark.sources.tables import (
+        get_catalog,
+    )
+    from use_case_real_time_anomaly_detection_spark.streaming.checkpoint import (
+        CheckpointStore,
+    )
+
+    store = CheckpointStore(get_catalog(spark, ckpt))
+    quar = store.quarantine()
+    ids = {r["clip_id"] for r in quar.collect()}
+    assert any(i and "-0000000" in i for i in ids)
+    # violations table written with the video table's keys
+    viol = store.catalog.read("violations")
+    assert viol.filter("detector = 'video-decode'").count() > 0
+
+
+def test_runner_video_resume_skips_completed(spark, video_parquet, tmp_path, capsys):
+    ckpt = str(tmp_path / "ckpt2")
+    args = [
+        "--clips", video_parquet,
+        "--key-col", "item_id",
+        "--rules", "rulesets/videos.json",
+        "--checkpoint-dir", ckpt,
+    ]
+    rc1, s1 = _run(args + ["--run-id", "vid-a"], capsys)
+    rc2, s2 = _run(args + ["--run-id", "vid-b"], capsys)
+    assert rc1 == rc2 == 0
+    # second run resumes: every partition already validated at the frontier
+    assert s1["partitions_validated"] > 0
+    assert s2["partitions_validated"] == 0
+
+
+def test_runner_manifest_still_required_for_clip_key(tmp_path, capsys, video_parquet):
+    rc = runner.main(
+        [
+            "--clips", video_parquet,
+            "--checkpoint-dir", str(tmp_path / "x"),
+        ]
+    )
+    assert rc == 2  # clip-keyed runs keep the manifest contract

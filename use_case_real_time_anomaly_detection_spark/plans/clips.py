@@ -59,12 +59,13 @@ def default_rules(*, with_audio: bool = True, seed: int = 42) -> list:
     return rules
 
 
-def validate_clips(
-    clips: DataFrame,
-    manifest: DataFrame,
+def validate_table(
+    df: DataFrame,
+    rules: list,
     *,
     frontier: int,
-    rules: list | None = None,
+    key_col: str = "clip_id",
+    manifest: DataFrame | None = None,
     skip_partitions: DataFrame | None = None,
     run_id: str | None = None,
     persist: bool = False,
@@ -76,33 +77,38 @@ def validate_clips(
     warn_detectors: tuple | list | None = None,
     drift_bounds: dict | None = None,
 ) -> RunResult:
-    """Run the full rule set over a clip table (any source).
+    """Run a rule set over ANY modality table (clips, images, videos —
+    the engine is key-agnostic; §2.10's multimodal mandate).
+
+    ``key_col`` names the table's row key; ``partition_key`` and ``seq``
+    are taken from the table when present, else derived from the key via
+    the id contract (with_partition_cols — c{part}-{seq}). ``manifest``
+    (optional) binds as the ``clip_manifest`` logical ref table, gaining
+    a derived partition_key the same way when it lacks one
+    (CompletenessRule needs the manifest to carry the verdict axis —
+    missing keys land in the MANIFEST's partition; a manifest with a
+    different id scheme must supply partition_key explicitly).
 
     ``extra_refs`` — additional logical-name → DataFrame bindings for
-    rules that reference tables beyond the manifest (e.g. a
-    CalibratedRangeRule's revisions table); merged over the implicit
-    ``clip_manifest`` binding.
+    rules that reference other tables (e.g. a CalibratedRangeRule's
+    revisions table, a ReconciliationRule's control-total source).
     """
     engine = ValidationEngine(
-        key_col="clip_id", partition_col="partition_key", seq_col="seq"
+        key_col=key_col, partition_col="partition_key", seq_col="seq"
     )
-    if "partition_key" not in manifest.columns and "clip_id" in manifest.columns:
-        # CompletenessRule needs the manifest to carry the verdict axis
-        # (missing keys land in the MANIFEST's partition — the table side
-        # has no row to derive it from). Derive it with the SAME rule
-        # with_partition_cols applies to the clip table itself
-        # (substring(clip_id, 1, 4) — this plan layer's id contract, see
-        # sources/synth.make_clip_id); a manifest whose ids follow a
-        # different scheme must supply partition_key explicitly, exactly
-        # as a clip table with a different scheme must.
-        manifest = manifest.withColumn(
-            "partition_key", F.substring("clip_id", 1, 4)
-        )
+    refs = dict(extra_refs or {})
+    if manifest is not None:
+        if "partition_key" not in manifest.columns:
+            ref_key = "clip_id" if "clip_id" in manifest.columns else key_col
+            manifest = manifest.withColumn(
+                "partition_key", F.substring(ref_key, 1, 4)
+            )
+        refs.setdefault("clip_manifest", manifest)
     return engine.run(
-        with_partition_cols(clips),
-        rules if rules is not None else default_rules(),
+        with_partition_cols(df, key_col=key_col),
+        rules,
         frontier=frontier,
-        refs={"clip_manifest": manifest, **(extra_refs or {})},
+        refs=refs,
         skip_partitions=skip_partitions,
         run_id=run_id,
         persist=persist,
@@ -112,6 +118,26 @@ def validate_clips(
         exclusion_windows=exclusion_windows,
         warn_detectors=warn_detectors,
         drift_bounds=drift_bounds,
+    )
+
+
+def validate_clips(
+    clips: DataFrame,
+    manifest: DataFrame,
+    *,
+    frontier: int,
+    rules: list | None = None,
+    **kwargs,
+) -> RunResult:
+    """Run the full rule set over a clip table (any source) — the
+    clip-keyed specialization of :func:`validate_table`."""
+    return validate_table(
+        clips,
+        rules if rules is not None else default_rules(),
+        frontier=frontier,
+        key_col="clip_id",
+        manifest=manifest,
+        **kwargs,
     )
 
 

@@ -205,6 +205,18 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "binding comes from --manifest; unknown-table references in the "
         "ruleset abort at config time, before any job runs",
     )
+    p.add_argument(
+        "--key-col",
+        default="clip_id",
+        metavar="NAME",
+        help="row-key column of the validated table (default clip_id). "
+        "Any modality table works — the engine is key-agnostic: pass "
+        "e.g. item_id for an image/video table whose ids follow the "
+        "same c{part}-{seq} contract (or that already carries "
+        "partition_key + seq columns). With a non-default key the "
+        "built-in clip schema gate is skipped; declare the table's "
+        "schema in the ruleset document instead",
+    )
     p.add_argument("--no-resume", action="store_true", help="revalidate everything")
     p.add_argument(
         "--no-state-bounds",
@@ -236,7 +248,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from .operators.config import load_ruleset_document
     from .operators.schema import CLIPS_TABLE_SCHEMA, enforce_schema
-    from .plans.clips import default_rules, validate_clips
+    from .plans.clips import default_rules, validate_table
     from .session import get_spark
     from .sources.synth import (
         SynthSpec,
@@ -456,17 +468,21 @@ def main(argv: list[str] | None = None) -> int:
         frontier = args.frontier if args.frontier is not None else frontier_of(spec)
     else:
         clips = spark.read.parquet(args.clips)
-        if not args.manifest:
+        if not args.manifest and args.key_col == "clip_id":
+            # the clip contract carries referential/transcript rules;
+            # generic tables (--key-col) may validate manifest-free
             print("--manifest is required with --clips", file=sys.stderr)
             return 2
-        manifest = spark.read.parquet(args.manifest)
+        manifest = spark.read.parquet(args.manifest) if args.manifest else None
         if args.frontier is not None:
             frontier = args.frontier
+        elif "seq" in clips.columns:
+            frontier = clips.select(F.max("seq").alias("m")).collect()[0]["m"]
         else:
-            # frontier = highest sequence present (clip_id carries the
+            # frontier = highest sequence present (the key carries the
             # monotone sequence — FIXTURES.md §1, SURVEY.md §7.3)
             frontier = clips.select(
-                F.max(F.substring("clip_id", 6, 9).cast("long")).alias("m")
+                F.max(F.substring(args.key_col, 6, 9).cast("long")).alias("m")
             ).collect()[0]["m"]
 
     store = CheckpointStore(get_catalog(spark, args.checkpoint_dir))
@@ -485,7 +501,8 @@ def main(argv: list[str] | None = None) -> int:
     # job) — a mis-typed upstream column aborts here, not mid-scan.
     # The ruleset document's "schema" key overrides the built-in clip
     # contract (BASELINE.json input_hint shape).
-    clips = enforce_schema(clips, declared_schema or CLIPS_TABLE_SCHEMA)
+    if declared_schema is not None or args.key_col == "clip_id":
+        clips = enforce_schema(clips, declared_schema or CLIPS_TABLE_SCHEMA)
     if args.max_violations is not None and args.max_violations < 1:
         print("--max-violations needs an integer >= 1", file=sys.stderr)
         return 2
@@ -499,7 +516,7 @@ def main(argv: list[str] | None = None) -> int:
         # full table) and BEFORE validation, so every downstream artifact
         # consistently describes the sampled subset
         clips = hash_sample(
-            clips, id_col="clip_id", fraction=args.sample, salt="validate"
+            clips, id_col=args.key_col, fraction=args.sample, salt="validate"
         )
     # drift bin bounds from the checkpointed profile-state table when it
     # covers every partition of this table — the corpus min/max agg (the
@@ -524,7 +541,7 @@ def main(argv: list[str] | None = None) -> int:
             }
             table_parts = {
                 r["partition_key"]
-                for r in _wpc(clips)
+                for r in _wpc(clips, key_col=args.key_col)
                 .select("partition_key")
                 .distinct()
                 .collect()
@@ -533,11 +550,12 @@ def main(argv: list[str] | None = None) -> int:
                 drift_bounds = bounds_from_states(states, drift_cols) or None
 
     t0 = time.time()
-    result = validate_clips(
+    result = validate_table(
         clips,
-        manifest,
+        rules,
+        key_col=args.key_col,
+        manifest=manifest,
         frontier=frontier,
-        rules=rules,
         skip_partitions=skip,
         run_id=args.run_id,
         persist=True,
@@ -566,7 +584,7 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.engine import quarantine_split, reindex_quarantine
 
         _, quar = quarantine_split(
-            clips, result.violations, warn_detectors=warn
+            clips, result.violations, key_col=args.key_col, warn_detectors=warn
         )
         # idempotence contract: every partition this run validated is
         # replaced — including ones whose violations all cleared, which
@@ -601,7 +619,7 @@ def main(argv: list[str] | None = None) -> int:
         from .functions.stats import profile_state
         from .sources.synth import with_partition_cols
 
-        keyed = with_partition_cols(clips)
+        keyed = with_partition_cols(clips, key_col=args.key_col)
         validated = (
             keyed.join(F.broadcast(skip), "partition_key", "left_anti")
             if skip is not None
