@@ -893,6 +893,8 @@ _IMAGES_VIOL = f"{_ORACLE_DIR}/image_violations.parquet"
 _VIDEOS = f"{_ORACLE_DIR}/videos.parquet"
 _VIDEO_FRAMES = f"{_ORACLE_DIR}/video_frames_expected.parquet"
 _VIDEO_VIOL = f"{_ORACLE_DIR}/video_violations.parquet"
+_IMG_DUP_CORPUS = f"{_ORACLE_DIR}/image_dup_corpus.parquet"
+_IMG_DHASH = f"{_ORACLE_DIR}/image_dhash_expected.parquet"
 _CLIPS_FRONTIER = 149  # SynthSpec(clips_per_partition=150) → frontier 149
 
 # Bump whenever sources/synth.py or functions/audio.py change the RENDERED
@@ -1058,6 +1060,42 @@ def _ensure_videos_oracle_files() -> None:
     pq.write_table(
         pa.Table.from_pandas(video_violations_pandas(spec), preserve_index=False),
         f"{_VIDEO_VIOL}/data.parquet",
+    )
+
+
+def _ensure_image_dup_oracle_files() -> None:
+    """Materialize the near-dup image corpus (real PNG/BMP bytes with
+    planted cross-codec re-encodes and pixel-perturbed variants) plus
+    the expected-dhash twin (same image_dhash_value kernel over the
+    same bytes)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        image_dhash_expected_pandas,
+        image_dup_corpus_pandas,
+    )
+
+    _ensure_fixture_version()
+    if os.path.exists(f"{_IMG_DUP_CORPUS}/data.parquet") and os.path.exists(
+        f"{_IMG_DHASH}/data.parquet"
+    ):
+        return
+    spec = SynthSpec(partitions=4, clips_per_partition=150)
+    for d in (_IMG_DUP_CORPUS, _IMG_DHASH):
+        os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(image_dup_corpus_pandas(spec), preserve_index=False),
+        f"{_IMG_DUP_CORPUS}/data.parquet",
+    )
+    pq.write_table(
+        pa.Table.from_pandas(
+            image_dhash_expected_pandas(spec), preserve_index=False
+        ),
+        f"{_IMG_DHASH}/data.parquet",
     )
 
 
@@ -1574,6 +1612,28 @@ def _q_video_decode_check(spark, sf):
         key_col="item_id",
     )
     return plan.violations
+
+
+def _q_image_dup(spark, sf):
+    """Perceptual image near-dup (functions/multimodal.image_dhash +
+    image_dup_pairs): decode → 63-bit dHash in one mapInPandas pass,
+    then banded blocking (9 seven-bit bands; pigeonhole guarantees
+    perfect recall at hamming ≤ 8) and a row-local JVM
+    bit_count(XOR) verify — the image member of the dedup family
+    (text minhash/simhash, audio band-energy). Pixel-based, so the
+    planted cross-codec re-encodes (PNG↔BMP, identical pixels) pair at
+    hamming 0 — the re-delivery no byte-level hash can match — and the
+    perturbed variants pair at tiny hamming. Oracle: the twin-dhash
+    parquet (same kernel) + identical band/bit math in DuckDB."""
+    from use_case_real_time_anomaly_detection_spark.functions.multimodal import (
+        image_dhash,
+        image_dup_pairs,
+    )
+
+    _ensure_image_dup_oracle_files()
+    corpus = spark.read.parquet(_IMG_DUP_CORPUS)
+    fps = image_dhash(corpus)
+    return image_dup_pairs(fps, max_hamming=6).orderBy("id_a", "id_b")
 
 
 def _q_corr_profile(spark, sf):
@@ -2609,6 +2669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reconcile_check": _q_reconcile_check,
         "video_frames": _q_video_frames,
         "video_decode_check": _q_video_decode_check,
+        "image_dup": _q_image_dup,
         "monotonic_check": _q_monotonic_check,
         "seasonal_check": _q_seasonal_check,
         "cat_drift_check": _q_cat_drift_check,
@@ -4484,6 +4545,30 @@ SELECT partition_key, clip_id, detector, observed, note
 FROM read_parquet('{_VIDEO_VIOL}/*.parquet')
 """
 
+# ≙ _q_image_dup: fingerprints from the twin-dhash parquet (same kernel
+# over the same bytes), then the IDENTICAL band decomposition
+# ((dhash >> 7k) & 127, non-negative 63-bit values so signed shifts
+# agree) and bit_count(xor) verify.
+_SQL_IMAGE_DUP = f"""
+WITH f AS (
+  SELECT item_id, dhash FROM read_parquet('{_IMG_DHASH}/*.parquet')
+  WHERE dhash IS NOT NULL
+), b AS (
+  SELECT item_id, dhash, k.k AS band_idx,
+         (dhash >> (7 * k.k)) & 127 AS band_val
+  FROM f, (SELECT unnest(generate_series(0, 8)) AS k) k
+), cand AS (
+  SELECT DISTINCT x.item_id AS id_a, y.item_id AS id_b,
+         x.dhash AS ha, y.dhash AS hb
+  FROM b x JOIN b y
+    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+   AND x.item_id < y.item_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+ORDER BY id_a, id_b
+"""
+
 # Decoded-PCM features: the oracle is the pandas twin parquet (same
 # clip_features numpy over the same rendered bytes — bit-identical
 # doubles, the clips_audio_violations discipline).
@@ -5616,6 +5701,7 @@ def oracle_sql() -> dict[str, str]:
         "reconcile_check": _SQL_RECONCILE_CHECK,
         "video_frames": _SQL_VIDEO_FRAMES,
         "video_decode_check": _SQL_VIDEO_DECODE_CHECK,
+        "image_dup": _SQL_IMAGE_DUP,
         "fd_check": _SQL_FD_CHECK,
         "corr_profile": _SQL_CORR_PROFILE,
         "gopher_quality": _SQL_GOPHER_QUALITY,

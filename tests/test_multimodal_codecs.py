@@ -308,3 +308,89 @@ def test_video_decode_rule_fused_flags_prescribed_defects(spark):
     # ONE zero-copy Arrow pass; payload never flows past it
     plan_str = plan.violations._jdf.queryExecution().executedPlan().toString()
     assert plan_str.count("MapInArrow") == 1
+
+
+# --------------------------------------------------------------- image dup
+
+
+def test_image_dhash_and_banded_pairs(spark):
+    from use_case_real_time_anomaly_detection_spark.functions.multimodal import (
+        image_dhash,
+        image_dhash_value,
+        image_dup_pairs,
+        IMAGE_DECODERS,
+    )
+    from use_case_real_time_anomaly_detection_spark.sources.synth import (
+        SynthSpec,
+        image_dup_corpus_pandas,
+    )
+
+    spec = SynthSpec(partitions=2, clips_per_partition=60)
+    corpus = image_dup_corpus_pandas(spec)
+    df = spark.createDataFrame(corpus)
+    fps = image_dhash(df)
+    got = {r["item_id"]: r["dhash"] for r in fps.collect()}
+    # operator == kernel, per item
+    for row in corpus.itertuples(index=False):
+        img = IMAGE_DECODERS[row.codec](bytes(row.payload))
+        assert got[row.item_id] == image_dhash_value(img)
+    pairs = image_dup_pairs(fps, max_hamming=6).collect()
+    by_pair = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    # every planted cross-codec re-encode pairs with its base at hamming 0
+    re_ids = [i for i in got if i.endswith("~re")]
+    assert re_ids
+    for rid in re_ids:
+        base = rid[: -len("~re")]
+        assert by_pair[tuple(sorted((base, rid)))] == 0
+    # every perturbed variant pairs with its base at small hamming
+    v_ids = [i for i in got if i.endswith("~v")]
+    assert v_ids
+    for vid in v_ids:
+        base = vid[: -len("~v")]
+        assert by_pair[tuple(sorted((base, vid)))] <= 3
+    # blocking is selective: pair count ~ planted count, not quadratic
+    assert len(pairs) < len(got) * 2
+
+
+def test_image_dup_pairs_recall_guarantee_and_validation(spark):
+    """Pigeonhole: with 9 bands, any pair at hamming <= 8 MUST share a
+    band — brute-force compare against the banded result."""
+    import itertools
+
+    from use_case_real_time_anomaly_detection_spark.functions.multimodal import (
+        image_dup_pairs,
+    )
+
+    vals = [
+        ("a", 0b101010),
+        ("b", 0b101011),          # hamming 1 vs a
+        ("c", 0b101010 ^ (0b1111111 << 14)),  # hamming 7 vs a
+        ("d", (1 << 62) - 1),
+    ]
+    fps = spark.createDataFrame(vals, "item_id string, dhash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_dup_pairs(fps, max_hamming=8).collect()
+    }
+    want = {}
+    for (ia, ha), (ib, hb) in itertools.combinations(vals, 2):
+        hm = bin(ha ^ hb).count("1")
+        if hm <= 8:
+            want[tuple(sorted((ia, ib)))] = hm
+    assert got == want
+    with pytest.raises(ValueError, match="max_hamming"):
+        image_dup_pairs(fps, max_hamming=9)  # beyond the recall guarantee
+
+
+def test_image_dhash_decode_failure_degrades(spark):
+    from use_case_real_time_anomaly_detection_spark.functions.multimodal import (
+        image_dhash,
+    )
+
+    df = spark.createDataFrame(
+        [("bad", b"not an image", "png"), ("unk", b"x", "tiff")],
+        "item_id string, payload binary, codec string",
+    )
+    rows = {r["item_id"]: r for r in image_dhash(df).collect()}
+    assert rows["bad"]["dhash"] is None and "png" in rows["bad"]["decode_error"]
+    assert rows["unk"]["dhash"] is None and "tiff" in rows["unk"]["decode_error"]

@@ -30,7 +30,9 @@ from typing import Callable, Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    LongType,
     BinaryType,
     BooleanType,
     DoubleType,
@@ -601,6 +603,155 @@ VIDEO_DEMUXERS: dict[str, Callable[[bytes], tuple]] = {
     "avi": avi_demux,
     "mp4": _unsupported_video("mp4"),
 }
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image fingerprint (dHash) + banded near-dup blocking — the
+# image member of the dedup family (text: minhash/simhash, audio:
+# band-energy blocking). Pixel-based, so it survives re-encoding across
+# codecs (PNG↔BMP of the same pixels → identical fingerprint), which no
+# byte-level hash can.
+# ---------------------------------------------------------------------------
+
+DHASH_BITS = 63  # top bit masked off: value stays non-negative in
+# signed int64 on BOTH engines, so band shifts/masks behave identically
+DHASH_BANDS, DHASH_BAND_BITS = 9, 7  # 9 bands × 7 bits = 63; pigeonhole:
+# any pair with hamming ≤ 8 shares at least one unchanged band
+
+
+def image_dhash_value(img: np.ndarray) -> int:
+    """Difference hash of a decoded image: gray → area block-mean to an
+    8×9 grid → horizontal neighbor comparisons → 63-bit integer.
+    Deterministic numpy throughout (the oracle twin runs this SAME
+    function over the same bytes)."""
+    if img.ndim == 3:
+        gray = img.astype(np.float64).mean(axis=2)
+    else:
+        gray = img.astype(np.float64)
+    h, w = gray.shape
+    if h < 8 or w < 9:
+        raise ValueError(f"image too small for dhash ({w}x{h})")
+    re_ = np.linspace(0, h, 9).astype(int)
+    ce = np.linspace(0, w, 10).astype(int)
+    cells = np.array(
+        [
+            [gray[re_[i]:re_[i + 1], ce[j]:ce[j + 1]].mean() for j in range(9)]
+            for i in range(8)
+        ]
+    )
+    bits = (cells[:, 1:] > cells[:, :-1]).flatten()
+    v = 0
+    for b in bits[:DHASH_BITS]:
+        v = (v << 1) | int(b)
+    return v
+
+
+IMAGE_DHASH_SCHEMA = StructType(
+    [
+        StructField("item_id", StringType()),
+        StructField("dhash", LongType()),
+        StructField("decode_error", StringType()),
+    ]
+)
+
+
+def image_dhash(
+    df: DataFrame,
+    *,
+    id_col: str = "item_id",
+    bytes_col: str = "payload",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """Decode + fingerprint images in Arrow batches (one mapInPandas
+    pass). Decode failures are rows (NULL dhash + the stable error
+    string), not exceptions."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, payload, codec in zip(b[id_col], b[bytes_col], b[codec_col]):
+                try:
+                    dec = IMAGE_DECODERS.get(codec)
+                    if dec is None:
+                        raise ValueError(f"no decoder for {codec!r}")
+                    img = dec(bytes(payload))
+                    rows.append(
+                        {"item_id": iid, "dhash": image_dhash_value(img),
+                         "decode_error": None}
+                    )
+                except Exception as exc:
+                    rows.append(
+                        {"item_id": iid, "dhash": None,
+                         "decode_error": str(exc)[:120]}
+                    )
+            yield pd.DataFrame(rows, columns=["item_id", "dhash", "decode_error"])
+
+    return df.select(id_col, bytes_col, codec_col).mapInPandas(
+        run, IMAGE_DHASH_SCHEMA
+    )
+
+
+def image_dup_pairs(
+    fingerprints: DataFrame,
+    *,
+    max_hamming: int = 6,
+    id_col: str = "item_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Near-duplicate image pairs by banded dHash blocking.
+
+    Scale shape (the audio_dup / minhash discipline — bucketed, never
+    all-pairs): each fingerprint explodes into 9 seven-bit band keys; only
+    rows sharing a (band_idx, band_val) bucket join, and the pigeonhole
+    bound guarantees every pair with hamming ≤ 8 shares a band, so
+    max_hamming ≤ 8 has perfect recall. The frame that shuffles carries
+    (id, hash, band) longs only — never pixels. Verify is row-local JVM
+    bit math: bit_count(a XOR b) ≤ max_hamming.
+    Returns (id_a, id_b, hamming), id_a < id_b, each pair once."""
+    if not (0 <= max_hamming <= DHASH_BANDS - 1):
+        raise ValueError(
+            f"max_hamming must be in [0, {DHASH_BANDS - 1}] for guaranteed "
+            f"recall with {DHASH_BANDS} bands, got {max_hamming}"
+        )
+    f = fingerprints.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h")
+    )
+    bands = f.select(
+        "id",
+        "h",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("h"), DHASH_BAND_BITS * k).bitwiseAND(
+                        F.lit((1 << DHASH_BAND_BITS) - 1)
+                    )
+                    for k in range(DHASH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.h").alias("ha"),
+            F.col("y.h").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def check_video(payload, codec: str):

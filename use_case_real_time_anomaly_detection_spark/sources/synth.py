@@ -874,6 +874,99 @@ def image_violations_pandas(
     ).reset_index(drop=True)
 
 
+def dup_image_pixels(p: int, seq: int) -> np.ndarray:
+    """Deterministic TEXTURED pixels for the near-dup corpus: nonlinear
+    index arithmetic (xy cross terms) so distinct items land far apart
+    in dHash space (597/600 distinct hashes, ~0.05% incidental close
+    pairs at hamming ≤ 6) — unlike image_pixels' linear gradients,
+    which are all perceptually alike by construction."""
+    yy = np.arange(IMG_H)[:, None, None]
+    xx = np.arange(IMG_W)[None, :, None]
+    ch = np.arange(3)[None, None, :]
+    v = (
+        (xx * yy * 37 + (xx + p) * (yy + seq) * 101 + ch * 29 + seq * seq * 13)
+        // 3
+    ) % 256
+    return v.astype(np.uint8)
+
+
+def image_dup_corpus_pandas(spec: SynthSpec = SynthSpec()) -> pd.DataFrame:
+    """Near-dup image corpus: one textured item per (partition, seq),
+    codec alternating PNG/BMP, plus planted duplicates — every 15th
+    item re-encoded in the OTHER codec with identical pixels (``~re``:
+    exact perceptual dup, hamming 0 — the cross-codec re-delivery no
+    byte hash can match), and every item with seq % 10 == 5 perturbed
+    by one strong pixel flip (``~v``: near-dup, tiny hamming).
+    Columns (partition_key, item_id, payload, codec)."""
+    from ..functions.multimodal import bmp_encode, png_encode
+
+    def enc(img: np.ndarray, codec: str) -> bytes:
+        return bmp_encode(img) if codec == "bmp" else png_encode(img)
+
+    rows = []
+    for p in range(spec.partitions):
+        for seq in range(spec.clips_per_partition):
+            img = dup_image_pixels(p, seq)
+            codec = "bmp" if seq % 4 == 3 else "png"
+            iid = make_clip_id(p, seq)
+            rows.append(
+                {
+                    "partition_key": partition_tag(p),
+                    "item_id": iid,
+                    "payload": enc(img, codec),
+                    "codec": codec,
+                }
+            )
+            if seq % 15 == 0:
+                other = "png" if codec == "bmp" else "bmp"
+                rows.append(
+                    {
+                        "partition_key": partition_tag(p),
+                        "item_id": f"{iid}~re",
+                        "payload": enc(img, other),
+                        "codec": other,
+                    }
+                )
+            if seq % 10 == 5:
+                img2 = img.copy()
+                img2[0, 0] = img2[0, 0] ^ 255
+                rows.append(
+                    {
+                        "partition_key": partition_tag(p),
+                        "item_id": f"{iid}~v",
+                        "payload": enc(img2, codec),
+                        "codec": codec,
+                    }
+                )
+    return pd.DataFrame(
+        rows, columns=["partition_key", "item_id", "payload", "codec"]
+    )
+
+
+def image_dhash_expected_pandas(spec: SynthSpec = SynthSpec()) -> pd.DataFrame:
+    """Oracle twin of the image_dhash operator: the SAME
+    image_dhash_value kernel over the SAME corpus bytes."""
+    from ..functions.multimodal import IMAGE_DECODERS, image_dhash_value
+
+    corpus = image_dup_corpus_pandas(spec)
+    rows = []
+    for row in corpus.itertuples(index=False):
+        try:
+            img = IMAGE_DECODERS[row.codec](bytes(row.payload))
+            rows.append(
+                {"item_id": row.item_id,
+                 "dhash": image_dhash_value(img), "decode_error": None}
+            )
+        except Exception as exc:  # mirror the operator's degrade path
+            rows.append(
+                {"item_id": row.item_id, "dhash": None,
+                 "decode_error": str(exc)[:120]}
+            )
+    out = pd.DataFrame(rows, columns=["item_id", "dhash", "decode_error"])
+    out["dhash"] = out["dhash"].astype("Int64")
+    return out
+
+
 VID_W, VID_H, VID_FRAMES = 16, 12, 6
 _VID_TRUNC = (19, 4)  # seq % 19 == 4  → payload truncated (demux fails)
 _VID_BADCODEC = (23, 9)  # seq % 23 == 9 → declared codec mp4 (unsupported)
