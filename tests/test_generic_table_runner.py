@@ -94,3 +94,57 @@ def test_runner_manifest_still_required_for_clip_key(tmp_path, capsys, video_par
         ]
     )
     assert rc == 2  # clip-keyed runs keep the manifest contract
+
+
+def test_runner_streams_video_table(spark, tmp_path, capsys):
+    """Generic-table STREAMING: video parquet files land in a dir, the
+    runner validates each micro-batch through the same engine + lineage
+    store (`--stream --key-col item_id`), incremental across waves."""
+    land = tmp_path / "landing"
+    land.mkdir()
+    ckpt = str(tmp_path / "sckpt")
+
+    full = spark.createDataFrame(
+        videos_pandas(SynthSpec(partitions=3, clips_per_partition=45))
+    )
+
+    def wave(pred):
+        # append into the flat landing dir: the file source tracks which
+        # part files it has already consumed
+        full.filter(pred).write.mode("append").parquet(str(land))
+
+    wave("partition_key IN ('c000', 'c001')")
+    args = [
+        "--stream", str(land),
+        "--key-col", "item_id",
+        "--rules", "rulesets/videos.json",
+        "--checkpoint-dir", ckpt,
+    ]
+    rc1, s1 = _run(args, capsys)
+    assert rc1 == 0 and s1["mode"] == "stream"
+    assert s1["partitions_validated"] == 2 and s1["violations"] > 0
+    v1 = s1["violations"]
+    # second wave: only the NEW files are validated (file-source
+    # checkpoint), violations accumulate
+    wave("partition_key = 'c002'")
+    rc2, s2 = _run(args, capsys)
+    assert rc2 == 0
+    assert s2["partitions_validated"] == 3  # c000..c002 seen overall
+    assert s2["violations"] > v1
+
+
+def test_runner_stream_generic_requires_schema(tmp_path, capsys):
+    """--stream --key-col without a schema-declaring ruleset aborts
+    before any job (the file source needs a declared read schema)."""
+    import json as _json
+
+    no_schema = tmp_path / "r.json"
+    no_schema.write_text(_json.dumps({"rules": [
+        {"type": "not_null", "column": "codec"}]}))
+    rc = runner.main([
+        "--stream", str(tmp_path),
+        "--key-col", "item_id",
+        "--rules", str(no_schema),
+        "--checkpoint-dir", str(tmp_path / "ck"),
+    ])
+    assert rc == 2

@@ -377,7 +377,7 @@ def main(argv: list[str] | None = None) -> int:
         return 1 if cur_rows else 0
 
     if args.stream:
-        if not args.manifest:
+        if not args.manifest and args.key_col == "clip_id":
             print("--manifest is required with --stream", file=sys.stderr)
             return 2
         from .sources.synth import CLIPS_SCHEMA
@@ -404,13 +404,28 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 return 2
         store = CheckpointStore(get_catalog(spark, args.checkpoint_dir))
-        manifest = spark.read.parquet(args.manifest)
-        stream = spark.readStream.schema(CLIPS_SCHEMA).parquet(args.stream)
+        manifest = spark.read.parquet(args.manifest) if args.manifest else None
         if args.rules:
-            s_rules, _, s_doc_warn = load_ruleset_document(args.rules)
+            s_rules, s_schema, s_doc_warn = load_ruleset_document(args.rules)
         else:
             s_rules = default_rules(with_audio=not args.no_audio)
+            s_schema = None
             s_doc_warn = ()
+        if args.key_col != "clip_id":
+            # generic-table stream: the file source needs a declared read
+            # schema — take it from the ruleset document's schema contract
+            # (the same one the batch gate enforces)
+            if s_schema is None:
+                print(
+                    "--stream with --key-col needs a ruleset document "
+                    "declaring the table schema",
+                    file=sys.stderr,
+                )
+                return 2
+            ddl = ", ".join(f"{c.name} {c.dtype}" for c in s_schema.columns)
+            stream = spark.readStream.schema(ddl).parquet(args.stream)
+        else:
+            stream = spark.readStream.schema(CLIPS_SCHEMA).parquet(args.stream)
         s_warn = tuple(dict.fromkeys([*s_doc_warn, *_split_warn(args.warn)]))
         t0 = time.time()
         q = stream_clips_validation(
@@ -418,6 +433,7 @@ def main(argv: list[str] | None = None) -> int:
             manifest,
             store,
             checkpoint_dir=f"{args.checkpoint_dir}/_stream_ckpt",
+            key_col=args.key_col,
             rules=s_rules,
             warn_detectors=s_warn or None,
             quarantine=args.quarantine,

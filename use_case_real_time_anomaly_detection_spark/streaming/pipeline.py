@@ -40,10 +40,11 @@ def run_copy_cycle(
 
 def stream_clips_validation(
     clip_stream: DataFrame,
-    manifest: DataFrame,
+    manifest: DataFrame | None,
     store,
     *,
     checkpoint_dir: str,
+    key_col: str = "clip_id",
     rules: list | None = None,
     available_now: bool = True,
     quarantine: bool = False,
@@ -98,19 +99,20 @@ def stream_clips_validation(
     a copy pipe's trailing-window snapshot — so a partition's verdict
     history accumulates one row per cycle in the lineage table.
     """
-    from ..plans.clips import validate_clips
+    from ..plans.clips import default_rules, validate_table
     from ..sources.synth import with_partition_cols
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        clips = with_partition_cols(batch_df)
+        clips = with_partition_cols(batch_df, key_col=key_col)
         frontier = clips.agg(F.max("seq")).collect()[0][0]
-        res = validate_clips(
+        res = validate_table(
             clips,
-            manifest,
+            rules if rules is not None else default_rules(),
+            key_col=key_col,
+            manifest=manifest,
             frontier=int(frontier),
-            rules=rules,
             run_id=f"stream-{batch_id}",
             persist=True,
             fail_threshold=fail_threshold,
@@ -136,7 +138,8 @@ def stream_clips_validation(
             from ..operators.engine import quarantine_split
 
             _, quar = quarantine_split(
-                clips, res.violations, warn_detectors=warn_detectors or ()
+                clips, res.violations, key_col=key_col,
+                warn_detectors=warn_detectors or (),
             )
             # a SEPARATE table from the batch runner's `quarantine`:
             # streaming accumulates per-batch evidence dirs ((pk, batch)
@@ -164,14 +167,24 @@ def stream_clips_validation(
             # (measured: drifted PSI ≈ 10, healthy ≈ 0, at 4 AND 8
             # partitions). sr_hz: 1 kHz bins separate the corpus rates
             # (8000 / 16000 / 44100) into distinct bins.
+            # clip-contract columns only where present: a generic
+            # (--key-col) stream still accumulates states for whatever
+            # subset of the profiled columns its table carries
+            num_cols = [c for c in ("dur_ms", "sr_hz") if c in clips.columns]
             st = profile_state(
                 clips,
                 partition_col="partition_key",
-                numeric_columns=["dur_ms", "sr_hz"],
-                distinct_columns=["codec", "clip_id"],
+                numeric_columns=num_cols,
+                distinct_columns=[
+                    c for c in ("codec", key_col) if c in clips.columns
+                ],
                 histogram_columns={
-                    "dur_ms": (0.0, 4000.0, 10),
-                    "sr_hz": (0.0, 48000.0, 48),
+                    c: g
+                    for c, g in (
+                        ("dur_ms", (0.0, 4000.0, 10)),
+                        ("sr_hz", (0.0, 48000.0, 48)),
+                    )
+                    if c in clips.columns
                 },
             )
             store.record_profile_batch(st, batch_id)
