@@ -64,6 +64,7 @@ HEADLINE = [
     "image_decode_check",  # fused ImageDecodeRule over real bytes (r5)
     "video_frames",        # REAL AVI/RIFF demux -> BMP frame payloads (r5)
     "video_decode_check",  # fused VideoDecodeRule over real containers (r5)
+    "image_dup",           # dHash + banded blocking image near-dup (r5)
     "benford_check",       # first-digit MAD conformity per partition (r5)
     "volume_check",        # row-count fences vs median band (r5)
     "reconcile_check",     # control totals vs the manifest (r5)
