@@ -3424,8 +3424,11 @@ FROM c, med WHERE n < m / 1.5 OR n > m * 1.5
 """
 
 
-# ≙ _q_reconcile_check: two per-partition counts, FULL OUTER join with
-# COALESCE 0, |actual − expected| > 2.5.
+# ≙ _q_reconcile_check: two per-partition counts reconciled with
+# absent-side-counts-as-0 semantics (the engine compiles this as a
+# tagged union + re-aggregate — zero join nodes; the FULL OUTER +
+# COALESCE here is the equivalent relational statement of the same
+# contract), |actual − expected| > 2.5.
 _SQL_RECONCILE_CHECK = f"""
 WITH a AS (
   SELECT substring(clip_id, 1, 4) AS pk,

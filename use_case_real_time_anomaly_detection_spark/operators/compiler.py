@@ -1580,16 +1580,33 @@ def compile_rules(
         else:  # sum — exact decimal partials, order-independent verdict
             a_expr = F.sum(F.col(r.column).cast("decimal(38,6)")).cast("double")
             e_expr = F.sum(F.col(rc).cast("decimal(38,6)")).cast("double")
-        actual = df.groupBy(F.col(partition_col).alias("partition_key")).agg(
-            a_expr.alias("actual")
+        # full-outer semantics WITHOUT a join: tag each side's tiny
+        # per-partition aggregate and re-aggregate the union — a side
+        # absent from a partition contributes its 0, exactly the
+        # COALESCE(full_outer) contract, with one groupBy and zero join
+        # nodes (a full-outer can't broadcast, so the join form would
+        # plan an SMJ — needless even on operator-sized frames)
+        actual = (
+            df.groupBy(F.col(partition_col).alias("partition_key"))
+            .agg(a_expr.alias("actual"))
+            .select(
+                "partition_key", "actual", F.lit(0.0).alias("expected")
+            )
         )
-        expected = ref.groupBy(F.col(partition_col).alias("partition_key")).agg(
-            e_expr.alias("expected")
+        expected = (
+            ref.groupBy(F.col(partition_col).alias("partition_key"))
+            .agg(e_expr.alias("expected"))
+            .select(
+                "partition_key", F.lit(0.0).alias("actual"), "expected"
+            )
         )
         joined = (
-            actual.join(expected, "partition_key", "full_outer")
-            .withColumn("actual", F.coalesce("actual", F.lit(0.0)))
-            .withColumn("expected", F.coalesce("expected", F.lit(0.0)))
+            actual.unionByName(expected)
+            .groupBy("partition_key")
+            .agg(
+                F.sum("actual").alias("actual"),
+                F.sum("expected").alias("expected"),
+            )
         )
         tol = F.lit(float(r.abs_tolerance)) + F.lit(
             float(r.rel_tolerance)

@@ -894,8 +894,9 @@ class ReconciliationRule(Rule):
     rel_tolerance·|expected|. The reference frame must carry the run's
     partition column; partitions present on only one side reconcile
     against 0 (a wholly-missing side is exactly the defect). Compiles
-    to two tiny per-partition aggregates + one broadcast-sized
-    full-outer join. Partition-level violations.
+    to two tiny per-partition aggregates whose tagged UNION re-aggregates
+    to one row per partition — full-outer-coalesce semantics with zero
+    join nodes. Partition-level violations.
     """
 
     column: str = "clip_id"
