@@ -3390,6 +3390,7 @@ WITH src AS (
              '[^1-9]', '', 'g'), 1, 1) AS d
   FROM read_parquet('{_CLIPS_META}/*.parquet')
   WHERE dur_ms IS NOT NULL AND ABS(CAST(dur_ms AS DOUBLE)) > 0
+    AND isfinite(CAST(dur_ms AS DOUBLE))
 ), c AS (
   SELECT pk, count(*) AS n,
          {", ".join(f"sum(CASE WHEN d = '{i}' THEN 1 ELSE 0 END) AS n{i}" for i in range(1, 10))}

@@ -453,12 +453,16 @@ def _dib_encode_frame(img: np.ndarray) -> bytes:
     return b"".join(bgr[y].tobytes() + pad for y in range(h - 1, -1, -1))
 
 
-def _dib_decode_frame(data: bytes, w: int, h: int) -> np.ndarray:
+def _dib_decode_frame(
+    data: bytes, w: int, h: int, *, topdown: bool = False
+) -> np.ndarray:
     rowsz = (w * 3 + 3) & ~3
     if len(data) != rowsz * h:
         raise ValueError("avi frame size mismatch")
     arr = np.frombuffer(data, dtype=np.uint8).reshape(h, rowsz)
-    bgr = arr[:, : w * 3].reshape(h, w, 3)[::-1]
+    bgr = arr[:, : w * 3].reshape(h, w, 3)
+    if not topdown:  # positive biHeight = bottom-up row order
+        bgr = bgr[::-1]
     return bgr[:, :, ::-1].copy()
 
 
@@ -546,6 +550,7 @@ def avi_demux(payload: bytes) -> tuple[int, int, list]:
     (riff_sz,) = struct.unpack_from("<I", data, 4)
     end = min(len(data), 8 + riff_sz)
     w = h = None
+    topdown = False
     frames: list = []
     saw_movi = False
     for fourcc, p, size in _riff_chunks(data, 12, end):
@@ -562,14 +567,20 @@ def avi_demux(payload: bytes) -> tuple[int, int, list]:
                             )
                             if comp != 0 or bpp != 24:
                                 raise ValueError("unsupported avi compression")
-                            w, h = bw, abs(bh)
+                            # negative biHeight = top-down row order
+                            # (spec-valid, common from Windows encoders)
+                            w, h, topdown = bw, abs(bh), bh < 0
         elif kind == b"movi":
             saw_movi = True
             if w is None:
                 raise ValueError("missing avi headers")
             for f2, p2, s2 in _riff_chunks(data, p + 4, p + size):
                 if f2 in (b"00db", b"00dc"):
-                    frames.append(_dib_decode_frame(data[p2 : p2 + s2], w, h))
+                    frames.append(
+                        _dib_decode_frame(
+                            data[p2 : p2 + s2], w, h, topdown=topdown
+                        )
+                    )
     if w is None or not saw_movi:
         raise ValueError("missing avi headers")
     return w, h, frames
@@ -862,6 +873,10 @@ def video_frames(
                     if demux is None:
                         raise ValueError(f"unknown video codec {codec!r}")
                     w, h, frames = demux(bytes(payload))
+                    if not frames:
+                        # a headers-only container must stay accountable:
+                        # one error row, not a silently vanished item
+                        raise ValueError("no frames in container")
                     for i in range(0, len(frames), every_n):
                         rows.append(
                             {

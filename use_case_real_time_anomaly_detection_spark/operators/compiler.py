@@ -1054,15 +1054,21 @@ def compile_rules(
                 F.lit("x"),
                 F.coalesce(F.col("__img_h").cast("string"), F.lit("?")),
             )
+            # declared dims coalesce to "?" so a NULL declared value
+            # can't NULL the whole note (same contract as the video rule)
             declared_bits: list[Column] = []
             if r.width_column is not None:
                 cond = cond | (F.col("__img_w") != F.col(r.width_column))
-                declared_bits.append(F.col(r.width_column).cast("string"))
+                declared_bits.append(
+                    F.coalesce(F.col(r.width_column).cast("string"), F.lit("?"))
+                )
             if r.height_column is not None:
                 cond = cond | (F.col("__img_h") != F.col(r.height_column))
                 if declared_bits:
                     declared_bits.append(F.lit("x"))
-                declared_bits.append(F.col(r.height_column).cast("string"))
+                declared_bits.append(
+                    F.coalesce(F.col(r.height_column).cast("string"), F.lit("?"))
+                )
             note = F.concat(
                 F.lit("decoded:"), decoded,
                 F.lit("| declared:"),
@@ -1080,20 +1086,29 @@ def compile_rules(
                 F.lit("@"),
                 F.coalesce(F.col("__vid_frames").cast("string"), F.lit("?")),
             )
+            # declared columns coalesce to "?" in the note: a NULL
+            # declared value must not NULL out the whole concat (losing
+            # the demux_error diagnostics on a failed row). The mismatch
+            # comparison itself stays NULL-neutral by design — missing
+            # declared metadata is "no cross-check", not a violation
             declared_bits = []
+
+            def _decl(colname):
+                return F.coalesce(F.col(colname).cast("string"), F.lit("?"))
+
             if r.width_column is not None:
                 cond = cond | (F.col("__vid_w") != F.col(r.width_column))
-                declared_bits.append(F.col(r.width_column).cast("string"))
+                declared_bits.append(_decl(r.width_column))
             if r.height_column is not None:
                 cond = cond | (F.col("__vid_h") != F.col(r.height_column))
                 if declared_bits:
                     declared_bits.append(F.lit("x"))
-                declared_bits.append(F.col(r.height_column).cast("string"))
+                declared_bits.append(_decl(r.height_column))
             if r.frames_column is not None:
                 cond = cond | (F.col("__vid_frames") != F.col(r.frames_column))
                 if declared_bits:
                     declared_bits.append(F.lit("@"))
-                declared_bits.append(F.col(r.frames_column).cast("string"))
+                declared_bits.append(_decl(r.frames_column))
             note = F.concat(
                 F.lit("decoded:"), decoded,
                 F.lit("| declared:"),
@@ -1520,7 +1535,10 @@ def compile_rules(
         digit = F.substring(
             F.regexp_replace(v.cast("string"), "[^1-9]", ""), 1, 1
         )
-        usable = v.isNotNull() & (v > 0)
+        # finite positives only: NaN compares > 0 true in Spark and
+        # ±Inf has no first digit — counting either as usable would
+        # deflate every digit share and spuriously inflate the MAD
+        usable = v.isNotNull() & (v > 0) & ~F.isnan(v) & (v < float("inf"))
         counts = [
             F.sum(
                 F.when(usable & (digit == str(d)), F.lit(1)).otherwise(F.lit(0))
@@ -1634,11 +1652,18 @@ def compile_rules(
         if r.detector not in partition_level:
             partition_level.append(r.detector)
 
-    # ---- volume fences over the per-partition count frame -----------------
+    # the per-partition count frame: built ONCE and shared by the
+    # VolumeRule fences and the plan's rows_checked output — one count
+    # subtree in the violations plan, not one per consumer
+    counts_frame = df.groupBy(F.col(partition_col).alias("partition_key")).agg(
+        F.count(F.lit(1)).alias("rows_checked")
+    )
+
+    # ---- volume fences over the shared per-partition count frame ----------
     vol_rules = [x for x in rules if isinstance(x, VolumeRule)]
     if vol_rules:
-        vol_counts = df.groupBy(F.col(partition_col).alias("partition_key")).agg(
-            F.count(F.lit(1)).alias("n")
+        vol_counts = counts_frame.select(
+            "partition_key", F.col("rows_checked").alias("n")
         )
         needs_median = any(r.max_factor is not None for r in vol_rules)
         if needs_median:
@@ -1679,9 +1704,7 @@ def compile_rules(
                 partition_level.append(r.detector)
 
     violations = reduce(DataFrame.unionByName, fused_parts) if fused_parts else None
-    rows_checked = df.groupBy(F.col(partition_col).alias("partition_key")).agg(
-        F.count(F.lit(1)).alias("rows_checked")
-    )
+    rows_checked = counts_frame
     if comp_ref_parts:
         # a partition whose EVERY row is missing never appears in the
         # table's groupBy — union the manifest's partitions in at

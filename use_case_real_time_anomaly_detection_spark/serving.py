@@ -46,7 +46,6 @@ from pyspark.sql import functions as F
 from .plans import copylog as C
 from .plans import detectors as D
 from .plans.envelope import response_envelope
-from .sources.ingest import parse_events
 
 
 class PipeError(ValueError):
@@ -113,14 +112,11 @@ class Pipe:
     validate: Callable[[dict[str, Any]], None] | None = None
 
     def bind(self, query: dict[str, list[str]]) -> dict[str, Any]:
-        known = {p.name for p in self.params}
-        bound = {
+        # unknown query params are ignored, like the reference's template
+        # layer (token/format are handled by the server layer)
+        return {
             p.name: p.bind(query.get(p.name, [None])[0]) for p in self.params
         }
-        # the reference ignores unknown params except the reserved ones;
-        # we ignore them too (token/format handled by the server layer)
-        _ = known
-        return bound
 
     def scope(self) -> str:
         return f"PIPES:READ:{self.name}"
@@ -146,41 +142,75 @@ class EventStore:
         self.spark = spark
         self.path = path
         self._lock = threading.Lock()
-        self._seq = 0
+        self._seq: int | None = None  # resumed from the store on first use
+
+    def _next_seq_base(self, n: int) -> int:
+        """Reserve n event_ids. Resumes from max(event_id)+1 already in
+        the store, so ids stay unique across server restarts (they are
+        the deterministic ordering tiebreaker — a restart must not
+        reissue ids already persisted)."""
+        if self._seq is None:
+            try:
+                row = (
+                    self.spark.read.parquet(self.path)
+                    .agg(F.max("event_id"))
+                    .collect()[0]
+                )
+                self._seq = int(row[0]) + 1 if row[0] is not None else 0
+            except Exception:  # no data yet
+                self._seq = 0
+        base = self._seq
+        self._seq += n
+        return base
 
     def append_ndjson(self, body: str) -> tuple[int, int]:
         lines = [ln for ln in body.splitlines() if ln.strip()]
         if not lines:
             return (0, 0)
+        # ONE lock over id reservation AND the parquet append: concurrent
+        # Spark append jobs to one path race on the shared _temporary
+        # staging dir (the first commit deletes the second job's files),
+        # so ingest appends are serialized — correctness over throughput
+        # at this driver-side layer; a production sink would be a
+        # streaming source or an ACID table commit instead
         with self._lock:
-            base = self._seq
-            self._seq += len(lines)
-        raw = self.spark.createDataFrame(
-            [(base + i, ln) for i, ln in enumerate(lines)], "event_id long, line string"
-        )
-        # same declared-schema coercions as sources/ingest.parse_events,
-        # inlined so event_id rides the one projection (no join)
-        parsed = raw.select(
-            "event_id",
-            F.from_json(F.col("line"), "id INT, timestamp STRING, value STRING").alias("e"),
-        ).select(
-            "event_id",
-            F.col("e.id").try_cast("int").alias("id"),
-            F.try_to_timestamp("e.timestamp").alias("ts"),
-            F.col("e.value").try_cast("float").alias("value"),
-        )
-        ok = parsed.filter(F.col("id").isNotNull() & F.col("ts").isNotNull())
-        n_ok = ok.count()
-        quarantined = len(lines) - n_ok
-        if n_ok:
-            ok.write.mode("append").parquet(self.path)
+            base = self._next_seq_base(len(lines))
+            raw = self.spark.createDataFrame(
+                [(base + i, ln) for i, ln in enumerate(lines)],
+                "event_id long, line string",
+            )
+            # same declared-schema coercions as sources/ingest.parse_events,
+            # inlined so event_id rides the one projection (no join)
+            parsed = raw.select(
+                "event_id",
+                F.from_json(
+                    F.col("line"), "id INT, timestamp STRING, value STRING"
+                ).alias("e"),
+            ).select(
+                "event_id",
+                F.col("e.id").try_cast("int").alias("id"),
+                F.try_to_timestamp("e.timestamp").alias("ts"),
+                F.col("e.value").try_cast("float").alias("value"),
+            )
+            ok = parsed.filter(F.col("id").isNotNull() & F.col("ts").isNotNull())
+            n_ok = ok.count()
+            quarantined = len(lines) - n_ok
+            if n_ok:
+                ok.write.mode("append").parquet(self.path)
         return (n_ok, quarantined)
+
+    _EMPTY_SCHEMA = "id int, ts timestamp, value float, event_id long"
 
     def events(self) -> DataFrame:
         """Current fact table in the detector shape (id, ts, value,
         event_id). Reads the driver's events.parquet shape too
-        (user_id → id, plans/detectors.events_shape)."""
-        df = self.spark.read.parquet(self.path)
+        (user_id → id, plans/detectors.events_shape). A store with no
+        data yet serves the empty relation (endpoints return zero rows,
+        not a 500)."""
+        try:
+            df = self.spark.read.parquet(self.path)
+        except Exception:
+            return self.spark.createDataFrame([], self._EMPTY_SCHEMA)
         if "user_id" in df.columns:
             return D.events_shape(df)
         return df.select("id", "ts", "value", "event_id")
@@ -401,6 +431,11 @@ class TokenAuth:
         scopes = self.grants.get(secret)
         return scopes is not None and ("ADMIN" in scopes or scope in scopes)
 
+    def known(self, secret: str | None) -> bool:
+        """Any valid token — the bar for metadata endpoints (the pipe
+        listing): enumerable by credentialed clients only."""
+        return secret is not None and secret in self.grants
+
 
 # ---------------------------------------------------------------------------
 # The HTTP server
@@ -454,6 +489,11 @@ class AnalyticsAPIServer:
                 query = parse_qs(url.query)
                 parts = [x for x in url.path.split("/") if x]
                 if parts[:2] == ["v0", "pipes"] and len(parts) == 2:
+                    if outer.auth is not None and not outer.auth.known(
+                        self._token(query)
+                    ):
+                        self._send(403, {"error": "invalid token"})
+                        return
                     self._send(200, {
                         "pipes": [
                             {"name": pp.name, "description": pp.description,
