@@ -230,3 +230,41 @@ def test_driver_events_shape_store(spark, tmp_path):
     pipes = default_pipes()
     df = pipes["ui_ids"].builder(store, {})
     assert df.count() > 0
+
+
+def test_materialized_copy_log_cycle(spark, tmp_path):
+    """The copy-pipe architecture: tick() materializes detections, the
+    consumer endpoint reads the materialization (NOT a per-request
+    recompute), and re-ticking is idempotent (at-least-once append +
+    key dedup, the copy_log contract)."""
+    from use_case_real_time_anomaly_detection_spark.serving import (
+        AnalyticsAPIServer,
+        EventStore,
+        MaterializedCopyLog,
+    )
+
+    store = EventStore(spark, str(tmp_path / "ev"))
+    store.append_ndjson(NDJSON)
+    mat = MaterializedCopyLog(store, str(tmp_path / "copylog"))
+    n1 = mat.tick()
+    assert n1 > 0
+    assert mat.tick() == 0  # idempotent: same detections, nothing new
+    srv = AnalyticsAPIServer(store, copy_log=mat).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        code, body = _get(f"{base}/v0/pipes/get_anomalies.json?hours=48")
+        assert code == 200 and body["rows"] == n1
+        # endpoint reads the MATERIALIZATION: new events don't surface
+        # until the next tick
+        store.append_ndjson(
+            json.dumps({"id": 9, "timestamp": "2024-01-01T00:04:30",
+                        "value": "99999"})
+        )
+        code, body2 = _get(f"{base}/v0/pipes/get_anomalies.json?hours=48")
+        assert body2["rows"] == n1
+        n2 = mat.tick()
+        assert n2 > 0  # the out-of-range spike materializes on tick
+        code, body3 = _get(f"{base}/v0/pipes/get_anomalies.json?hours=48")
+        assert body3["rows"] == n1 + n2
+    finally:
+        srv.shutdown()

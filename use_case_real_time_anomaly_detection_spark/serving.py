@@ -220,6 +220,75 @@ class EventStore:
         return D.frontier_ts(self.events())
 
 
+class MaterializedCopyLog:
+    """The copy-pipe architecture, served: scheduled cycles append new
+    detections to a materialized ``copy_log`` and the consumer endpoints
+    read the materialization instead of recomputing detectors per
+    request — exactly the reference's design and its stated rationale
+    (copy pipes on a minute cron feeding copy_log,
+    content/copies-pipes.md:13-46; `tick()` ≙ one cron firing).
+
+    Each tick runs the fused all-detector log over the current store and
+    appends only rows whose (ts, id, anomaly_type) key is not yet
+    materialized — the at-least-once-append + dedup contract of
+    copy_log_duplicates → dedup_log → copy_log
+    (tinybird/pipes/dedup_log.pipe:4-6), collapsed into one idempotent
+    anti-join append. ``start(interval_s)`` runs ticks on a daemon
+    thread (the cron); ``stop()`` halts it."""
+
+    _LOG_SCHEMA = "id int, ts timestamp, value float, anomaly_type string, note string"
+
+    def __init__(self, store: EventStore, path: str, **detector_params: Any):
+        self.store = store
+        self.path = path
+        self.params = detector_params
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def log(self) -> DataFrame:
+        try:
+            return self.store.spark.read.schema(self._LOG_SCHEMA).parquet(
+                self.path
+            )
+        except Exception:  # nothing materialized yet
+            return self.store.spark.createDataFrame([], self._LOG_SCHEMA)
+
+    def tick(self) -> int:
+        """One copy cycle; returns the number of NEW rows appended."""
+        ev = self.store.events()
+        if ev.isEmpty():
+            return 0
+        frontier = D.frontier_ts(ev)
+        fresh = C.violations_log(ev, frontier, **self.params)
+        with self._lock:
+            existing = self.log().select("ts", "id", "anomaly_type")
+            new = fresh.join(
+                existing, ["ts", "id", "anomaly_type"], "left_anti"
+            ).select("id", "ts", "value", "anomaly_type", "note")
+            n = new.count()
+            if n:
+                new.write.mode("append").parquet(self.path)
+        return n
+
+    def start(self, interval_s: float = 60.0) -> "MaterializedCopyLog":
+        def loop():
+            while not self._stop.wait(interval_s):
+                try:
+                    self.tick()
+                except Exception:  # pragma: no cover — keep the cron alive
+                    pass
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+
+
 # ---------------------------------------------------------------------------
 # Default pipe registry (one entry per reference endpoint pipe)
 # ---------------------------------------------------------------------------
@@ -456,12 +525,21 @@ class AnalyticsAPIServer:
         store: EventStore,
         *,
         pipes: dict[str, Pipe] | None = None,
+        copy_log: "MaterializedCopyLog | None" = None,
         auth: TokenAuth | None = None,
         host: str = "127.0.0.1",
         port: int = 0,
     ):
         self.store = store
-        self.pipes = pipes if pipes is not None else default_pipes()
+        if pipes is not None:
+            self.pipes = pipes
+        elif copy_log is not None:
+            # consumer endpoints read the MATERIALIZED log (the
+            # reference's copy-pipe architecture) instead of recomputing
+            # the detectors per request
+            self.pipes = default_pipes(copy_log=lambda _s: copy_log.log())
+        else:
+            self.pipes = default_pipes()
         self.auth = auth
         outer = self
 
