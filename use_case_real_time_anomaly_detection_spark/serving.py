@@ -674,6 +674,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--port", type=int, default=8123)
     ap.add_argument("--admin-token", default=None,
                     help="enable auth with this ADMIN-scope secret")
+    ap.add_argument("--copy-log", default=None, metavar="PATH",
+                    help="materialize detections to this parquet path on "
+                         "a schedule; consumer endpoints then read the "
+                         "materialization (the copy-pipe architecture)")
+    ap.add_argument("--copy-interval", type=float, default=60.0,
+                    metavar="SECONDS",
+                    help="copy cycle cadence (default 60, the reference's "
+                         "minute cron)")
     args = ap.parse_args(argv)
 
     from .session import get_spark
@@ -684,14 +692,21 @@ def main(argv: list[str] | None = None) -> int:
         TokenAuth({args.admin_token: {"ADMIN"}})
         if args.admin_token else None
     )
+    mat = None
+    if args.copy_log:
+        mat = MaterializedCopyLog(store, args.copy_log)
+        mat.tick()  # prime before serving, then cron
+        mat.start(args.copy_interval)
     server = AnalyticsAPIServer(
-        store, auth=auth, host=args.host, port=args.port
+        store, copy_log=mat, auth=auth, host=args.host, port=args.port
     ).start()
     print(f"serving on http://{args.host}:{server.port}/v0/pipes")
     try:
         threading.Event().wait()
     except KeyboardInterrupt:
         server.shutdown()
+        if mat is not None:
+            mat.stop()
     return 0
 
 
